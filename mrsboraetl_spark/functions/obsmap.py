@@ -1,0 +1,184 @@
+"""EAV obs-value codec: typed-value coalesce, ordered blob packing, map codec.
+
+Re-expresses the reference's signature operations:
+
+* typed-value CASE cascade (flat_obs_v1.0.sql:124-132): exactly one of seven
+  typed value columns is non-null per obs row; priority coded > numeric >
+  date(datetime) > boolean > text > drug > modifier.
+* ordered GROUP_CONCAT blob (flat_obs_v1.0.sql:123-144):
+  ``!!<concept_id>=<value>!! ## ...`` sorted by (concept_id, value_coded).
+  Spark's ``collect_list`` is order-nondeterministic, so determinism comes
+  from ``array_sort`` over structs whose leading fields are the sort key —
+  this is the one place a naive translation silently diverges (SURVEY §7.4.1).
+* blob membership / extraction (flat_visit_summary_v1.0.sql:202,212): the
+  engine's canonical form is a MapType(int -> array<string>) column, so
+  membership is ``map_contains_key`` and extraction is ``element_at`` —
+  both Catalyst-native — with regex helpers kept for legacy-blob mode.
+
+Everything here is built-in ``pyspark.sql.functions`` composition: zero
+Python UDFs, so the whole layer stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.config import BLOB_BOUNDARY, BLOB_SEP
+
+__all__ = [
+    "render_numeric",
+    "typed_value",
+    "blob_entry",
+    "ordered_collect",
+    "packed_blob",
+    "obs_map_from_entries",
+    "render_legacy_blob",
+    "blob_contains",
+    "blob_extract_all",
+    "map_first_value",
+]
+
+
+def render_numeric(col: Column) -> Column:
+    """Render a double the way MySQL prints it in the blob: no trailing
+    zeros, no trailing dot (``72.0`` -> ``72``, ``72.50`` -> ``72.5``).
+
+    Mirrors the implicit cast inside CONCAT at flat_obs_v1.0.sql:125-126.
+    """
+    s = col.cast("string")
+    s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
+    return F.regexp_replace(s, r"\.$", "")
+
+
+def typed_value(qualifier: str = "") -> Column:
+    """Priority coalesce over the seven EAV value columns, rendered to string.
+
+    flat_obs_v1.0.sql:124-132: CASE WHEN value_coded THEN value_coded WHEN
+    value_numeric ... — coded > numeric > date(datetime) > boolean > text >
+    drug > modifier.
+    """
+    q = f"{qualifier}." if qualifier else ""
+    c = lambda n: F.col(f"{q}{n}")  # noqa: E731
+    return F.coalesce(
+        c("value_coded").cast("string"),
+        render_numeric(c("value_numeric")),
+        F.date_format(c("value_datetime"), "yyyy-MM-dd"),
+        c("value_boolean").cast("string"),
+        c("value_text"),
+        c("value_drug").cast("string"),
+        c("value_modifier"),
+    )
+
+
+def blob_entry(key: Column, value: Column) -> Column:
+    """``!!<key>=<value>!!`` — NULL value propagates to a NULL entry, which
+    both MySQL GROUP_CONCAT and our ``array_join`` silently drop.
+
+    flat_obs_v1.0.sql:125: concat(@boundary, concept_id, '=', value, @boundary).
+    """
+    b = F.lit(BLOB_BOUNDARY)
+    return F.concat(b, key.cast("string"), F.lit("="), value, b)
+
+
+def ordered_collect(
+    entry: Column, order_by: Sequence[Column], distinct: bool = False
+) -> Column:
+    """Aggregate expression: collect ``entry`` per group, deterministically
+    ordered by ``order_by`` (NULLs first, like MySQL ASC), as array<string>.
+
+    The GROUP_CONCAT(... ORDER BY ...) core (flat_obs_v1.0.sql:133).
+    ``distinct=True`` dedups the *rendered string* after ordering, matching
+    MySQL's GROUP_CONCAT(DISTINCT ...) at flat_lab_obs_v1.0.sql:109-121.
+    """
+    s = F.struct(
+        *[c.alias(f"_k{i}") for i, c in enumerate(order_by)], entry.alias("_v")
+    )
+    vals = F.transform(F.array_sort(F.collect_list(s)), lambda x: x["_v"])
+    if distinct:
+        # MySQL keeps the first occurrence of each distinct rendered value in
+        # the ordered stream; array_distinct preserves first-seen order too.
+        vals = F.array_distinct(vals)
+    return vals
+
+
+def packed_blob(
+    entry: Column, order_by: Sequence[Column], distinct: bool = False
+) -> Column:
+    """Full A2 operator: ordered collect + ``' ## '`` join -> legacy blob."""
+    return F.array_join(ordered_collect(entry, order_by, distinct), BLOB_SEP)
+
+
+def obs_map_from_entries(
+    key: Column, value: Column, order_by: Sequence[Column]
+) -> Column:
+    """Aggregate expression: MapType(key -> array<value>) with values in the
+    same deterministic order the blob uses — the engine's canonical obs form
+    (SURVEY §1.2: the blob becomes a derived rendering, not the storage
+    format).  Pure built-in composition: sort entries, take distinct keys,
+    group values per key.
+    """
+    s = F.struct(
+        *[c.alias(f"_k{i}") for i, c in enumerate(order_by)],
+        key.alias("_key"),
+        value.alias("_val"),
+    )
+    entries = F.filter(
+        F.array_sort(F.collect_list(s)), lambda e: e["_val"].isNotNull()
+    )
+    keys = F.array_distinct(F.transform(entries, lambda e: e["_key"]))
+    return F.map_from_entries(
+        F.transform(
+            keys,
+            lambda k: F.struct(
+                k.alias("key"),
+                F.transform(
+                    F.filter(entries, lambda e: e["_key"] == k),
+                    lambda e: e["_val"],
+                ).alias("value"),
+            ),
+        )
+    )
+
+
+def render_legacy_blob(obs_map: Column) -> Column:
+    """Deterministic map -> ``!!k=v!! ## ...`` rendering (keys ascending,
+    values in stored order).  Inverse-ish of the packing; used to emit the
+    byte-compatible legacy column from the canonical MapType.
+    """
+    b = F.lit(BLOB_BOUNDARY)
+    entries = F.transform(
+        F.array_sort(F.map_keys(obs_map)),
+        lambda k: F.array_join(
+            F.transform(
+                obs_map[k],
+                lambda v: F.concat(b, k.cast("string"), F.lit("="), v, b),
+            ),
+            BLOB_SEP,
+        ),
+    )
+    return F.array_join(entries, BLOB_SEP)
+
+
+def blob_contains(blob: Column, concept_id: int) -> Column:
+    """Legacy membership test ``obs REGEXP "!!6743="``
+    (flat_visit_summary_v1.0.sql:202)."""
+    return blob.contains(f"{BLOB_BOUNDARY}{concept_id}=")
+
+
+def blob_extract_all(blob: Column, concept_id: int) -> Column:
+    """All values of ``concept_id`` from a legacy blob as array<string> —
+    replaces the reference's LOCATE/SUBSTRING_INDEX/REPLACE arithmetic
+    (flat_visit_summary_v1.0.sql:202) and fixes its multi-occurrence
+    concatenation quirk (SURVEY §2.11.12) by returning a proper array.
+    """
+    return F.regexp_extract_all(
+        blob, F.lit(f"{BLOB_BOUNDARY}{concept_id}=([^!]*){BLOB_BOUNDARY}"), 1
+    )
+
+
+def map_first_value(obs_map: Column, concept_id: int) -> Column:
+    """First stored value for a concept from the canonical map (NULL-safe)."""
+    return F.element_at(obs_map, F.lit(concept_id)).getItem(0)

@@ -1,0 +1,159 @@
+"""Explicit StructTypes for OpenMRS source tables and flat targets.
+
+Source columns = exactly what the reference reads (SURVEY.md §1.1):
+obs (flat_obs_v1.0.sql:76-77,117-145), encounter (:26,84-87,118-122),
+orders (flat_orders_v1.0.sql:47-48,59-67), person (flat_obs_v1.0.sql:337-340).
+
+Target schemas mirror the reference DDL (flat_obs_v1.0.sql:36-51,
+flat_orders_v1.0.sql:18-32, flat_lab_obs_v1.0.sql:47-62,
+flat_visit_summary_v1.0.sql:17-67, flat_latest_hiv_summary_v1.0.sql:5-20,
+flat_log_v1.0.sql:2) — with one deliberate upgrade: the serialized obs blob
+(`text`) becomes a first-class MapType(int -> array<string>) column
+``obs_map`` alongside the byte-compatible legacy ``obs`` string rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+
+def _f(name: str, dtype: T.DataType, nullable: bool = True) -> T.StructField:
+    return T.StructField(name, dtype, nullable)
+
+
+# ---------------------------------------------------------------- sources
+
+OBS_SCHEMA = T.StructType([
+    _f("obs_id", T.LongType(), False),
+    _f("person_id", T.IntegerType(), False),
+    _f("encounter_id", T.IntegerType()),
+    _f("obs_datetime", T.TimestampType()),
+    _f("concept_id", T.IntegerType(), False),
+    _f("value_coded", T.IntegerType()),
+    _f("value_numeric", T.DoubleType()),
+    _f("value_datetime", T.TimestampType()),
+    _f("value_boolean", T.IntegerType()),
+    _f("value_text", T.StringType()),
+    _f("value_drug", T.IntegerType()),
+    _f("value_modifier", T.StringType()),
+    _f("voided", T.IntegerType(), False),
+    _f("date_voided", T.TimestampType()),
+    _f("date_created", T.TimestampType(), False),
+])
+
+ENCOUNTER_SCHEMA = T.StructType([
+    _f("encounter_id", T.IntegerType(), False),
+    _f("patient_id", T.IntegerType(), False),
+    _f("visit_id", T.IntegerType()),
+    _f("encounter_datetime", T.TimestampType()),
+    _f("encounter_type", T.IntegerType()),
+    _f("location_id", T.IntegerType()),
+    _f("voided", T.IntegerType(), False),
+    _f("date_changed", T.TimestampType()),
+    _f("date_created", T.TimestampType(), False),
+])
+
+ORDERS_SCHEMA = T.StructType([
+    _f("order_id", T.IntegerType(), False),
+    _f("patient_id", T.IntegerType(), False),
+    _f("encounter_id", T.IntegerType()),
+    _f("concept_id", T.IntegerType(), False),
+    _f("location_id", T.IntegerType()),
+    _f("date_activated", T.TimestampType()),
+    _f("voided", T.IntegerType(), False),
+    _f("date_voided", T.TimestampType()),
+    _f("date_created", T.TimestampType(), False),
+])
+
+PERSON_SCHEMA = T.StructType([
+    _f("person_id", T.IntegerType(), False),
+    _f("uuid", T.StringType(), False),
+    _f("voided", T.IntegerType(), False),
+])
+
+# ---------------------------------------------------------------- targets
+
+# Canonical engine form: MapType obs column + legacy blob rendering.
+FLAT_OBS_SCHEMA = T.StructType([
+    _f("person_id", T.IntegerType(), False),
+    _f("visit_id", T.IntegerType()),
+    _f("encounter_id", T.IntegerType(), False),
+    _f("encounter_datetime", T.TimestampType()),
+    _f("encounter_type", T.IntegerType()),
+    _f("location_id", T.IntegerType()),
+    _f("obs_map", T.MapType(T.IntegerType(), T.ArrayType(T.StringType()))),
+    _f("obs", T.StringType()),
+    _f("obs_datetimes", T.StringType()),
+    _f("max_date_created", T.TimestampType()),
+])
+
+FLAT_ORDERS_SCHEMA = T.StructType([
+    _f("person_id", T.IntegerType(), False),
+    _f("encounter_id", T.IntegerType(), False),
+    _f("orders", T.StringType()),
+    _f("order_datetimes", T.StringType()),
+    _f("location_id", T.IntegerType()),
+    _f("max_date_created", T.TimestampType()),
+])
+
+FLAT_LAB_OBS_SCHEMA = T.StructType([
+    _f("person_id", T.IntegerType(), False),
+    _f("encounter_id", T.LongType(), False),  # synthetic min(obs_id)+1e8
+    _f("test_datetime", T.TimestampType()),
+    _f("obs_map", T.MapType(T.IntegerType(), T.ArrayType(T.StringType()))),
+    _f("obs", T.StringType()),
+    _f("encounter_ids", T.StringType()),
+    _f("obs_ids", T.StringType()),
+    _f("max_date_created", T.TimestampType()),
+])
+
+FLAT_LOG_SCHEMA = T.StructType([
+    _f("date_created", T.TimestampType(), False),
+    _f("date_updated", T.TimestampType(), False),
+    _f("table_name", T.StringType(), False),
+    _f("seconds_to_complete", T.IntegerType()),
+])
+
+# 41-column visit summary (flat_visit_summary_v1.0.sql:17-67).
+_VS_DECODED_COLS = [
+    "weight", "height", "pregnancy", "fp_method", "tb_status",
+    "registration_date", "patient_source", "arv_adherence", "who_stage",
+    "ctx", "arv_plan", "regimen", "tests_done", "referral",
+    "breastfeeding", "risk_population", "pwp_condoms", "pwp_sti",
+    "enrollment_date", "hiv_start_date", "no_of_day_hospitalized", "tca",
+]
+
+FLAT_VISIT_SUMMARY_SCHEMA = T.StructType(
+    [
+        _f("person_id", T.IntegerType(), False),
+        _f("uuid", T.StringType()),
+        _f("visit_id", T.IntegerType()),
+        _f("encounter_id", T.LongType(), False),
+        _f("encounter_datetime", T.TimestampType()),
+        _f("encounter_type", T.IntegerType()),
+        _f("is_clinical_encounter", T.IntegerType()),
+        _f("location_id", T.IntegerType()),
+    ]
+    + [_f(c, T.StringType()) for c in _VS_DECODED_COLS]
+    + [
+        _f("obs_map", T.MapType(T.IntegerType(), T.ArrayType(T.StringType()))),
+        _f("orders", T.StringType()),
+        _f("max_date_created", T.TimestampType()),
+    ]
+)
+
+FLAT_LATEST_HIV_SUMMARY_SCHEMA = T.StructType([
+    _f("person_id", T.IntegerType(), False),
+    _f("uuid", T.StringType()),
+    _f("latest_encounter_datetime", T.TimestampType()),
+    _f("encounter_type", T.IntegerType()),
+    _f("location_id", T.IntegerType()),
+    _f("weight", T.StringType()),
+    _f("height", T.StringType()),
+    _f("who_stage", T.StringType()),
+    _f("tb_status", T.StringType()),
+    _f("latest_regimen", T.StringType()),
+    _f("latest_enrollment_date", T.StringType()),
+    _f("latest_tca", T.StringType()),
+    _f("latest_tests_done", T.StringType()),
+])

@@ -1,0 +1,70 @@
+"""Watermark store — the engine form of ``flat_log`` (I1).
+
+Reference protocol (flat_obs_v1.0.sql:61-70):
+  1. ``@last_update = max(date_updated) from flat_log where table_name = @v``
+  2. fallback: max source timestamp already present in the target
+     (the "takes about 10 seconds" join-max, flat_obs_v1.0.sql:63-67)
+  3. fallback: '1900-01-01' -> full rebuild.
+
+Implemented as a tiny append-only parquet table read/written by the driver
+(it is a handful of rows per year; no scale concern).  The three-level
+coalesce is preserved exactly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.config import WATERMARK_EPOCH
+from mrsboraetl_spark.schemas import FLAT_LOG_SCHEMA
+
+EPOCH = dt.datetime.fromisoformat(WATERMARK_EPOCH)
+
+
+class WatermarkStore:
+    """flat_log over parquet: ``(date_created, date_updated, table_name,
+    seconds_to_complete)`` (flat_log_v1.0.sql:2)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return self.spark.read.schema(FLAT_LOG_SCHEMA).parquet(self.path)
+
+    def last_update(
+        self, table_name: str, fallback: DataFrame | None = None,
+        fallback_col: str = "max_date_created",
+    ) -> dt.datetime:
+        """Three-level watermark coalesce (flat_obs_v1.0.sql:61-70)."""
+        log = self._read()
+        if log is not None:
+            row = (
+                log.filter(F.col("table_name") == table_name)
+                .agg(F.max("date_updated").alias("wm"))
+                .first()
+            )
+            if row and row["wm"] is not None:
+                return row["wm"]
+        if fallback is not None:
+            row = fallback.agg(F.max(fallback_col).alias("wm")).first()
+            if row and row["wm"] is not None:
+                return row["wm"]
+        return EPOCH
+
+    def log_run(
+        self, table_name: str, started: dt.datetime, finished: dt.datetime | None = None
+    ) -> None:
+        """Append a run row (flat_obs_v1.0.sql:344-346)."""
+        finished = finished or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        seconds = int((finished - started).total_seconds())
+        row = self.spark.createDataFrame(
+            [(finished, started, table_name, seconds)], FLAT_LOG_SCHEMA
+        )
+        row.coalesce(1).write.mode("append").parquet(self.path)

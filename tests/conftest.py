@@ -1,0 +1,21 @@
+from __future__ import annotations
+
+import pytest
+
+from mrsboraetl_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="mrsboraetl_tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def sf_dir_mid():
+    return "/root/testdata/sf0.01"
