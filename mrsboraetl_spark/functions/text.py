@@ -1,0 +1,100 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All pure ``pyspark.sql.functions`` compositions (codegen'd, no UDFs) with
+formulas simple enough to mirror exactly in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny stopword inventories for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "du", "une", "que"],
+    "de": ["der", "die", "und", "das", "von", "mit", "den", "ein", "für", "ist"],
+}
+LANG_PRIORITY = ["en", "es", "fr", "de"]
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alphanumeric tokens (empty strings filtered)."""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens (with multiplicity) that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword hit counts; ties resolve in
+    LANG_PRIORITY order; zero hits everywhere -> 'und'."""
+    hits = {lang: stopword_hits(text, lang) for lang in LANG_PRIORITY}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((hits[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features + composite score."""
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
+    )
+    mean_word_len = F.when(
+        n_tokens > 0,
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0).cast("double"), lambda a, t: a + F.length(t)
+            )
+            / n_tokens,
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, F.round(n_punct.cast("double") / n_chars, 4)
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0, F.round(n_stop.cast("double") / n_tokens, 4)
+    ).otherwise(F.lit(0.0))
+    score = F.round(
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + stop_ratio * 0.4
+        + (1.0 - punct_ratio) * 0.2,
+        4,
+    )
+    return dict(
+        n_chars=n_chars,
+        n_tokens=n_tokens,
+        punct_ratio=punct_ratio,
+        stop_ratio=stop_ratio,
+        mean_word_len=mean_word_len,
+        quality_score=score,
+    )
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of matches of a BPE-ish pre-tokenizer regex: letter runs,
+    digit runs, and single non-space symbols each count as one token."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over the whitespace/case-normalized text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))

@@ -1,0 +1,147 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all deterministic and shuffle-conscious:
+
+* exact       — md5-hash groupBy (one shuffle on the hash);
+* MinHash+LSH — shingle -> per-seed minhash computed *inside the row* with
+  array functions (no explode, no shuffle), then a band-bucket self-join so
+  candidate generation is an equi-join, not an O(n^2) cross join;
+* SimHash     — 32-bit fingerprint from the high bit of each md5 nibble,
+  portable across engines (no 64-bit int parsing required);
+* n-gram Jaccard — exact pairwise similarity via an inverted shingle index
+  (explode + equi-join on shingle), the verification stage after LSH.
+
+Hash choice: md5 — available and bit-identical in Spark, DuckDB and MySQL,
+so every step is oracle-checkable.  At 100 TB you'd swap xxhash64 for speed;
+the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles as array<string> (JVM-side, no UDF)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+            lambda i: F.substring(text, i, k),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct text hash, keeper = min id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, k: int = 5) -> Column:
+    """Array of ``num_hashes`` minhashes: min over shingles of
+    md5(shingle || '#' || seed).  Entirely within-row (transform +
+    array_min) — the signature costs zero shuffles.
+    """
+    sh = shingles(text, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                sh, lambda s: F.md5(F.concat(s, F.lit("#"), seed.cast("string")))
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, k: int = 5
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH (band size 1: a pair is a
+    candidate if ANY minhash matches).  Equi-join on (band, value) — at
+    scale this is a shuffle on band values, never a cross join.
+    """
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(minhash_signature(F.col(text_col), num_hashes, k)).alias(
+            "band", "mh"
+        ),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_bits(text: Column, num_bits: int = 32) -> Column:
+    """SimHash as a ``num_bits``-char '0'/'1' string.
+
+    Bit i = sign of sum over tokens of (2*b - 1) where b is the high bit of
+    the i-th nibble of md5(token).  Using the nibble high bit keeps the
+    computation pure string/arithmetic SQL — portable to any engine, no
+    64-bit hex parsing.
+    """
+    tokens = F.array_distinct(
+        F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != "")
+    )
+    hashes = F.transform(tokens, lambda t: F.md5(t))
+    bit_votes = F.transform(
+        F.sequence(F.lit(1), F.lit(num_bits)),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1),
+        ),
+    )
+    return F.array_join(
+        F.transform(bit_votes, lambda v: F.when(v >= 0, "1").otherwise("0")), ""
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct k-shingles, via an inverted
+    index: explode shingles, equi-join on shingle, count intersections, then
+    |A∪B| = |A| + |B| - |A∩B|.  Pairs below ``threshold`` never materialize
+    beyond the per-shingle join.
+    """
+    sized = df.select(
+        F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), k).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    inv = sized.select("doc", "sz", F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

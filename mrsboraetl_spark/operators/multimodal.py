@@ -1,0 +1,81 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as ``binary`` columns with a metadata
+struct alongside.  The Spark-side plumbing (schema, partition-friendly
+mapInPandas batching, Arrow transfer) is real and tested; the actual codec
+calls are stubbed because decode libraries (PIL/ffmpeg/librosa) are not in
+this container:
+
+* ``extract_binary_meta`` — pure SQL metadata (byte length, sha256, magic
+  prefix), the always-available fast path;
+* ``decode_features_stub`` — the mapInPandas batch pipeline with a
+  deterministic fake feature extractor; swap ``_decode_batch`` for a real
+  codec (it raises NotImplementedError when ``real=True``).
+
+Partitioning note: binary payloads make rows heavy — the caller should
+repartition by size (``spark.sql.files.maxPartitionBytes``) so a batch of
+images fits executor memory; mapInPandas streams one Arrow batch at a time,
+so peak memory is batch-bounded, not partition-bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, checksum string, fake_width int, "
+    "fake_height int, n_frames int"
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model a multimodal table: payload = utf-8 bytes of ``text_col``
+    (stands in for image bytes), plus typed metadata columns."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def extract_binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """SQL-only metadata over an opaque binary column."""
+    p = F.col(payload_col)
+    return df.select(
+        "doc_id",
+        F.octet_length(p).alias("n_bytes"),
+        F.sha2(p, 256).alias("sha256"),
+        F.hex(F.substring(p, 1, 4)).alias("magic"),
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
+    """Per-batch 'decoder'.  real=True is where PIL/ffmpeg would go."""
+    if real:
+        raise NotImplementedError(
+            "image/audio decode libraries are not available in this "
+            "environment; wire PIL/ffmpeg here"
+        )
+    payloads = pdf["payload"]
+    n_bytes = payloads.map(len)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": n_bytes.astype("int32"),
+            # deterministic fake features derived only from the bytes
+            "checksum": payloads.map(lambda b: format(sum(b) % 65536, "04x")),
+            "fake_width": (n_bytes % 640).astype("int32"),
+            "fake_height": (n_bytes % 480).astype("int32"),
+            "n_frames": ((n_bytes // 1000) + 1).astype("int32"),
+        }
+    )
+
+
+def decode_features_stub(df: DataFrame, real: bool = False) -> DataFrame:
+    """mapInPandas decode pipeline: Arrow-batched, schema-stable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf, real=real)
+
+    return df.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)

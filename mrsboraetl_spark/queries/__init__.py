@@ -1,0 +1,68 @@
+"""Operator-level query registry — the correctness gate.
+
+Every operator family from SURVEY.md §2 (plus the large-scale training-data
+operators) registers here as a named (Spark builder, DuckDB oracle SQL) pair.
+The driver runs both at sf=0.01 and compares row-count + schema +
+order-insensitive value-hash; ``tests/test_oracle_parity.py`` replicates that
+check locally at sf=0.001.
+
+Conventions that keep the comparison byte-stable:
+* every computed column is aliased identically in Spark and SQL;
+* double aggregates are rounded (both sides, same digits) so floating-point
+  association order can't flip a hash;
+* blobs/strings are rendered with the same regex formulas on both engines;
+* session timezone is UTC (see session.py) so timestamps agree with DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, oracle)
+        return fn
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a driver table; normalize TIMESTAMP(NANOS) columns (read as long
+    under spark.sql.legacy.parquet.nanosAsLong) back to proper timestamps,
+    truncating to microseconds exactly like DuckDB does."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        for field in df.schema.fields:
+            if field.name == "ts" and isinstance(field.dataType, T.LongType):
+                # integer division: a double /1000 rounds in the last micros
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# Importing the submodules populates REGISTRY.
+from mrsboraetl_spark.queries import relational  # noqa: E402,F401
+from mrsboraetl_spark.queries import pipeline  # noqa: E402,F401
+from mrsboraetl_spark.queries import llmdata  # noqa: E402,F401
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}

@@ -1,0 +1,377 @@
+"""Training-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — the 100 TB extension layer, each hash-checked against
+a DuckDB oracle on the driver's `documents` / `embeddings` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    whitespace_token_count,
+)
+from mrsboraetl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_bits,
+)
+from mrsboraetl_spark.operators.multimodal import (
+    decode_features_stub,
+    extract_binary_meta,
+    with_binary_payload,
+)
+from mrsboraetl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs_above,
+    lsh_bucketed_topk,
+)
+from mrsboraetl_spark.queries import register, table
+
+# Shared DuckDB fragments ----------------------------------------------------
+
+_SHINGLES = (
+    "list_distinct([substr(text, CAST(i AS INT), 5)"
+    " FOR i IN range(1, greatest(length(text)-4, 1)+1)])"
+)
+_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " t -> t <> '')"
+)
+_COS = (
+    "round(list_sum([CAST(va[CAST(i AS INT)] AS DOUBLE)"
+    " * CAST(vb[CAST(i AS INT)] AS DOUBLE)"
+    " FOR i IN range(1, len(va)+1)])"
+    " / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN va]))"
+    "  * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN vb]))), 4)"
+)
+
+
+def _in_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+# ------------------------------------------------------------------- dedup
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keeper = min doc_id."""
+    return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sig AS (
+      SELECT doc_id, seed AS band,
+             min(md5(s || '#' || CAST(seed AS VARCHAR))) AS mh
+      FROM exploded CROSS JOIN range(0, 8) r(seed)
+      GROUP BY doc_id, seed
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs (shingle -> 8 minhashes -> band join)."""
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8, k=5
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_TOKENS}) AS ts FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(ts) AS t FROM toks
+    ), votes AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN substr(md5(t), CAST(i AS INT), 1)
+                      IN ('8','9','a','b','c','d','e','f')
+                 THEN 1 ELSE -1 END) AS v
+      FROM tok CROSS JOIN range(1, 33) r(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+             AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash 32-bit fingerprint (portable nibble-high-bit construction)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash_bits(F.col("text"), 32).alias("simhash")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+    ), sized AS (
+      SELECT doc_id, len(shingles) AS sz, shingles FROM sh
+    ), inv AS (
+      SELECT doc_id, sz, unnest(shingles) AS s FROM sized
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_common
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sz_a + sz_b - n_common), 4) AS jaccard
+    FROM common
+    WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs >= 0.2 via inverted shingle index."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=5, threshold=0.2
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.replace("va", "a.embedding").replace("vb", "b.embedding")}
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS.replace("va", "a.embedding").replace("vb", "b.embedding")}
+          >= 0.9
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs (cosine >= 0.9), brute-force baseline."""
+    return cosine_pairs_above(table(spark, sf_dir, "embeddings"), 0.9)
+
+
+# -------------------------------------------------------- similarity search
+
+def _query_vectors(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+_ANN_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor,
+             {_COS.replace("va", "q.qv").replace("vb", "e.embedding")} AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE q.query_id <> e.vec_id
+    )
+    SELECT query_id, neighbor, cosine, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor
+      ) AS rk FROM scored
+    ) WHERE rk <= 3
+"""
+
+
+@register("ann_brute_force_topk", _ANN_ORACLE)
+def ann_brute_force_topk(spark, sf_dir):
+    """Exact cosine top-3 per query vector (broadcast queries, JVM-side
+    dot products via zip_with/aggregate — no Python in the loop)."""
+    return brute_force_topk(
+        table(spark, sf_dir, "embeddings"), _query_vectors(spark, sf_dir), k=3
+    )
+
+
+@register(
+    "ann_lsh_bucketed_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             list_aggregate([CASE WHEN CAST(x AS DOUBLE) >= 0 THEN '1'
+                                  ELSE '0' END FOR x IN embedding[1:8]],
+                            'string_agg', '') AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+      FROM b WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor,
+             {_COS.replace("va", "q.qv").replace("vb", "b.embedding")} AS cosine
+      FROM b JOIN q ON b.bucket = q.qbucket
+      WHERE q.query_id <> b.vec_id
+    )
+    SELECT query_id, neighbor, cosine, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor
+      ) AS rk FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def ann_lsh_bucketed_topk(spark, sf_dir):
+    """Approximate top-3: sign-bucket LSH candidates, ranked in-bucket —
+    the scale path (equi-join on bucket instead of cross join)."""
+    return lsh_bucketed_topk(
+        table(spark, sf_dir, "embeddings"),
+        _query_vectors(spark, sf_dir),
+        k=3,
+        bits=8,
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    hits AS (
+      SELECT doc_id,
+             len(list_filter(toks, t -> list_contains({_in_list("en")}, t))) AS h_en,
+             len(list_filter(toks, t -> list_contains({_in_list("es")}, t))) AS h_es,
+             len(list_filter(toks, t -> list_contains({_in_list("fr")}, t))) AS h_fr,
+             len(list_filter(toks, t -> list_contains({_in_list("de")}, t))) AS h_de
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN h_en = greatest(h_en, h_es, h_fr, h_de)
+                     AND greatest(h_en, h_es, h_fr, h_de) > 0 THEN 'en'
+                WHEN h_es = greatest(h_en, h_es, h_fr, h_de)
+                     AND greatest(h_en, h_es, h_fr, h_de) > 0 THEN 'es'
+                WHEN h_fr = greatest(h_en, h_es, h_fr, h_de)
+                     AND greatest(h_en, h_es, h_fr, h_de) > 0 THEN 'fr'
+                WHEN h_de = greatest(h_en, h_es, h_fr, h_de)
+                     AND greatest(h_en, h_es, h_fr, h_de) > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-hit language ID with fixed tie priority en>es>fr>de."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKENS} AS toks FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             CASE WHEN length(text) > 0 THEN round(
+               (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / CAST(length(text) AS DOUBLE), 4) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0 THEN round(
+               len(list_filter(toks, t -> list_contains({_in_list("en")}, t)))
+               / CAST(len(toks) AS DOUBLE), 4) ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0 THEN round(
+               list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+               / len(toks), 4) ELSE 0.0 END AS mean_word_len
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_word_len,
+           round(least(n_tokens / 100.0, 1.0) * 0.4 + stop_ratio * 0.4
+                 + (1.0 - punct_ratio) * 0.2, 4) AS quality_score
+    FROM feat
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality features: length, punctuation ratio, stopword ratio, mean
+    word length, composite score."""
+    docs = table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in feats.items()]
+    )
+
+
+@register(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+             AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish-regex token counting."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized-text md5 fingerprint."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# -------------------------------------------------------------- multimodal
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha_hex,
+           lower(substr(hex(encode(text)), 1, 8)) AS magic
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Opaque-binary metadata path: byte length, content hash, magic prefix.
+    (Payload = utf-8 bytes of text, standing in for image bytes.)"""
+    docs = with_binary_payload(table(spark, sf_dir, "documents"))
+    p = F.col("payload")
+    return docs.select(
+        "doc_id",
+        F.octet_length(p).alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("sha_hex"),
+        F.lower(F.substring(F.hex(p), 1, 8)).alias("magic"),
+    )
+
+
+@register("multimodal_decode_stub")  # mapInPandas plumbing: rows-only check
+def multimodal_decode_stub(spark, sf_dir):
+    """Arrow-batched mapInPandas decode pipeline with a deterministic fake
+    codec (real decoder slots into operators/multimodal._decode_batch)."""
+    docs = with_binary_payload(table(spark, sf_dir, "documents"))
+    return decode_features_stub(docs)

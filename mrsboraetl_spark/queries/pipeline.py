@@ -1,0 +1,218 @@
+"""Pipeline-shaped queries: the reference's flattening/incremental protocol
+re-expressed on the driver's `events` stream table (SURVEY.md §2.9, §3).
+
+These are the same plan shapes the five OpenMRS stages use (see plans/),
+exercised on driver-provided data so the DuckDB oracle can hash-check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mrsboraetl_spark.config import SYNTHETIC_ENCOUNTER_OFFSET
+from mrsboraetl_spark.functions.obsmap import (
+    blob_entry,
+    packed_blob,
+    render_numeric,
+)
+from mrsboraetl_spark.queries import register, table
+from mrsboraetl_spark.queries.relational import _RENDER
+
+_CUT = "2024-01-15 00:00:00"
+
+
+@register(
+    "flat_events_blob",
+    f"""
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           min(event_id) + {SYNTHETIC_ENCOUNTER_OFFSET} AS synthetic_id,
+           string_agg(
+             '!!' || event_type || '=' || {_RENDER.format(x="value")} || '!!',
+             ' ## ' ORDER BY event_type, value
+           ) AS obs,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+             AS event_ids,
+           count(*) AS n_events,
+           max(ts) AS max_ts
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+)
+def flat_events_blob(spark, sf_dir):
+    """The flagship flat_lab_obs-shaped flattening on `events`: per
+    (user_id, day) group — synthetic key min(id)+1e8
+    (flat_lab_obs_v1.0.sql:105), ordered obs blob (A2), deterministic
+    lineage blob (A4, sorted where MySQL left it nondeterministic)."""
+    ev = table(spark, sf_dir, "events")
+    entry = blob_entry(F.col("event_type"), render_numeric(F.col("value")))
+    return (
+        ev.groupBy("user_id", F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            (F.min("event_id") + SYNTHETIC_ENCOUNTER_OFFSET).alias("synthetic_id"),
+            packed_blob(entry, [F.col("event_type"), F.col("value")]).alias("obs"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("event_id"))).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("event_ids"),
+            F.count("*").alias("n_events"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+@register(
+    "latest_event_snapshot",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type AS latest_type, value AS latest_value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id
+        ) AS rn FROM events
+      ) WHERE rn = 1
+    ), aggs AS (
+      SELECT user_id, round(max(value), 2) AS max_value, count(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT l.user_id, latest_type, latest_value, max_value, n_events
+    FROM latest l JOIN aggs a ON l.user_id = a.user_id
+    """,
+)
+def latest_event_snapshot(spark, sf_dir):
+    """A9 in full (flat_latest_hiv_summary shape): latest row's bare columns
+    + true MAX aggregates, joined on the group key."""
+    from mrsboraetl_spark.operators.latest import latest_snapshot_with_aggs
+
+    ev = table(spark, sf_dir, "events")
+    snap = latest_snapshot_with_aggs(
+        ev.select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("latest_type"),
+            F.col("value").alias("latest_value"),
+        ),
+        keys=["user_id"],
+        order_col="ts",
+        bare_cols=["latest_type", "latest_value"],
+        agg_exprs=[
+            F.round(F.max("latest_value"), 2).alias("max_value"),
+            F.count("*").alias("n_events"),
+        ],
+        tiebreak=["event_id"],
+    )
+    return snap.select(
+        "user_id", "latest_type", "latest_value", "max_value", "n_events"
+    )
+
+
+@register(
+    "incremental_upsert_equiv",
+    """
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def incremental_upsert_equiv(spark, sf_dir):
+    """I1-I4 protocol end-to-end on `events`: phase 1 aggregates rows with
+    ts <= watermark; phase 2 detects changed keys (ts > wm), retracts and
+    recomputes *whole groups* from base data (I3 delete+reaggregate), then
+    REPLACE-INTO-merges.  Result must equal the one-shot aggregation — the
+    oracle is exactly that one-shot SQL."""
+    from mrsboraetl_spark.operators.upsert import replace_into
+
+    ev = table(spark, sf_dir, "events")
+    wm = F.lit(_CUT).cast("timestamp")
+
+    def agg(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        )
+
+    phase1 = agg(ev.filter(F.col("ts") <= wm))
+    changed_keys = ev.filter(F.col("ts") > wm).select("user_id").distinct()
+    recomputed = agg(ev.join(changed_keys, "user_id", "left_semi"))
+    return replace_into(phase1, recomputed, ["user_id"])
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization (gap > 30 min) via lag + cumulative flag — the batch
+    equivalent of a session window; W2's LAG put to real use."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "streaming_tumbling_daily",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_daily(spark, sf_dir):
+    """I5/Structured Streaming: 1-day tumbling-window aggregation driven as a
+    real stream (readStream over the parquet dir, memory sink, drained
+    synchronously).  Oracle = the batch equivalent — streaming and batch
+    must agree on complete data."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    # Stream with the on-disk schema (ts may be nano-long), then normalize
+    # exactly as the batch reader does.
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = (
+        raw.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("day"), "event_type", "n", "sum_value"
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize before the in-memory sink table goes away.
+    out = spark.table(name)
+    out = spark.createDataFrame(out.collect(), out.schema)
+    return out
