@@ -1,0 +1,85 @@
+"""Bench harness: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through the noop sink so the full plan materializes
+(no collect-to-driver skew in the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_multi_dims",
+    "obs_blob_pack",
+    "latest_order_per_customer",
+    "topk_orders_per_customer",
+    "groupby_expr_day",
+    "flat_events_blob",
+    "incremental_upsert_equiv",
+    "sessionize_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "dedup_simhash",
+    "ann_brute_force_topk",
+    "ann_lsh_bucketed_topk",
+    "text_quality_score",
+    "text_token_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from mrsboraetl_spark.queries import REGISTRY
+    from mrsboraetl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # Warm up outside the timed region: parquet footers + whole-stage-codegen
+    # compilation of each query (Janino compile of the wide blob/minhash
+    # expressions costs seconds the first time; on a real cluster it
+    # amortizes across the job, so timing it per-query would measure the
+    # JIT, not the operator).
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 - warmup is best-effort
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -17,9 +17,11 @@ from mrsboraetl_spark.functions.text import (
 )
 from mrsboraetl_spark.operators.dedup import (
     exact_dedup,
+    lsh_verified_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_bits,
+    token_hashes,
 )
 from mrsboraetl_spark.operators.multimodal import (
     decode_features_stub,
@@ -78,20 +80,26 @@ def dedup_exact(spark, sf_dir):
     ), exploded AS (
       SELECT doc_id, unnest(shingles) AS s FROM sh
     ), sig AS (
-      SELECT doc_id, seed AS band,
+      SELECT doc_id, seed,
              min(md5(s || '#' || CAST(seed AS VARCHAR))) AS mh
       FROM exploded CROSS JOIN range(0, 8) r(seed)
       GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS bk
+      FROM sig GROUP BY doc_id, seed // 4
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sig a JOIN sig b
-      ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs (shingle -> 8 minhashes -> band join)."""
+    """MinHash + banded LSH candidate pairs (shingle -> 8 minhashes ->
+    2 bands x 4 rows -> band-key equi-join)."""
     return minhash_lsh_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8, k=5
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=8, k=5, rows_per_band=4,
     )
 
 
@@ -119,8 +127,11 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """SimHash 32-bit fingerprint (portable nibble-high-bit construction)."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", simhash_bits(F.col("text"), 32).alias("simhash")
+    n_parts = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_parts)
+        .select("doc_id", token_hashes(F.col("text")).alias("hashes"))
+        .select("doc_id", simhash_bits(F.col("hashes"), 32).alias("simhash"))
     )
 
 
@@ -149,6 +160,49 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs >= 0.2 via inverted shingle index."""
     return ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=5, threshold=0.2
+    )
+
+
+@register(
+    "dedup_lsh_verified",
+    f"""
+    WITH sh0 AS (
+      SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh0
+    ), sig AS (
+      SELECT doc_id, seed,
+             min(md5(s || '#' || CAST(seed AS VARCHAR))) AS mh
+      FROM exploded CROSS JOIN range(0, 8) r(seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS bk
+      FROM sig GROUP BY doc_id, seed // 4
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(x.shingles, y.shingles)) AS n_common,
+             len(x.shingles) AS sz_a, len(y.shingles) AS sz_b
+      FROM cands
+      JOIN sh0 x ON x.doc_id = doc_a
+      JOIN sh0 y ON y.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sz_a + sz_b - n_common), 4) AS jaccard
+    FROM verified
+    WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.5
+    """,
+)
+def dedup_lsh_verified(spark, sf_dir):
+    """Two-stage scale-path dedup: banded-LSH candidates + exact in-row
+    Jaccard verification (array_intersect, no second explode join)."""
+    return lsh_verified_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=8, k=5, rows_per_band=4, threshold=0.5,
     )
 
 
