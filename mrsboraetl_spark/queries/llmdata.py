@@ -45,12 +45,12 @@ _TOKENS = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
     " t -> t <> '')"
 )
+# Native vectorized cosine (DuckDB >= 1.0) — the list-comprehension spelling
+# of the same formula ran ~1000x slower on the n^2/2 pair oracle, which would
+# blow the correctness-gate time budget.
 _COS = (
-    "round(list_sum([CAST(va[CAST(i AS INT)] AS DOUBLE)"
-    " * CAST(vb[CAST(i AS INT)] AS DOUBLE)"
-    " FOR i IN range(1, len(va)+1)])"
-    " / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN va]))"
-    "  * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN vb]))), 4)"
+    "round(list_cosine_similarity("
+    "CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])), 4)"
 )
 
 

@@ -83,12 +83,16 @@ def test_incremental_equals_rebuild(sources):
     must equal a full rebuild over current base data (I3 semantics)."""
     obs, enc, person = sources["obs"], sources["encounter"], sources["person"]
 
-    # phase 1: everything created before the watermark
+    # phase 1: everything created before the watermark.  localCheckpoint
+    # stands in for the table write a real run does between syncs — without
+    # it the phase-2 plan nests phase 1's whole DAG and analysis blows up.
     old_obs = obs.filter(F.col("date_created") <= F.lit(WATERMARK))
-    t1 = incremental_flat_obs(None, old_obs, enc, person, "1900-01-01")
+    t1 = incremental_flat_obs(
+        None, old_obs, enc, person, "1900-01-01"
+    ).localCheckpoint()
 
     # phase 2: full source arrives; incremental catches up from WATERMARK
-    t2 = incremental_flat_obs(t1, obs, enc, person, WATERMARK)
+    t2 = incremental_flat_obs(t1, obs, enc, person, WATERMARK).localCheckpoint()
 
     expected = incremental_flat_obs(None, obs, enc, person, "1900-01-01")
     sym_diff = t2.select("encounter_id", "obs").exceptAll(
@@ -103,9 +107,8 @@ def test_incremental_equals_rebuild(sources):
 
 def test_incremental_idempotent(sources):
     obs, enc, person = sources["obs"], sources["encounter"], sources["person"]
-    t1 = incremental_flat_obs(None, obs, enc, person, "1900-01-01")
-    t1 = t1.cache()
-    t2 = incremental_flat_obs(t1, obs, enc, person, WATERMARK)
+    t1 = incremental_flat_obs(None, obs, enc, person, "1900-01-01").localCheckpoint()
+    t2 = incremental_flat_obs(t1, obs, enc, person, WATERMARK).localCheckpoint()
     assert t2.count() == t1.count()
     assert (
         t2.select("encounter_id", "obs").exceptAll(
