@@ -1,0 +1,152 @@
+"""Pipeline runner: the five flat stages in dependency order over parquet.
+
+The reference runs six scripts by hand in a fixed order (README.md:4-9,
+Procedure.txt:1-6): flat_log, flat_obs, flat_orders, flat_lab_obs,
+flat_visit_summary, flat_latest_hiv_summary.  The engine form is a driver
+loop: for each stage, resolve the watermark (I1), build the incremental (or
+full-rebuild) plan, write the target atomically, log the run.
+
+Storage is format-agnostic parquet-by-default: each target lives at
+``<root>/<table>.parquet`` and is rewritten whole (the upsert algebra in
+operators/upsert.py computes the merged state; a Delta MERGE writer can
+slot in without touching the plans).  Writes go to a temp dir then move —
+the source parquet is re-read lazily, so writing over the path being read
+would corrupt it.
+
+Modes (flat_visit_summary_v1.0.sql:6 @query_type):
+* ``rebuild`` — recompute every target from the sources;
+* ``sync``   — incremental: each stage processes only keys changed since
+  its watermark; cascade propagation (I4) keys visit_summary off
+  flat_obs.max_date_created exactly like the reference (:93-99).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.config import TABLE_VERSIONS
+from mrsboraetl_spark.plans.flat_lab_obs import (
+    build_flat_lab_obs,
+    incremental_flat_lab_obs,
+)
+from mrsboraetl_spark.plans.flat_latest_hiv_summary import (
+    build_flat_latest_hiv_summary,
+)
+from mrsboraetl_spark.plans.flat_obs import build_flat_obs, incremental_flat_obs
+from mrsboraetl_spark.plans.flat_orders import (
+    build_flat_orders,
+    incremental_flat_orders,
+)
+from mrsboraetl_spark.plans.flat_visit_summary import (
+    build_flat_visit_summary,
+    incremental_flat_visit_summary,
+)
+from mrsboraetl_spark.sources.watermark import WatermarkStore
+
+
+class PipelineRunner:
+    """Run the five-stage pipeline against a dict of source DataFrames
+    (keys: obs, encounter, orders, person) into a parquet directory."""
+
+    def __init__(self, spark: SparkSession, storage_root: str):
+        self.spark = spark
+        self.root = storage_root
+        os.makedirs(storage_root, exist_ok=True)
+        self.watermarks = WatermarkStore(
+            spark, os.path.join(storage_root, "flat_log.parquet")
+        )
+
+    # ------------------------------------------------------------ storage
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.parquet")
+
+    def read_target(self, table: str) -> DataFrame | None:
+        path = self._path(table)
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def _write(self, df: DataFrame, table: str) -> None:
+        path, tmp = self._path(table), self._path(table) + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    # -------------------------------------------------------------- runs
+
+    @staticmethod
+    def _max_ts(df: DataFrame, col: str = "date_created"):
+        row = df.agg(F.max(col).alias("m")).first()
+        return row["m"] if row else None
+
+    def run(self, sources: dict[str, DataFrame], mode: str = "sync") -> None:
+        """Run all stages in dependency order."""
+        assert mode in ("sync", "rebuild")
+        obs, enc = sources["obs"], sources["encounter"]
+        orders, person = sources["orders"], sources["person"]
+
+        self._stage(
+            "flat_obs",
+            lambda target, wm: build_flat_obs(obs, enc, person)
+            if mode == "rebuild" or target is None
+            else incremental_flat_obs(target, obs, enc, person, wm),
+            # @last_date_created := max(date_created) from obs (:26-28)
+            data_wm=lambda: self._max_ts(obs),
+        )
+        self._stage(
+            "flat_orders",
+            lambda target, wm: build_flat_orders(orders, enc, person)
+            if mode == "rebuild" or target is None
+            else incremental_flat_orders(target, orders, enc, person, wm),
+            data_wm=lambda: self._max_ts(orders),
+        )
+        self._stage(
+            "flat_lab_obs",
+            lambda target, wm: build_flat_lab_obs(obs)
+            if mode == "rebuild" or target is None
+            else incremental_flat_lab_obs(target, obs, wm),
+            # greatest of encounter/obs max (flat_lab_obs_v1.0.sql:37-39)
+            data_wm=lambda: max(
+                filter(None, [self._max_ts(obs), self._max_ts(enc)]),
+                default=None,
+            ),
+        )
+
+        flat_obs = self.read_target("flat_obs")
+        flat_lab = self.read_target("flat_lab_obs")
+        self._stage(
+            "flat_visit_summary",
+            lambda target, wm: build_flat_visit_summary(flat_obs, flat_lab, person)
+            if mode == "rebuild" or target is None
+            else incremental_flat_visit_summary(
+                target, flat_obs, flat_lab, person, enc, wm
+            ),
+            # cascade (I4): keyed off upstream flat_obs.max_date_created
+            # (flat_visit_summary_v1.0.sql:16,93-99)
+            data_wm=lambda: self._max_ts(flat_obs, "max_date_created"),
+        )
+
+        # Latest snapshot: always a full overwrite of a small per-patient
+        # table (fixes quirk 8's duplicate-on-rerun INSERT).
+        started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        vs = self.read_target("flat_visit_summary")
+        self._write(build_flat_latest_hiv_summary(vs), "flat_latest_hiv_summary")
+        self.watermarks.log_run(
+            TABLE_VERSIONS["flat_latest_hiv_summary"], started,
+            self._max_ts(vs, "max_date_created"),
+        )
+
+    def _stage(self, table: str, plan, data_wm) -> None:
+        started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        version = TABLE_VERSIONS[table]
+        target = self.read_target(table)
+        wm = self.watermarks.last_update(version, fallback=target)
+        self._write(plan(target, wm), table)
+        self.watermarks.log_run(version, started, data_wm())

@@ -112,13 +112,14 @@ def packed_blob(
 
 
 def obs_map_from_entries(
-    key: Column, value: Column, order_by: Sequence[Column]
+    key: Column, value: Column, order_by: Sequence[Column], distinct: bool = False
 ) -> Column:
     """Aggregate expression: MapType(key -> array<value>) with values in the
     same deterministic order the blob uses — the engine's canonical obs form
     (SURVEY §1.2: the blob becomes a derived rendering, not the storage
     format).  Pure built-in composition: sort entries, take distinct keys,
-    group values per key.
+    group values per key.  ``distinct=True`` drops duplicate (key, value)
+    pairs, mirroring the GROUP_CONCAT(DISTINCT ...) blob variant.
     """
     s = F.struct(
         *[c.alias(f"_k{i}") for i, c in enumerate(order_by)],
@@ -128,6 +129,12 @@ def obs_map_from_entries(
     entries = F.filter(
         F.array_sort(F.collect_list(s)), lambda e: e["_val"].isNotNull()
     )
+    if distinct:
+        entries = F.array_distinct(
+            F.transform(
+                entries, lambda e: F.struct(e["_key"].alias("_key"), e["_val"].alias("_val"))
+            )
+        )
     keys = F.array_distinct(F.transform(entries, lambda e: e["_key"]))
     return F.map_from_entries(
         F.transform(

@@ -1,0 +1,146 @@
+"""flat_visit_summary: clinical + lab flat rows -> 43-column per-visit summary.
+
+Reference: flat_visit_summary_v1.0.sql (generate_visit_summary, :4-591).
+
+Shape: flat_obs filtered to clinical encounter types (21, 22) (:155),
+optionally unioned with flat_lab_obs rows padded to the same schema
+(:157-173), then the wide decode projection (:186-531) joined to person for
+the uuid (:528), written with REPLACE-INTO semantics keyed on encounter_id
+(:533-580).
+
+The decode layer (functions/decode.py) runs on the canonical ``obs_map``
+instead of regexing the packed blob — same first-match CASE semantics,
+Catalyst map probes inside codegen.
+
+Deliberate divergences (SURVEY §2.11):
+* the 5000-person WHILE loop (:119-583, quirk 5) is gone — one declarative
+  plan over all queued persons; Spark's shuffle partitioning is the
+  batching;
+* lab rows are unioned in at :157-173 but then dropped by the decode
+  stage's ``where encounter_type in (21,22)`` (:529) — dead code in the
+  reference.  ``include_lab_rows`` (default False = reference output)
+  exposes the evident intent;
+* ``hiv_start_date`` duplicates ``enrollment_date`` (:543-544, quirk 2) —
+  preserved, since downstream reads it;
+* the @prev_id/@cur_id lag pair (:182-191, W2) is computed but never
+  consumed in v1.0 — not ported (lag lives in the operator library);
+* flat_orders is left-joined into the staging table (:153) but the decode
+  projection never reads ``orders`` — dead code; the engine skips the join
+  (an unused shuffle join is exactly what hurts at 100 TB);
+* who_stage/no_of_day_hospitalized decode the intent (quirks 1/6, see
+  decode.py).
+
+Scale: the decode projection is pure per-row expression work — no shuffle.
+Shuffles: flat_obs ⟕ flat_orders on encounter_id, person join on person_id
+(person is the small dimension -> broadcast).  The queue restriction is a
+left-semi join that AQE broadcasts when the delta is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.config import CLINICAL_ENCOUNTER_TYPES
+from mrsboraetl_spark.functions.decode import decode_columns
+from mrsboraetl_spark.operators.upsert import anti_delete, replace_into
+
+# Final column order: the reference DDL (:17-67) with engine lineage extras.
+SUMMARY_COLS = [
+    "person_id", "uuid", "visit_id", "encounter_id", "encounter_datetime",
+    "encounter_type", "is_clinical_encounter", "location_id",
+    "enrollment_date", "hiv_start_date", "patient_source", "weight",
+    "height", "cur_arv_adherence", "pregnant", "fp_status", "fp_method",
+    "why_not_on_fp", "tb_status", "side_effects", "who_stage",
+    "ctx_adherence", "ctx_dispensed", "inh_dispensed",
+    "other_medications_dispensed", "arvs_adherence",
+    "why_arvs_adherence_poor", "pmtct_ppct", "currentregmen",
+    "cd4_cd4percentage_done", "hgb_done", "rpr_done", "tb_sputum_done",
+    "other_test_done", "refferal_hospitalized", "no_of_day_hospitalized",
+    "breastfing_mode", "at_risk_population", "pwp_disclosure",
+    "pwp_partner_tested", "condoms_dispensed", "sti_screened", "tca",
+    "max_date_created",
+]
+
+
+def build_flat_visit_summary(
+    flat_obs: DataFrame,
+    flat_lab_obs: DataFrame,
+    person: DataFrame,
+    include_lab_rows: bool = False,
+) -> DataFrame:
+    """Full rebuild over all persons."""
+    clinical = flat_obs.filter(
+        F.col("encounter_type").isin(CLINICAL_ENCOUNTER_TYPES)
+    ).select(
+        "person_id", "visit_id",
+        F.col("encounter_id").cast("long").alias("encounter_id"),
+        "encounter_datetime", "encounter_type", "location_id", "obs_map",
+        F.lit(1).alias("is_clinical_encounter"),
+        "max_date_created",
+    )
+    staged = clinical
+    if include_lab_rows:
+        lab = flat_lab_obs.select(
+            "person_id",
+            F.lit(None).cast("int").alias("visit_id"),
+            F.col("encounter_id").cast("long").alias("encounter_id"),
+            F.col("test_datetime").alias("encounter_datetime"),
+            "encounter_type",
+            "location_id",
+            "obs_map",
+            F.lit(0).alias("is_clinical_encounter"),
+            "max_date_created",
+        )
+        staged = staged.unionByName(lab)
+
+    decoded = decode_columns(F.col("obs_map"))
+    out = staged.join(
+        F.broadcast(person.select("person_id", "uuid")), "person_id"
+    ).select(
+        "person_id", "uuid", "visit_id", "encounter_id",
+        "encounter_datetime", "encounter_type", "is_clinical_encounter",
+        "location_id",
+        decoded["enrollment_date"].alias("enrollment_date"),
+        # quirk 2 preserved: hiv_start_date := enrollment_date (:543-544)
+        decoded["enrollment_date"].alias("hiv_start_date"),
+        *[
+            decoded[c].alias(c)
+            for c in SUMMARY_COLS
+            if c in decoded and c != "enrollment_date"
+        ],
+        "max_date_created",
+    )
+    return out.select(*SUMMARY_COLS)
+
+
+def incremental_flat_visit_summary(
+    target: DataFrame | None,
+    flat_obs: DataFrame,
+    flat_lab_obs: DataFrame,
+    person: DataFrame,
+    encounter: DataFrame,
+    watermark,
+    include_lab_rows: bool = False,
+) -> DataFrame:
+    """Sync mode: queue persons whose encounters changed or whose flat_obs
+    advanced past the watermark (:86-99, U2), retract them (:117), recompute
+    their whole history, REPLACE-INTO."""
+    wm = F.lit(watermark).cast("timestamp")
+    queue = (
+        encounter.filter(F.col("date_changed") > wm)
+        .select(F.col("patient_id").alias("person_id"))
+        .unionByName(
+            flat_obs.filter(F.col("max_date_created") > wm).select("person_id")
+        )
+        .distinct()
+    )
+    recomputed = build_flat_visit_summary(
+        flat_obs.join(queue, "person_id", "left_semi"),
+        flat_lab_obs.join(queue, "person_id", "left_semi"),
+        person,
+        include_lab_rows,
+    )
+    if target is not None:
+        target = anti_delete(target, queue, ["person_id"])
+    return replace_into(target, recomputed, ["encounter_id"])

@@ -87,12 +87,17 @@ FLAT_OBS_SCHEMA = T.StructType([
     _f("max_date_created", T.TimestampType()),
 ])
 
+# quirk 3 fixed: the reference DDL declares date_activated where the SELECT
+# writes e.location_id; the engine names the value what it is.
 FLAT_ORDERS_SCHEMA = T.StructType([
     _f("person_id", T.IntegerType(), False),
     _f("encounter_id", T.IntegerType(), False),
+    _f("order_id", T.IntegerType()),
+    _f("encounter_datetime", T.TimestampType()),
+    _f("encounter_type", T.IntegerType()),
+    _f("location_id", T.IntegerType()),
     _f("orders", T.StringType()),
     _f("order_datetimes", T.StringType()),
-    _f("location_id", T.IntegerType()),
     _f("max_date_created", T.TimestampType()),
 ])
 
@@ -100,6 +105,8 @@ FLAT_LAB_OBS_SCHEMA = T.StructType([
     _f("person_id", T.IntegerType(), False),
     _f("encounter_id", T.LongType(), False),  # synthetic min(obs_id)+1e8
     _f("test_datetime", T.TimestampType()),
+    _f("encounter_type", T.IntegerType()),
+    _f("location_id", T.IntegerType()),
     _f("obs_map", T.MapType(T.IntegerType(), T.ArrayType(T.StringType()))),
     _f("obs", T.StringType()),
     _f("encounter_ids", T.StringType()),
@@ -114,13 +121,18 @@ FLAT_LOG_SCHEMA = T.StructType([
     _f("seconds_to_complete", T.IntegerType()),
 ])
 
-# 41-column visit summary (flat_visit_summary_v1.0.sql:17-67).
+# 43-column visit summary, the reference DDL order
+# (flat_visit_summary_v1.0.sql:17-67) plus engine lineage max_date_created.
 _VS_DECODED_COLS = [
-    "weight", "height", "pregnancy", "fp_method", "tb_status",
-    "registration_date", "patient_source", "arv_adherence", "who_stage",
-    "ctx", "arv_plan", "regimen", "tests_done", "referral",
-    "breastfeeding", "risk_population", "pwp_condoms", "pwp_sti",
-    "enrollment_date", "hiv_start_date", "no_of_day_hospitalized", "tca",
+    "patient_source", "weight", "height", "cur_arv_adherence", "pregnant",
+    "fp_status", "fp_method", "why_not_on_fp", "tb_status", "side_effects",
+    "who_stage", "ctx_adherence", "ctx_dispensed", "inh_dispensed",
+    "other_medications_dispensed", "arvs_adherence",
+    "why_arvs_adherence_poor", "pmtct_ppct", "currentregmen",
+    "cd4_cd4percentage_done", "hgb_done", "rpr_done", "tb_sputum_done",
+    "other_test_done", "refferal_hospitalized", "no_of_day_hospitalized",
+    "breastfing_mode", "at_risk_population", "pwp_disclosure",
+    "pwp_partner_tested", "condoms_dispensed", "sti_screened",
 ]
 
 FLAT_VISIT_SUMMARY_SCHEMA = T.StructType(
@@ -133,11 +145,12 @@ FLAT_VISIT_SUMMARY_SCHEMA = T.StructType(
         _f("encounter_type", T.IntegerType()),
         _f("is_clinical_encounter", T.IntegerType()),
         _f("location_id", T.IntegerType()),
+        _f("enrollment_date", T.TimestampType()),
+        _f("hiv_start_date", T.TimestampType()),
     ]
     + [_f(c, T.StringType()) for c in _VS_DECODED_COLS]
     + [
-        _f("obs_map", T.MapType(T.IntegerType(), T.ArrayType(T.StringType()))),
-        _f("orders", T.StringType()),
+        _f("tca", T.TimestampType()),
         _f("max_date_created", T.TimestampType()),
     ]
 )
@@ -145,15 +158,15 @@ FLAT_VISIT_SUMMARY_SCHEMA = T.StructType(
 FLAT_LATEST_HIV_SUMMARY_SCHEMA = T.StructType([
     _f("person_id", T.IntegerType(), False),
     _f("uuid", T.StringType()),
-    _f("latest_encounter_datetime", T.TimestampType()),
+    _f("encounter_datetime", T.TimestampType()),
     _f("encounter_type", T.IntegerType()),
     _f("location_id", T.IntegerType()),
+    _f("enrollment_date", T.TimestampType()),
+    _f("hiv_start_date", T.TimestampType()),
     _f("weight", T.StringType()),
     _f("height", T.StringType()),
+    _f("currentregmen", T.StringType()),
+    _f("arvs_adherence", T.StringType()),
     _f("who_stage", T.StringType()),
     _f("tb_status", T.StringType()),
-    _f("latest_regimen", T.StringType()),
-    _f("latest_enrollment_date", T.StringType()),
-    _f("latest_tca", T.StringType()),
-    _f("latest_tests_done", T.StringType()),
 ])

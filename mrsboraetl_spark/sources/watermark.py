@@ -59,12 +59,25 @@ class WatermarkStore:
         return EPOCH
 
     def log_run(
-        self, table_name: str, started: dt.datetime, finished: dt.datetime | None = None
+        self,
+        table_name: str,
+        started: dt.datetime,
+        data_watermark: dt.datetime | None = None,
+        finished: dt.datetime | None = None,
     ) -> None:
-        """Append a run row (flat_obs_v1.0.sql:344-346)."""
+        """Append a run row (flat_obs_v1.0.sql:344-346).
+
+        ``date_updated`` is the DATA watermark — the max source
+        ``date_created`` captured at run start (@last_date_created,
+        flat_obs_v1.0.sql:26-28) — NOT wall-clock time; the next sync resumes
+        from it, so late-arriving history is only safe because each run
+        re-snapshots the source max.  Falls back to ``started`` when the
+        stage has no source rows yet.
+        """
         finished = finished or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         seconds = int((finished - started).total_seconds())
         row = self.spark.createDataFrame(
-            [(finished, started, table_name, seconds)], FLAT_LOG_SCHEMA
+            [(started, data_watermark or started, table_name, seconds)],
+            FLAT_LOG_SCHEMA,
         )
         row.coalesce(1).write.mode("append").parquet(self.path)

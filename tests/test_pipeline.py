@@ -1,0 +1,182 @@
+"""End-to-end five-stage pipeline on OpenMRS-shaped fixtures (SURVEY §5.2):
+golden properties per stage, decode parity against an independent Python
+oracle, and rerun/sync convergence through the PipelineRunner."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.config import LAB_CONCEPTS
+from mrsboraetl_spark.engine import PipelineRunner
+from mrsboraetl_spark.functions.decode import CODED_LADDERS
+from tests.fixtures import make_sources, to_spark
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tmp_path_factory):
+    """Run the full pipeline in rebuild mode, then a no-change sync pass
+    (idempotence is asserted per-table in the tests)."""
+    pdfs = make_sources(n_persons=30, seed=7)
+    dfs = to_spark(spark, pdfs)
+    for df in dfs.values():
+        df.cache().count()
+
+    root = str(tmp_path_factory.mktemp("pipeline"))
+    runner = PipelineRunner(spark, root)
+    runner.run(dfs, mode="rebuild")
+    first = {
+        t: runner.read_target(t).toPandas()
+        for t in (
+            "flat_obs", "flat_orders", "flat_lab_obs", "flat_visit_summary",
+            "flat_latest_hiv_summary",
+        )
+    }
+    runner.run(dfs, mode="sync")  # no new data -> state must not change
+    return dict(runner=runner, sources=pdfs, dfs=dfs, first=first)
+
+
+def _sorted_rows(pdf, cols):
+    return sorted(
+        (tuple(str(v) for v in row) for row in pdf[cols].itertuples(index=False)),
+    )
+
+
+def test_sync_rerun_is_idempotent(pipeline):
+    runner, first = pipeline["runner"], pipeline["first"]
+    for table, before in first.items():
+        after = runner.read_target(table).toPandas()
+        cols = [c for c in before.columns if c != "obs_map"]
+        assert _sorted_rows(after, cols) == _sorted_rows(before, cols), table
+
+
+def test_flat_orders_shape(pipeline):
+    orders_src = pipeline["sources"]["orders"]
+    flat = pipeline["first"]["flat_orders"]
+    # one row per encounter with live orders (voided persons purged)
+    assert flat["encounter_id"].is_unique
+    # orders blob is bare concept ids, ascending, ' ## '-joined
+    row = flat[flat["orders"].str.contains(" ## ", na=False)].iloc[0]
+    ids = [int(x) for x in row["orders"].split(" ## ")]
+    assert ids == sorted(ids)
+    live = orders_src[
+        (orders_src["encounter_id"] == row["encounter_id"])
+        & (orders_src["voided"] == 0)
+    ]
+    assert sorted(live["concept_id"].tolist()) == ids
+
+
+def test_flat_lab_obs_grain_and_exclusion(pipeline):
+    flat = pipeline["first"]["flat_lab_obs"]
+    obs = pipeline["sources"]["obs"]
+    assert (flat["encounter_type"] == 99999).all()
+    # grain: one row per (person, day)
+    grain = flat[["person_id", "test_datetime"]]
+    assert not grain.duplicated().any()
+    # TESTS ORDERED = NONE rows never reach the blob
+    assert not flat["obs"].str.contains("!!1271=1107!!", regex=False).any()
+    # every live lab obs person-day appears
+    lab = obs[
+        (obs["voided"] == 0)
+        & obs["concept_id"].isin(LAB_CONCEPTS)
+        & ~((obs["concept_id"] == 1271) & (obs["value_coded"] == 1107))
+    ]
+    expected_days = {
+        (int(p), d.date()) for p, d in zip(lab["person_id"], lab["obs_datetime"])
+    }
+    got_days = {
+        (int(p), t.date())
+        for p, t in zip(flat["person_id"], flat["test_datetime"])
+    }
+    assert got_days == expected_days
+
+
+def test_visit_summary_decode_parity(pipeline):
+    """Independent Python oracle: rebuild each coded decode from the raw obs
+    rows (first match in ladder order over the encounter's concept values)."""
+    obs = pipeline["sources"]["obs"]
+    vs = pipeline["first"]["flat_visit_summary"]
+    assert len(vs) > 0
+    assert set(vs["encounter_type"].unique()) <= {21, 22}
+
+    import pandas as pd
+
+    by_enc = {}
+    for r in obs[obs["voided"] == 0].itertuples(index=False):
+        if pd.notna(r.encounter_id) and pd.notna(r.value_coded):
+            by_enc.setdefault(int(r.encounter_id), []).append(
+                (int(r.concept_id), int(r.value_coded))
+            )
+
+    checked = 0
+    for col in ("pregnant", "tb_status", "who_stage", "currentregmen",
+                "cd4_cd4percentage_done"):
+        concept, ladder, default = CODED_LADDERS[col]
+        for row in vs.itertuples(index=False):
+            pairs = by_enc.get(int(row.encounter_id), [])
+            codes = {v for c, v in pairs if c == concept}
+            expected = default
+            for code, label in ladder:
+                if code in codes:
+                    expected = label
+                    break
+            got = getattr(row, col)
+            got = None if got is None or isinstance(got, float) else got
+            assert got == expected, (col, row.encounter_id, got, expected)
+            checked += 1
+    assert checked > 100
+
+
+def test_visit_summary_extracted_values(pipeline):
+    """weight comes from concept 6743's first value; tca/enrollment cast to
+    timestamp."""
+    vs = pipeline["first"]["flat_visit_summary"]
+    w = vs["weight"].dropna()
+    assert len(w) > 0
+    assert all(40 <= float(x) <= 120 for x in w)
+    assert str(vs["tca"].dtype).startswith("datetime")
+    assert str(vs["enrollment_date"].dtype).startswith("datetime")
+    assert vs["hiv_start_date"].equals(vs["enrollment_date"])
+
+
+def test_latest_summary_one_row_per_person(pipeline):
+    latest = pipeline["first"]["flat_latest_hiv_summary"]
+    vs = pipeline["first"]["flat_visit_summary"]
+    assert latest["person_id"].is_unique
+    assert set(latest["person_id"]) == set(vs["person_id"])
+    # bare columns anchor to the latest visit row
+    sample = latest.iloc[0]
+    person_rows = vs[vs["person_id"] == sample["person_id"]]
+    latest_row = person_rows.sort_values(
+        ["encounter_datetime", "encounter_id"]
+    ).iloc[-1]
+    assert sample["encounter_datetime"] == latest_row["encounter_datetime"]
+    assert str(sample["who_stage"]) == str(latest_row["who_stage"])
+
+
+def test_incremental_sync_catches_up(spark, tmp_path_factory):
+    """Cold-start on pre-watermark data, then sync with the full source —
+    final state must equal a fresh rebuild (I2/I3 across ALL stages)."""
+    from tests.fixtures import WATERMARK
+
+    pdfs = make_sources(n_persons=20, seed=11)
+    dfs = to_spark(spark, pdfs)
+
+    old = dict(dfs)
+    old["obs"] = dfs["obs"].filter(F.col("date_created") <= F.lit(WATERMARK))
+    old["orders"] = dfs["orders"].filter(F.col("date_created") <= F.lit(WATERMARK))
+
+    root_inc = str(tmp_path_factory.mktemp("inc"))
+    runner = PipelineRunner(spark, root_inc)
+    runner.run(old, mode="rebuild")
+    runner.run(dfs, mode="sync")
+
+    root_full = str(tmp_path_factory.mktemp("full"))
+    fresh = PipelineRunner(spark, root_full)
+    fresh.run(dfs, mode="rebuild")
+
+    for table in ("flat_obs", "flat_visit_summary", "flat_latest_hiv_summary"):
+        a = runner.read_target(table).toPandas()
+        b = fresh.read_target(table).toPandas()
+        cols = sorted(c for c in a.columns if c != "obs_map")
+        assert _sorted_rows(a, cols) == _sorted_rows(b, cols), table
