@@ -43,25 +43,101 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
-    """Array of ``num_hashes`` minhashes: min over shingles of
-    md5(shingle || '#' || seed).  Entirely within-row (transform +
-    array_min) — the signature costs zero shuffles.
+# Prime just above 2^32 — the affine rehash modulus.
+MINHASH_MOD = 4294967311
+# Fixed odd 30-bit multipliers/offsets for the Carter-Wegman family
+# h_s = (A[s]*h + B[s]) mod MINHASH_MOD.  They MUST be large and unrelated:
+# a first cut used a_s = 2s+1, making seed 0 the identity map — every pair
+# of docs sharing their globally-minimal shingle (common English 5-grams)
+# then agreed on whole bands, and candidates exploded to 189k pairs at
+# sf0.1.  30-bit constants keep a*h < 2^62 (no signed-64 overflow in Spark
+# OR DuckDB, which errors on overflow rather than wrapping).
+MINHASH_A = [
+    1005864719, 674525783, 893899541, 259345993,
+    977310769, 369319303, 804811447, 538180357,
+]
+MINHASH_B = [
+    433024223, 941500009, 319847137, 728145131,
+    53923643, 882239371, 167938193, 651984839,
+]
 
-    ``shingle_col`` must be a *materialized column reference* (not an inline
-    shingles() expression): each per-seed lambda references it, and Catalyst
-    does not share subexpressions across lambda bodies — inlining would
-    recompute the shingle array num_hashes times (measured 90s -> ~10s at
-    sf0.1 for this exact reason).
+
+def shingle_hashes(text: Column, k: int = 5) -> Column:
+    """Distinct k-shingles hashed ONCE each to a 32-bit int: the first 8 hex
+    chars of md5, parsed base-16.  Portable bit-for-bit (Spark ``conv`` ==
+    DuckDB ``('0x'||h)::BIGINT``).  Everything downstream derives per-seed
+    hashes from this single value with integer arithmetic — computing
+    md5(shingle||seed) per seed was 8x the hashing plus per-call string
+    allocation, and measured 117s vs ~14s at sf0.1.
     """
+    return F.array_distinct(
+        F.transform(
+            shingles(text, k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        )
+    )
+
+
+def minhash_signature(hash_col: Column, num_hashes: int = 8) -> Column:
+    """Array of ``num_hashes`` minhashes: min over shingle hashes of the
+    Carter-Wegman rehash (MINHASH_A[s]*h + MINHASH_B[s]) mod MINHASH_MOD —
+    pure 64-bit arithmetic, independent across seeds.  Entirely within-row:
+    zero shuffles.
+
+    ``hash_col`` must be a *materialized column reference* (not an inline
+    shingle_hashes() expression): each per-seed lambda references it, and
+    Catalyst does not share subexpressions across lambda bodies.
+    """
+    a_arr = F.array(*[F.lit(a) for a in MINHASH_A[:num_hashes]])
+    b_arr = F.array(*[F.lit(b) for b in MINHASH_B[:num_hashes]])
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.array_min(
             F.transform(
-                shingle_col,
-                lambda s: F.md5(F.concat(s, F.lit("#"), seed.cast("string"))),
+                hash_col,
+                lambda h: (
+                    F.element_at(a_arr, seed + 1).cast("long") * h
+                    + F.element_at(b_arr, seed + 1)
+                )
+                % F.lit(MINHASH_MOD),
             )
         ),
+    )
+
+
+def hashed_shingle_docs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """(doc, hs) with hs = 32-bit shingle-hash array.  A small parquet file
+    arrives as one partition and the hashing is compute-heavy per row, so
+    spread rows across cores first; at real scale the source is many files
+    and the repartition is a no-op choice."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts).select(
+        F.col(id_col).alias("doc"), shingle_hashes(F.col(text_col), k).alias("hs")
+    )
+
+
+def minhash_bands(
+    hashed: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc, band, bk): band key = '|'-joined slice of the signature."""
+    n_bands = num_hashes // rows_per_band
+    return hashed.select(
+        "doc", minhash_signature(F.col("hs"), num_hashes).alias("sig")
+    ).select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.concat_ws(
+                    "|",
+                    F.slice(
+                        F.col("sig"), i * rows_per_band + 1, rows_per_band
+                    ).cast("array<string>"),
+                ),
+            )
+        ).alias("band", "bk"),
     )
 
 
@@ -73,44 +149,23 @@ def minhash_lsh_pairs(
     k: int = 5,
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH: the signature splits into
-    ``num_hashes / rows_per_band`` bands of ``rows_per_band`` minhashes; a
-    pair is a candidate iff some band's *entire* row-group matches (band key
-    = md5 of the concatenated rows).  With r=2 the per-band collision
-    probability is s^2 — measured at sf0.1 this cut candidate pairs from
-    23.6M (r=1) to the genuinely-similar tail, and the equi-join on
-    (band, key) keeps candidate generation a shuffle, never a cross join.
+    """Candidate near-dup pairs via banded LSH: a pair is a candidate iff
+    some band's entire signature row-group matches, so candidate generation
+    is an equi-join on (band, key) — a shuffle, never a cross join.
+
+    Both intermediates are EAGERLY localCheckpoint'ed, for two distinct
+    reasons: ``hashed`` because projection collapse otherwise INLINES the
+    md5-shingle pipeline into every per-seed lambda and band expression
+    (~10x recompute, measured 30s vs 4s at sf0.1); ``bands`` because a
+    self-join recomputes the plan for both sides.  Eager, not lazy: a lazy
+    checkpoint materializes under whatever query runs first, capturing SQL
+    metric accumulators the Python side may have GC'd by then — the
+    DAGScheduler then logs hundreds of accumulator errors and its event
+    loop crawls (measured 33s vs 8s).  On a real cluster the equivalents
+    are materialized tables between pipeline steps.
     """
-    # A small parquet file arrives as one partition; the signature is
-    # compute-heavy per row, so spread rows across cores first.  At real
-    # scale the source is many files and this repartition is a no-op choice.
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    n_bands = num_hashes // rows_per_band
-    bands = (
-        df.repartition(n_parts)
-        .select(
-            F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
-        )
-        .select("doc", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
-        .select(
-            "doc",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                    lambda i: F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.slice(
-                                F.col("sig"),
-                                i * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                        )
-                    ),
-                )
-            ).alias("band", "bk"),
-        )
-    )
+    hashed = hashed_shingle_docs(df, id_col, text_col, k).localCheckpoint()
+    bands = minhash_bands(hashed, num_hashes, rows_per_band).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -168,22 +223,33 @@ def lsh_verified_pairs(
     threshold: float = 0.2,
 ) -> DataFrame:
     """The scale-path near-dup pipeline: banded-LSH candidate generation,
-    then *exact* Jaccard verification computed in-row via array_intersect
-    (no second explode join).  Only candidate pairs ever materialize, so
-    cost is O(candidates), not O(n^2) — this is the operator you run at
-    100 TB; ngram_jaccard_pairs is the exhaustive baseline.
+    then Jaccard verification computed in-row via array_intersect over the
+    32-bit shingle-hash sets (no second explode join; hash collisions
+    perturb Jaccard by < 1e-4 and identically in the oracle).  Only
+    candidate pairs ever materialize, so cost is O(candidates), not O(n^2)
+    — this is the operator you run at 100 TB; ngram_jaccard_pairs is the
+    exhaustive baseline.
     """
-    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, k, rows_per_band)
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
+    hashed = hashed_shingle_docs(df, id_col, text_col, k).localCheckpoint()
+    bands = minhash_bands(hashed, num_hashes, rows_per_band).localCheckpoint()
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
     )
     joined = (
         cands.join(
-            sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
+            hashed.select(F.col("doc").alias("doc_a"), F.col("hs").alias("sh_a")),
             "doc_a",
         )
         .join(
-            sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")),
+            hashed.select(F.col("doc").alias("doc_b"), F.col("hs").alias("sh_b")),
             "doc_b",
         )
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))

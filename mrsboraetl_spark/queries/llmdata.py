@@ -41,6 +41,34 @@ _SHINGLES = (
     "list_distinct([substr(text, CAST(i AS INT), 5)"
     " FOR i IN range(1, greatest(length(text)-4, 1)+1)])"
 )
+# 32-bit shingle hash + affine per-seed rehash — must mirror
+# operators/dedup.shingle_hashes / minhash_signature exactly.
+_SHINGLE_HASHES = (
+    "list_distinct([('0x' || substr(md5(s), 1, 8))::BIGINT"
+    " FOR s IN shingles])"
+)
+from mrsboraetl_spark.operators.dedup import MINHASH_A, MINHASH_B
+
+_MH_A = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_MH_B = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
+_MINHASH_BANDS = """
+    sh AS (
+      SELECT doc_id, {shingles} AS shingles FROM documents
+    ), hashed AS (
+      SELECT doc_id, {shingle_hashes} AS hs FROM sh
+    ), exploded AS (
+      SELECT doc_id, unnest(hs) AS h FROM hashed
+    ), sig AS (
+      SELECT doc_id, seed,
+             min((({mh_a})[CAST(seed AS INT)+1]*h
+                  + ({mh_b})[CAST(seed AS INT)+1]) % 4294967311) AS mh
+      FROM exploded CROSS JOIN range(0, 8) r(seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(mh::VARCHAR, '|' ORDER BY seed) AS bk
+      FROM sig GROUP BY doc_id, seed // 4
+    )"""
 _TOKENS = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
     " t -> t <> '')"
@@ -75,28 +103,15 @@ def dedup_exact(spark, sf_dir):
 @register(
     "dedup_minhash_lsh",
     f"""
-    WITH sh AS (
-      SELECT doc_id, {_SHINGLES} AS shingles FROM documents
-    ), exploded AS (
-      SELECT doc_id, unnest(shingles) AS s FROM sh
-    ), sig AS (
-      SELECT doc_id, seed,
-             min(md5(s || '#' || CAST(seed AS VARCHAR))) AS mh
-      FROM exploded CROSS JOIN range(0, 8) r(seed)
-      GROUP BY doc_id, seed
-    ), bands AS (
-      SELECT doc_id, seed // 4 AS band,
-             md5(string_agg(mh, '|' ORDER BY seed)) AS bk
-      FROM sig GROUP BY doc_id, seed // 4
-    )
+    WITH {_MINHASH_BANDS.format(shingles=_SHINGLES, shingle_hashes=_SHINGLE_HASHES, mh_a=_MH_A, mh_b=_MH_B)}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + banded LSH candidate pairs (shingle -> 8 minhashes ->
-    2 bands x 4 rows -> band-key equi-join)."""
+    """MinHash + banded LSH candidate pairs (shingle -> 32-bit hash ->
+    8 affine minhashes -> 2 bands x 4 rows -> band-key equi-join)."""
     return minhash_lsh_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text",
         num_hashes=8, k=5, rows_per_band=4,
@@ -166,30 +181,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
 @register(
     "dedup_lsh_verified",
     f"""
-    WITH sh0 AS (
-      SELECT doc_id, {_SHINGLES} AS shingles FROM documents
-    ), exploded AS (
-      SELECT doc_id, unnest(shingles) AS s FROM sh0
-    ), sig AS (
-      SELECT doc_id, seed,
-             min(md5(s || '#' || CAST(seed AS VARCHAR))) AS mh
-      FROM exploded CROSS JOIN range(0, 8) r(seed)
-      GROUP BY doc_id, seed
-    ), bands AS (
-      SELECT doc_id, seed // 4 AS band,
-             md5(string_agg(mh, '|' ORDER BY seed)) AS bk
-      FROM sig GROUP BY doc_id, seed // 4
-    ), cands AS (
+    WITH {_MINHASH_BANDS.format(shingles=_SHINGLES, shingle_hashes=_SHINGLE_HASHES, mh_a=_MH_A, mh_b=_MH_B)}
+    , cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
     ), verified AS (
       SELECT doc_a, doc_b,
-             len(list_intersect(x.shingles, y.shingles)) AS n_common,
-             len(x.shingles) AS sz_a, len(y.shingles) AS sz_b
+             len(list_intersect(x.hs, y.hs)) AS n_common,
+             len(x.hs) AS sz_a, len(y.hs) AS sz_b
       FROM cands
-      JOIN sh0 x ON x.doc_id = doc_a
-      JOIN sh0 y ON y.doc_id = doc_b
+      JOIN hashed x ON x.doc_id = doc_a
+      JOIN hashed y ON y.doc_id = doc_b
     )
     SELECT doc_a, doc_b,
            round(n_common / (sz_a + sz_b - n_common), 4) AS jaccard
@@ -198,8 +201,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """,
 )
 def dedup_lsh_verified(spark, sf_dir):
-    """Two-stage scale-path dedup: banded-LSH candidates + exact in-row
-    Jaccard verification (array_intersect, no second explode join)."""
+    """Two-stage scale-path dedup: banded-LSH candidates + in-row Jaccard
+    verification over the 32-bit shingle-hash sets (array_intersect, no
+    second explode join)."""
     return lsh_verified_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text",
         num_hashes=8, k=5, rows_per_band=4, threshold=0.5,

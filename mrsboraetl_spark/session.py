@@ -41,6 +41,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Dozens of wide codegen'd plans (blob packing, minhash, decode
+        # ladders) overflow the default 240 MB JIT code cache; once full the
+        # JVM stops compiling and whichever query runs next executes
+        # interpreted (measured 0.8s -> 30s on the same plan).  Huge
+        # generated methods (> 8k bytecode) are also excluded from JIT by
+        # default — let them compile.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            "-XX:-DontCompileHugeMethods",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
