@@ -49,33 +49,39 @@ def extract_binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFram
     )
 
 
-def _decode_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
-    """Per-batch 'decoder'.  real=True is where PIL/ffmpeg would go."""
-    if real:
-        raise NotImplementedError(
-            "image/audio decode libraries are not available in this "
-            "environment; wire PIL/ffmpeg here"
-        )
-    payloads = pdf["payload"]
-    n_bytes = payloads.map(len)
-    return pd.DataFrame(
-        {
-            "doc_id": pdf["doc_id"],
-            "n_bytes": n_bytes.astype("int32"),
-            # deterministic fake features derived only from the bytes
-            "checksum": payloads.map(lambda b: format(sum(b) % 65536, "04x")),
-            "fake_width": (n_bytes % 640).astype("int32"),
-            "fake_height": (n_bytes % 480).astype("int32"),
-            "n_frames": ((n_bytes // 1000) + 1).astype("int32"),
-        }
-    )
-
-
 def decode_features_stub(df: DataFrame, real: bool = False) -> DataFrame:
-    """mapInPandas decode pipeline: Arrow-batched, schema-stable."""
+    """mapInPandas decode pipeline: Arrow-batched, schema-stable.
+
+    The whole batch function is a local closure: cloudpickle serializes
+    module-level functions by reference, and Python workers are separate
+    processes that can't import this package unless cwd is the repo root —
+    a closure is pickled by value and runs anywhere.  real=True is where
+    PIL/ffmpeg would go.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
         for pdf in batches:
-            yield _decode_batch(pdf, real=real)
+            if real:
+                raise NotImplementedError(
+                    "image/audio decode libraries are not available in this "
+                    "environment; wire PIL/ffmpeg here"
+                )
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int32"),
+                    # deterministic fake features derived only from the bytes
+                    "checksum": payloads.map(
+                        lambda b: format(sum(b) % 65536, "04x")
+                    ),
+                    "fake_width": (n_bytes % 640).astype("int32"),
+                    "fake_height": (n_bytes % 480).astype("int32"),
+                    "n_frames": ((n_bytes // 1000) + 1).astype("int32"),
+                }
+            )
 
     return df.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)

@@ -108,6 +108,88 @@ def cosine_pairs_above(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into ``n_centroids`` cells; each query probes its
+    ``nprobe`` nearest cells and ranks candidates by exact cosine.
+
+    Scale shape: training samples to the driver-managed ML fit (at 100 TB
+    you fit on a sample); assignment is one broadcast-centroid pass over
+    the corpus; the probe join is an equi-join on cell id against a corpus
+    hash-partitioned (or bucketed) by cell — each query touches nprobe
+    cells, not the whole scan.  Iterative fit => no SQL oracle (rows-only
+    correctness check); recall is tunable via nprobe.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    # Keep cells populated: more centroids than ~n/8 vectors leaves so few
+    # candidates per probe that recall collapses on small corpora.
+    n_vectors = vectors.count()
+    n_centroids = max(2, min(n_centroids, n_vectors // 8))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+    centers = [
+        [float(x) for x in c] for c in model.clusterCenters()
+    ]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        """Indices of the n nearest centroids (squared L2), as array<int>."""
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec.cast("array<double>"),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in centers
+            ]
+        )
+        ranked = F.array_sort(
+            F.transform(
+                dists,
+                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+            )
+        )
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+    cells = vectors.withColumn(
+        "cell", nearest_cells(F.col(vec_col), 1).getItem(0)
+    )
+    probes = queries.withColumn(
+        "cell", F.explode(nearest_cells(F.col("query_vec"), nprobe))
+    )
+    sim = F.round(cosine(F.col("query_vec"), F.col(vec_col)), 4)
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor"), sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor", "cosine", "rk")
+    )
+
+
 def lsh_bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -179,40 +179,59 @@ def streaming_tumbling_daily(spark, sf_dir):
     real stream (readStream over the parquet dir, memory sink, drained
     synchronously).  Oracle = the batch equivalent — streaming and batch
     must agree on complete data."""
-    import uuid
+    from mrsboraetl_spark.streaming import drain_to_batch, stream_events
 
-    from pyspark.sql import types as T
-
-    # Stream with the on-disk schema (ts may be nano-long), then normalize
-    # exactly as the batch reader does.
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    name = "stream_out_" + uuid.uuid4().hex[:8]
-    raw = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     stream = (
-        raw.withWatermark("ts", "1 day")
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
             F.col("win.start").alias("day"), "event_type", "n", "sum_value"
         )
     )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
+    return drain_to_batch(stream, "complete")
+
+
+@register(
+    "streaming_dedup_count",
+    """
+    SELECT event_type, count(DISTINCT event_id) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_count(spark, sf_dir):
+    """Streaming stateful exact dedup: dropDuplicates on the event key holds
+    seen-key state in the state store (the streaming form of dedup_exact),
+    then a complete-mode count per type."""
+    from mrsboraetl_spark.streaming import drain_to_batch, stream_events
+
+    stream = (
+        stream_events(spark, sf_dir)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # Materialize before the in-memory sink table goes away.
-    out = spark.table(name)
-    out = spark.createDataFrame(out.collect(), out.schema)
-    return out
+    return drain_to_batch(stream, "complete")
+
+
+@register(
+    "streaming_stateful_user_stats",
+    """
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_stats(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (count, max) state across micro-batches, drained to its final
+    value per key.  The update-mode stream may emit a row per key per batch;
+    both tracked quantities are monotone, so the final state is the max."""
+    from mrsboraetl_spark.streaming import drain_to_batch, stream_events
+    from mrsboraetl_spark.streaming.stateful import running_user_stats
+
+    out = drain_to_batch(running_user_stats(stream_events(spark, sf_dir)))
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+    )

@@ -1,0 +1,103 @@
+"""Streaming sources, sinks, and custom stateful operators.
+
+``stream_events`` turns the driver's events.parquet into a bounded file
+stream (one logical table, same nanos normalization as the batch reader).
+``drain_to_batch`` runs a streaming DataFrame to completion through a memory
+sink and returns the result as a plain DataFrame, decoupled from the
+(dropped) sink table.
+
+``running_user_stats`` is the custom-stateful-operator template
+(applyInPandasWithState): per-key mutable state, Arrow-batched, update-mode
+emission.  At scale the state lives in the executor state store partitioned
+by the grouping key — the same shuffle layout a batch groupBy would use, but
+persistent across micro-batches.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table with the on-disk schema; normalizes
+    a TIMESTAMP(NANOS)-as-long ``ts`` exactly like queries.table does."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def drain_to_batch(stream: DataFrame, output_mode: str = "update") -> DataFrame:
+    """Run a bounded stream to completion via a memory sink; return the sink
+    contents materialized as a batch DataFrame."""
+    spark = stream.sparkSession
+    name = "drain_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_USER_STATS_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("max_value", T.DoubleType()),
+])
+_USER_STATS_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("mx", T.DoubleType()),
+])
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, max) that survives
+    across micro-batches — the applyInPandasWithState template.  Emits the
+    current state per key per batch (update mode).
+
+    The update function is a local closure ON PURPOSE: cloudpickle
+    serializes module-level functions by reference, and the Python workers
+    that unpickle them are separate processes that cannot import this
+    package unless the caller's cwd happens to be the repo root.  A closure
+    is pickled by value and runs anywhere.
+    """
+
+    def update_user_stats(key, pdf_iter, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            batch_max = pd.to_numeric(pdf["value"], errors="coerce").max()
+            if pd.notna(batch_max):
+                mx = float(batch_max) if mx is None else max(mx, float(batch_max))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_user_stats,
+        outputStructType=_USER_STATS_OUTPUT,
+        stateStructType=_USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
