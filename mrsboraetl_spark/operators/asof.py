@@ -1,0 +1,84 @@
+"""As-of join — the classic time-series operator Spark lacks natively.
+
+For each left row, attach the payload of the latest right row with the same
+key and ``right_ts <= left_ts``.  The naive spelling is a theta join
+(``l.key = r.key AND r.ts <= l.ts`` + max-per-group) whose intermediate is
+O(|L| x matches) — quadratic on active keys.  The engine uses the scalable
+union+window form instead:
+
+1. tag right rows (carrying payload) and left rows (payload = NULL);
+2. one window per key ordered by (ts, right-before-left on ties):
+   ``last(payload, ignorenulls=True)`` over rows unbounded-preceding;
+3. keep the left rows, now carrying the as-of payload.
+
+Cost: ONE shuffle of |L|+|R| on the key — no theta join, no per-key
+collect, linear state.  Exactly the plan you want at 100 TB, and the same
+trick extends to as-of-backward (flip the ordering) or tolerance bands
+(filter on ts delta afterwards).
+
+Ties: right rows sort before left rows at equal ts (<= semantics); callers
+needing determinism when MULTIPLE right rows share (key, ts) should
+pre-aggregate the right side to one row per (key, ts) — the engine cannot
+guess which duplicate wins (DuckDB's native ASOF JOIN leaves it undefined
+too).  NULL payload values on matched right rows are skipped by
+``ignorenulls`` (the previous non-null wins) — pack payloads in a struct if
+NULL-vs-no-match must be distinguished.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of join: every left row + payload of the latest right row at
+    or before its timestamp (NULLs when no right row precedes it)."""
+    on = list(on)
+    lcols = left.columns
+    tagged_r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        *[F.col(c) for c in payload_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in on],
+    )
+    tagged_l = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in payload_cols],
+        *[F.col(c) for c in lcols if c not in on],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = tagged_r.unionByName(tagged_l).select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return (
+        matched.filter(F.col("_is_right") == 0)
+        .select(
+            *on,
+            *[F.col(c) for c in lcols if c not in on],
+            *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
+        )
+    )

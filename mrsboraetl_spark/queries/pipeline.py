@@ -194,6 +194,74 @@ def streaming_tumbling_daily(spark, sf_dir):
 
 
 @register(
+    "asof_join_latest_order",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_totalprice
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_join_latest_order(spark, sf_dir):
+    """As-of join (operators/asof.py): each event gets the customer's latest
+    order at or before the event time — one shuffle union+window, no theta
+    join.  Right side pre-aggregated to one row per (key, ts) so ties are
+    deterministic on both engines (DuckDB ASOF leaves them undefined)."""
+    from mrsboraetl_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "grouping_sets_status_nation",
+    """
+    SELECT n_name, o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_status_nation(spark, sf_dir):
+    """A10 extension: GROUPING SETS partial aggregates in one pass (Spark
+    plans a single shuffle with an Expand, not three scans)."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    joined = orders.join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return joined.groupingSets(
+        [["n_name"], ["o_orderstatus"], []], "n_name", "o_orderstatus"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
     "streaming_dedup_count",
     """
     SELECT event_type, count(DISTINCT event_id) AS n
