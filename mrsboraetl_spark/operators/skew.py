@@ -1,0 +1,51 @@
+"""Skew-aware aggregation: two-stage salted partial/final aggregate.
+
+A groupBy on a skewed key funnels the hot key's rows through one reducer;
+AQE's skew-join splitting does not help aggregations.  The classic fix is
+salting: scatter each key over ``n_salts`` sub-keys, partially aggregate on
+(key, salt) — map-side combine now spreads the hot key across n_salts
+reducers — then finish on the key alone.  The second shuffle moves only
+|keys| x n_salts pre-aggregated rows, which is negligible.
+
+Works for algebraic aggregates (sum/count/min/max — anything with an
+associative merge).  The salt is deterministic (hash of a row-id column),
+so reruns produce identical plans and results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# op name -> (partial agg fn, final merge fn)
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    salt_src: str | Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregate: ``aggs`` is (input_col, op, output_alias) with
+    op in {sum, count, min, max}.  ``salt_src`` is any column whose hash
+    spreads rows of one key (a row id, an event timestamp...)."""
+    salt_col = F.pmod(F.xxhash64(salt_src), F.lit(n_salts)).alias("_salt")
+    partial = df.select(*keys, salt_col, *[c for c, _, _ in aggs]).groupBy(
+        *keys, "_salt"
+    )
+    partial_exprs = []
+    final_exprs = []
+    for col, op, alias in aggs:
+        p_fn, f_fn = _ALGEBRAIC[op]
+        partial_exprs.append(p_fn(col).alias(f"_p_{alias}"))
+        final_exprs.append(f_fn(f"_p_{alias}").alias(alias))
+    return partial.agg(*partial_exprs).groupBy(*keys).agg(*final_exprs)

@@ -194,6 +194,40 @@ def streaming_tumbling_daily(spark, sf_dir):
 
 
 @register(
+    "salted_skew_aggregate",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_skew_aggregate(spark, sf_dir):
+    """Skew-safe two-stage aggregation (operators/skew.py): the handful of
+    event_type keys would funnel everything through a few reducers; salting
+    spreads each key over 16 sub-keys first.  Result must equal the plain
+    one-stage GROUP BY (the oracle)."""
+    from mrsboraetl_spark.operators.skew import salted_aggregate
+
+    ev = table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            ("event_id", "count", "n"),
+            ("value", "sum", "sum_raw"),
+            ("value", "max", "max_raw"),
+        ],
+        salt_src="event_id",
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n",
+        F.round("sum_raw", 2).alias("sum_value"),
+        F.round("max_raw", 2).alias("max_value"),
+    )
+
+
+@register(
     "asof_join_latest_order",
     """
     WITH r AS (
