@@ -25,6 +25,9 @@ HEADLINE = [
     "flat_events_blob",
     "incremental_upsert_equiv",
     "sessionize_events",
+    "asof_join_latest_order",
+    "grouping_sets_status_nation",
+    "salted_skew_aggregate",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
