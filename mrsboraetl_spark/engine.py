@@ -72,8 +72,23 @@ class PipelineRunner:
             return None
         return self.spark.read.parquet(path)
 
+    # PK per target: writes are repartitioned + sorted on it, so parquet
+    # row-group min/max statistics prune key probes (the engine's stand-in
+    # for the reference's InnoDB PK index, flat_obs_v1.0.sql:50) and the
+    # next incremental's anti-join reads co-clustered files.
+    _CLUSTER_BY = {
+        "flat_obs": ["encounter_id"],
+        "flat_orders": ["encounter_id"],
+        "flat_lab_obs": ["encounter_id"],
+        "flat_visit_summary": ["encounter_id"],
+        "flat_latest_hiv_summary": ["person_id"],
+    }
+
     def _write(self, df: DataFrame, table: str) -> None:
         path, tmp = self._path(table), self._path(table) + ".tmp"
+        pk = self._CLUSTER_BY.get(table)
+        if pk:
+            df = df.repartition(*pk).sortWithinPartitions(*pk)
         df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(path):
             shutil.rmtree(path)

@@ -1,0 +1,112 @@
+"""Property tests (SURVEY §5.3): blob/map codec round-trip and upsert
+algebra under adversarial values — separator collisions ('!!', ' ## ', '='
+inside text values), unicode, numeric edge renderings.
+
+Each hypothesis example is a full batch of rows through ONE Spark job
+(per-row examples would pay session/job overhead thousands of times), so
+max_examples stays small while row-level variety stays high.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+NASTY_TEXT = st.one_of(
+    st.text(min_size=1, max_size=12),
+    st.sampled_from(["!!", " ## ", "=", "!!7=x!!", "a ## b", "x=y", "é☃"]),
+)
+
+OBS_ROW = st.fixed_dictionaries(
+    {
+        "concept_id": st.integers(1, 50),
+        "value_coded": st.one_of(st.none(), st.integers(1, 9999)),
+        "value_numeric": st.one_of(
+            st.none(),
+            st.floats(
+                allow_nan=False, allow_infinity=False, min_value=-1e6,
+                max_value=1e6,
+            ),
+        ),
+        "value_text": st.one_of(st.none(), NASTY_TEXT),
+    }
+)
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(OBS_ROW, min_size=1, max_size=60))
+def test_blob_render_roundtrips_map(spark, rows):
+    """render_legacy_blob(obs_map) must equal the directly-packed blob for
+    ANY values, including ones containing the blob's own delimiters."""
+    from mrsboraetl_spark.functions.obsmap import (
+        blob_entry, obs_map_from_entries, packed_blob, render_legacy_blob,
+        typed_value,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i % 7, r["concept_id"], r["value_coded"], r["value_numeric"],
+             r["value_text"])
+            for i, r in enumerate(rows)
+        ],
+        "gid int, concept_id int, value_coded int, value_numeric double, "
+        "value_text string",
+    )
+    value = F.coalesce(
+        F.col("value_coded").cast("string"),
+        F.col("value_numeric").cast("string"),
+        F.col("value_text"),
+    )
+    order = [F.col("concept_id"), F.col("value_coded")]
+    agg = df.groupBy("gid").agg(
+        obs_map_from_entries(F.col("concept_id"), value, order).alias("m"),
+        packed_blob(blob_entry(F.col("concept_id"), value), order).alias("blob"),
+    )
+    bad = agg.filter(render_legacy_blob(F.col("m")) != F.col("blob")).count()
+    assert bad == 0
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 100)),
+                  min_size=0, max_size=30),
+    delta=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 100)),
+                   min_size=1, max_size=30),
+)
+def test_replace_into_idempotent(spark, base, delta):
+    """replace_into(replace_into(t, d), d) == replace_into(t, d), and new
+    rows always win on PK collision."""
+    from mrsboraetl_spark.operators.upsert import dedupe_latest, replace_into
+
+    t = spark.createDataFrame(base or [(999, -1)], "pk int, v int")
+    d = dedupe_latest(
+        spark.createDataFrame(delta, "pk int, v int"), ["pk"], "v"
+    )
+    once = replace_into(t, d, ["pk"]).localCheckpoint()
+    twice = replace_into(once, d, ["pk"]).localCheckpoint()
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    # every delta PK carries the delta's value in the result
+    got = {r["pk"]: r["v"] for r in once.collect()}
+    want = {r["pk"]: r["v"] for r in d.collect()}
+    for pk, v in want.items():
+        assert got[pk] == v
+
+
+def test_numeric_rendering_matches_mysql_examples(spark):
+    """Spot contract for render_numeric (C1): MySQL-style no trailing
+    zeros / no trailing dot."""
+    from mrsboraetl_spark.functions.obsmap import render_numeric
+
+    cases = [(72.0, "72"), (72.5, "72.5"), (0.5, "0.5"), (-3.10, "-3.1"),
+             (100.0, "100"), (0.0, "0")]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "x double")
+    got = [r[0] for r in df.select(render_numeric(F.col("x"))).collect()]
+    assert got == [want for _, want in cases]
