@@ -1,0 +1,48 @@
+"""Pytest-level replica of the driver's correctness gate on a fast subset:
+run the registered Spark query AND its DuckDB oracle at sf0.001, compare
+row count + column names + order-insensitive values (tests/oracle_check.py
+runs the full registry from the CLI)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from mrsboraetl_spark.queries import REGISTRY, oracle_sql
+from tests.oracle_check import TABLES, compare
+
+# Cheap, shape-diverse subset — one per operator family.
+SUBSET = [
+    "q1_pricing_summary",
+    "join_multi_dims",
+    "anti_join_daykey",
+    "obs_blob_pack",
+    "blob_pack_distinct",
+    "latest_order_per_customer",
+    "topk_orders_per_customer",
+    "union_all_pad",
+    "scalar_expr_layer",
+    "decode_case_ladder",
+    "flat_events_blob",
+    "incremental_upsert_equiv",
+    "asof_join_latest_order",
+    "grouping_sets_status_nation",
+    "salted_skew_aggregate",
+    "dedup_exact",
+    "text_token_counts",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    sdf = REGISTRY[name].fn(spark, sf_dir)
+    err = compare(name, sdf, oracle_sql()[name], duck)
+    assert err is None, f"{name}: {err}"
