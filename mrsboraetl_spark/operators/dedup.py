@@ -14,6 +14,13 @@ Four families, all deterministic and shuffle-conscious:
 Hash choice: md5 — available and bit-identical in Spark, DuckDB and MySQL,
 so every step is oracle-checkable.  At 100 TB you'd swap xxhash64 for speed;
 the plan shape is unchanged.
+
+Composition at scale: run exact_dedup FIRST and near-dedup the survivors.
+Pair enumeration is inherently quadratic inside duplicate clusters — a
+probe with every doc in a 10-copy exact-dup cluster (50k docs) produced
+250k verified pairs in ~120s where the organic corpus takes ~3s at 5k
+docs; removing exact dups first collapses those clusters to one
+representative each before LSH ever runs.
 """
 
 from __future__ import annotations
