@@ -98,3 +98,34 @@ def bpe_ish_token_count(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over the whitespace/case-normalized text."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def ordered_kgram_hashes(text: Column, k: int = 5) -> Column:
+    """k-gram 32-bit hashes in DOCUMENT ORDER (duplicates kept) — the
+    rolling-hash stream winnowing selects from."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(text, i, k)), 1, 8), 16, 10
+        ).cast("long"),
+    )
+
+
+def winnowing_from_hashes(hash_col: Column, w: int = 4) -> Column:
+    """Winnowing (Schleimer et al.): slide a window of ``w`` consecutive
+    k-gram hashes and keep each window's minimum; the distinct minima are
+    the document's fingerprint set.  Guarantees any shared substring of
+    length >= k + w - 1 contributes a shared fingerprint — the
+    plagiarism/near-dup detection workhorse.  Sorted for deterministic
+    comparison.
+
+    ``hash_col`` MUST be a materialized column reference, not an inline
+    ordered_kgram_hashes() expression: the per-window lambda references it
+    and projection collapse would otherwise recompute the full md5 stream
+    per window — O(n^2) per document (measured 89s vs ~2s at sf0.001).
+    """
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hash_col) - (w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hash_col, i, w)),
+    )
+    return F.array_sort(F.array_distinct(windows))

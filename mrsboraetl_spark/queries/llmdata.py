@@ -417,6 +417,42 @@ def text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@register(
+    "text_winnowing_fingerprints",
+    """
+    WITH hs AS (
+      SELECT doc_id,
+             [('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 8))::BIGINT
+              FOR i IN range(1, greatest(length(text)-4, 1)+1)] AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(
+             [list_min(h[CAST(i AS INT):CAST(i AS INT)+3])
+              FOR i IN range(1, greatest(len(h)-3, 1)+1)]
+           )) AS fps
+    FROM hs
+    """,
+)
+def text_winnowing_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (k=5, w=4): distinct minima of a
+    sliding window over the ordered k-gram hash stream.  Hash stream is
+    materialized as a column between the two selects (inlining caveat)."""
+    from mrsboraetl_spark.functions.text import (
+        ordered_kgram_hashes,
+        winnowing_from_hashes,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_parts)
+        .select("doc_id", ordered_kgram_hashes(F.col("text"), 5).alias("h"))
+        .localCheckpoint()
+        .select("doc_id", winnowing_from_hashes(F.col("h"), 4).alias("fps"))
+    )
+
+
 # -------------------------------------------------------------- multimodal
 
 @register(

@@ -28,6 +28,12 @@ def normalize(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return tuple(normalize(x) for x in v.tolist())
+    if isinstance(v, np.generic):
+        return normalize(v.item())
     if isinstance(v, (list, tuple)):
         return tuple(normalize(x) for x in v)
     if isinstance(v, bytes):
