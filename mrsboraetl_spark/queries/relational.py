@@ -532,6 +532,23 @@ def intersect_both_status(spark, sf_dir):
     )
 
 
+@register(
+    "except_all_only_f_status",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def except_all_only_f_status(spark, sf_dir):
+    """U3 extension: EXCEPT ALL (multiset difference, multiplicity kept)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+        .exceptAll(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
 # ------------------------------------------------------------ scalar layer
 
 @register(
