@@ -86,13 +86,21 @@ class PipelineRunner:
 
     def _write(self, df: DataFrame, table: str) -> None:
         path, tmp = self._path(table), self._path(table) + ".tmp"
+        old = path + ".old"
         pk = self._CLUSTER_BY.get(table)
         if pk:
             df = df.repartition(*pk).sortWithinPartitions(*pk)
         df.write.mode("overwrite").parquet(tmp)
+        # Promote via rename-aside so a crash at any point leaves either the
+        # old or the new table at `path` (never nothing): demote old ->
+        # promote tmp -> drop old.
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(path):
-            shutil.rmtree(path)
+            os.replace(path, old)
         os.replace(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     # -------------------------------------------------------------- runs
 
@@ -107,20 +115,28 @@ class PipelineRunner:
         obs, enc = sources["obs"], sources["encounter"]
         orders, person = sources["orders"], sources["person"]
 
+        # Snapshot the source data watermarks BEFORE any stage runs, like
+        # the reference's @last_date_created (flat_obs_v1.0.sql:25-27):
+        # against a live source, a row arriving mid-stage must NOT be
+        # covered by the logged watermark or the next sync skips it forever.
+        # One scan per source table, shared by every stage that needs it.
+        max_obs = self._max_ts(obs)
+        max_enc = self._max_ts(enc)
+        max_orders = self._max_ts(orders)
+
         self._stage(
             "flat_obs",
             lambda target, wm: build_flat_obs(obs, enc, person)
             if mode == "rebuild" or target is None
             else incremental_flat_obs(target, obs, enc, person, wm),
-            # @last_date_created := max(date_created) from obs (:26-28)
-            data_wm=lambda: self._max_ts(obs),
+            data_wm=max_obs,
         )
         self._stage(
             "flat_orders",
             lambda target, wm: build_flat_orders(orders, enc, person)
             if mode == "rebuild" or target is None
             else incremental_flat_orders(target, orders, enc, person, wm),
-            data_wm=lambda: self._max_ts(orders),
+            data_wm=max_orders,
         )
         self._stage(
             "flat_lab_obs",
@@ -128,24 +144,23 @@ class PipelineRunner:
             if mode == "rebuild" or target is None
             else incremental_flat_lab_obs(target, obs, wm),
             # greatest of encounter/obs max (flat_lab_obs_v1.0.sql:37-39)
-            data_wm=lambda: max(
-                filter(None, [self._max_ts(obs), self._max_ts(enc)]),
-                default=None,
-            ),
+            data_wm=max(filter(None, [max_obs, max_enc]), default=None),
         )
 
         flat_obs = self.read_target("flat_obs")
         flat_lab = self.read_target("flat_lab_obs")
+        vs_wm_snapshot = self._max_ts(flat_obs, "max_date_created")
         self._stage(
             "flat_visit_summary",
             lambda target, wm: build_flat_visit_summary(flat_obs, flat_lab, person)
             if mode == "rebuild" or target is None
             else incremental_flat_visit_summary(
-                target, flat_obs, flat_lab, person, enc, wm
+                target, flat_obs, flat_lab, person, enc, wm,
+                obs_for_retractions=obs,
             ),
             # cascade (I4): keyed off upstream flat_obs.max_date_created
             # (flat_visit_summary_v1.0.sql:16,93-99)
-            data_wm=lambda: self._max_ts(flat_obs, "max_date_created"),
+            data_wm=vs_wm_snapshot,
         )
 
         # Latest snapshot: always a full overwrite of a small per-patient
@@ -164,4 +179,4 @@ class PipelineRunner:
         target = self.read_target(table)
         wm = self.watermarks.last_update(version, fallback=target)
         self._write(plan(target, wm), table)
-        self.watermarks.log_run(version, started, data_wm())
+        self.watermarks.log_run(version, started, data_wm)

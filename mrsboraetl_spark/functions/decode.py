@@ -211,15 +211,14 @@ def decode_columns(obs_map: Column) -> dict[str, Column]:
         col = map_first_value(obs_map, concept)
         out[name] = col.cast(cast) if cast else col
     # patient_source (:283-296): ladder whose ELSE falls back to the raw
-    # extracted value instead of NULL.
+    # extracted value instead of NULL — decode_coded with default=None
+    # yields NULL on no-match, so coalesce reproduces the fallback exactly.
     ladder = [
         (1356, "PMTCT"), (1354, "VCT"), (6767, "IPD-Ad"), (1360, "TB Clinic"),
         (1357, "OPD"), (6768, "IPD-Ch"), (1358, "MCH-Child"), (1828, "VMMC"),
         (1355, "Family Member"), (5622, "Other"),
     ]
-    expr: Column | None = None
-    for code, label in ladder:
-        cond = _has_code(obs_map, 1353, code)
-        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
-    out["patient_source"] = expr.otherwise(map_first_value(obs_map, 1353))
+    out["patient_source"] = F.coalesce(
+        decode_coded(obs_map, 1353, ladder), map_first_value(obs_map, 1353)
+    )
     return out

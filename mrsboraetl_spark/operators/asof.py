@@ -43,14 +43,21 @@ def asof_join(
     payload_cols: Sequence[str],
 ) -> DataFrame:
     """Left as-of join: every left row + payload of the latest right row at
-    or before its timestamp (NULLs when no right row precedes it)."""
+    or before its timestamp (NULLs when no right row precedes it).
+
+    Payload columns travel under internal ``_p_`` names so a payload name
+    may legally collide with a left column (the natural call shape:
+    refreshing a stale copy the left already carries); a colliding payload
+    surfaces with an ``_asof`` suffix in the output instead of clobbering
+    the left column.
+    """
     on = list(on)
     lcols = left.columns
     tagged_r = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_is_right"),
-        *[F.col(c) for c in payload_cols],
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in on],
     )
@@ -58,7 +65,7 @@ def asof_join(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_is_right"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}")
           for c in payload_cols],
         *[F.col(c) for c in lcols if c not in on],
     )
@@ -70,15 +77,20 @@ def asof_join(
     matched = tagged_r.unionByName(tagged_l).select(
         "*",
         *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"_asof_{c}")
             for c in payload_cols
         ],
     )
+    left_keep = [c for c in lcols if c not in on]
+    out_name = {
+        c: (f"{c}_asof" if c in set(on) | set(left_keep) else c)
+        for c in payload_cols
+    }
     return (
         matched.filter(F.col("_is_right") == 0)
         .select(
             *on,
-            *[F.col(c) for c in lcols if c not in on],
-            *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
+            *[F.col(c) for c in left_keep],
+            *[F.col(f"_asof_{c}").alias(out_name[c]) for c in payload_cols],
         )
     )

@@ -173,6 +173,13 @@ def minhash_lsh_pairs(
     """
     hashed = hashed_shingle_docs(df, id_col, text_col, k).localCheckpoint()
     bands = minhash_bands(hashed, num_hashes, rows_per_band).localCheckpoint()
+    return candidate_pairs(bands)
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing a band key — the LSH
+    candidate self-join.  ``bands`` must already be materialized
+    (checkpoint/table): a self-join evaluates the plan for both sides."""
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -249,17 +256,7 @@ def lsh_verified_pairs(
     """
     hashed = hashed_shingle_docs(df, id_col, text_col, k).localCheckpoint()
     bands = minhash_bands(hashed, num_hashes, rows_per_band).localCheckpoint()
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+    cands = candidate_pairs(bands)
     joined = (
         cands.join(
             hashed.select(F.col("doc").alias("doc_a"), F.col("hs").alias("sh_a")),

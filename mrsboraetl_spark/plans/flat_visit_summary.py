@@ -122,10 +122,21 @@ def incremental_flat_visit_summary(
     encounter: DataFrame,
     watermark,
     include_lab_rows: bool = False,
+    obs_for_retractions: DataFrame | None = None,
 ) -> DataFrame:
     """Sync mode: queue persons whose encounters changed or whose flat_obs
     advanced past the watermark (:86-99, U2), retract them (:117), recompute
-    their whole history, REPLACE-INTO."""
+    their whole history, REPLACE-INTO.
+
+    ``obs_for_retractions``: the raw obs source, used to also queue persons
+    whose obs were VOIDED since the watermark.  The reference's queue misses
+    this change class: a void-only change retracts/recomputes the flat_obs
+    row, but that row's max_date_created is the max over the SURVIVING obs
+    (all before the watermark) and encounter.date_changed is untouched —
+    so the person never queues and the decoded summary keeps the voided
+    observation's value forever.  Fixing the intent (sync must converge to
+    rebuild, I3) requires the voided-person delta here.
+    """
     wm = F.lit(watermark).cast("timestamp")
     queue = (
         encounter.filter(F.col("date_changed") > wm)
@@ -133,8 +144,14 @@ def incremental_flat_visit_summary(
         .unionByName(
             flat_obs.filter(F.col("max_date_created") > wm).select("person_id")
         )
-        .distinct()
     )
+    if obs_for_retractions is not None:
+        queue = queue.unionByName(
+            obs_for_retractions.filter(
+                (F.col("voided") == 1) & (F.col("date_voided") > wm)
+            ).select("person_id")
+        )
+    queue = queue.distinct()
     recomputed = build_flat_visit_summary(
         flat_obs.join(queue, "person_id", "left_semi"),
         flat_lab_obs.join(queue, "person_id", "left_semi"),

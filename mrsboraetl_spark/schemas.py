@@ -116,7 +116,9 @@ FLAT_LAB_OBS_SCHEMA = T.StructType([
 
 FLAT_LOG_SCHEMA = T.StructType([
     _f("date_created", T.TimestampType(), False),
-    _f("date_updated", T.TimestampType(), False),
+    # NULL when the stage's source was empty at run time (mirrors the
+    # reference's NULL @last_date_created) — never wall clock.
+    _f("date_updated", T.TimestampType()),
     _f("table_name", T.StringType(), False),
     _f("seconds_to_complete", T.IntegerType()),
 ])

@@ -71,13 +71,17 @@ class WatermarkStore:
         ``date_created`` captured at run start (@last_date_created,
         flat_obs_v1.0.sql:26-28) — NOT wall-clock time; the next sync resumes
         from it, so late-arriving history is only safe because each run
-        re-snapshots the source max.  Falls back to ``started`` when the
-        stage has no source rows yet.
+        re-snapshots the source max.  An empty source logs NULL (like the
+        reference's NULL @last_date_created): substituting wall-clock time
+        would over-advance the watermark past data backfilled later with
+        earlier timestamps.  ``last_update``'s max() ignores NULLs, so the
+        next run falls through to the target-max/epoch coalesce — the safe
+        direction.
         """
         finished = finished or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         seconds = int((finished - started).total_seconds())
         row = self.spark.createDataFrame(
-            [(started, data_watermark or started, table_name, seconds)],
+            [(started, data_watermark, table_name, seconds)],
             FLAT_LOG_SCHEMA,
         )
         row.coalesce(1).write.mode("append").parquet(self.path)

@@ -156,14 +156,53 @@ def test_latest_summary_one_row_per_person(pipeline):
 
 def test_incremental_sync_catches_up(spark, tmp_path_factory):
     """Cold-start on pre-watermark data, then sync with the full source —
-    final state must equal a fresh rebuild (I2/I3 across ALL stages)."""
+    final state must equal a fresh rebuild (I2/I3 across ALL stages).
+
+    Exercises all three change classes, including LIVE -> VOIDED
+    transitions (rows live in phase 1, voided with date_voided > watermark
+    in the final state): a void-only change must reach the visit summary
+    even though it advances no date_created/date_changed anywhere."""
+    import datetime as _dt
+
     from tests.fixtures import WATERMARK
 
-    pdfs = make_sources(n_persons=20, seed=11)
+    pdfs = make_sources(n_persons=40, seed=11)
+
+    # Victims must belong to QUIET persons — no obs/orders created and no
+    # encounter changed after the watermark — so the void is the person's
+    # ONLY post-watermark change and nothing else queues them.
+    obs_pdf, enc_pdf, ord_pdf = pdfs["obs"], pdfs["encounter"], pdfs["orders"]
+    noisy = set(obs_pdf[obs_pdf["date_created"] > WATERMARK]["person_id"])
+    noisy |= set(ord_pdf[ord_pdf["date_created"] > WATERMARK]["patient_id"])
+    noisy |= set(
+        enc_pdf[enc_pdf["date_changed"].notna() & (enc_pdf["date_changed"] > WATERMARK)][
+            "patient_id"
+        ]
+    )
+    final_obs = obs_pdf.copy()
+    victims = final_obs[
+        (final_obs["voided"] == 0)
+        & (final_obs["date_created"] <= WATERMARK)
+        & final_obs["encounter_id"].notna()
+        & final_obs["value_coded"].notna()
+        & ~final_obs["person_id"].isin(noisy)
+    ].head(8).index
+    assert len(victims) >= 1, "no quiet person to void — enlarge fixture"
+    final_obs.loc[victims, "voided"] = 1
+    final_obs.loc[victims, "date_voided"] = WATERMARK + _dt.timedelta(days=2)
+
+    # Phase-1 state: those same rows were still live.
+    phase1_obs = final_obs.copy()
+    phase1_obs.loc[victims, "voided"] = 0
+    phase1_obs.loc[victims, "date_voided"] = None
+
+    pdfs["obs"] = final_obs
     dfs = to_spark(spark, pdfs)
 
     old = dict(dfs)
-    old["obs"] = dfs["obs"].filter(F.col("date_created") <= F.lit(WATERMARK))
+    old["obs"] = to_spark(spark, {"obs": phase1_obs})["obs"].filter(
+        F.col("date_created") <= F.lit(WATERMARK)
+    )
     old["orders"] = dfs["orders"].filter(F.col("date_created") <= F.lit(WATERMARK))
 
     root_inc = str(tmp_path_factory.mktemp("inc"))
