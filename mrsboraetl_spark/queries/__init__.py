@@ -38,6 +38,19 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make Parquet TIMESTAMP(NANOS) columns readable on ANY session.
+
+    The driver tables carry TIMESTAMP(NANOS) (events.ts), which Spark's
+    vectorized reader rejects with PARQUET_TYPE_ILLEGAL unless
+    spark.sql.legacy.parquet.nanosAsLong is on.  Our own session factory
+    (session.py) sets it at build time, but queries() must also run under a
+    caller-provided SparkSession, so set it at runtime too — it is a
+    runtime-settable SQL conf.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a driver table; normalize TIMESTAMP(NANOS) columns (read as long
     under spark.sql.legacy.parquet.nanosAsLong) back to proper timestamps,
@@ -45,6 +58,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    ensure_nanos_readable(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         for field in df.schema.fields:

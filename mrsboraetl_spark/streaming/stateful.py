@@ -27,6 +27,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table with the on-disk schema; normalizes
     a TIMESTAMP(NANOS)-as-long ``ts`` exactly like queries.table does."""
+    from mrsboraetl_spark.queries import ensure_nanos_readable
+
+    ensure_nanos_readable(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(raw_schema)
