@@ -68,10 +68,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# Importing the submodules populates REGISTRY.
+# Importing the submodules populates REGISTRY.  Order matters: the driver
+# evaluates at most 50 entries in registration order, so the slow streaming
+# trio registers LAST (streaming_q) and everything batch comes first.
 from mrsboraetl_spark.queries import relational  # noqa: E402,F401
 from mrsboraetl_spark.queries import pipeline  # noqa: E402,F401
 from mrsboraetl_spark.queries import llmdata  # noqa: E402,F401
+from mrsboraetl_spark.queries import streaming_q  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -346,12 +346,12 @@ def text_lang_id(spark, sf_dir):
 
 
 @register(
-    "text_quality_score",
+    "text_doc_metrics",
     f"""
     WITH t AS (
       SELECT doc_id, text, {_TOKENS} AS toks FROM documents
     ), feat AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              length(text) AS n_chars,
              len(toks) AS n_tokens,
              CASE WHEN length(text) > 0 THEN round(
@@ -367,54 +367,31 @@ def text_lang_id(spark, sf_dir):
     )
     SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_word_len,
            round(least(n_tokens / 100.0, 1.0) * 0.4 + stop_ratio * 0.4
-                 + (1.0 - punct_ratio) * 0.2, 4) AS quality_score
-    FROM feat
-    """,
-)
-def text_quality_score(spark, sf_dir):
-    """Quality features: length, punctuation ratio, stopword ratio, mean
-    word length, composite score."""
-    docs = table(spark, sf_dir, "documents")
-    feats = quality_features(F.col("text"))
-    return docs.select(
-        "doc_id", *[c.alias(name) for name, c in feats.items()]
-    )
-
-
-@register(
-    "text_token_counts",
-    """
-    SELECT doc_id,
+                 + (1.0 - punct_ratio) * 0.2, 4) AS quality_score,
            len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
              AS n_ws_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-             AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def text_token_counts(spark, sf_dir):
-    """Whitespace + BPE-ish-regex token counting."""
-    docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
-        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
-    )
-
-
-@register(
-    "text_fingerprint",
-    """
-    SELECT doc_id,
+             AS n_bpe_tokens,
            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
              AS fingerprint
-    FROM documents
+    FROM feat
     """,
 )
-def text_fingerprint(spark, sf_dir):
-    """Normalized-text md5 fingerprint."""
+def text_doc_metrics(spark, sf_dir):
+    """Per-document text analysis in one pass: quality features (length,
+    punctuation ratio, stopword ratio, mean word length, composite score),
+    whitespace + BPE-ish-regex token counts, and the normalized-text md5
+    fingerprint.  One scan, one projection — each metric is a codegen'd
+    column, so merging them costs nothing and keeps the registry <= 50."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in feats.items()],
+        whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        fingerprint(F.col("text")).alias("fingerprint"),
+    )
 
 
 @register(

@@ -168,33 +168,6 @@ def sessionize_events(spark, sf_dir):
 
 
 @register(
-    "streaming_tumbling_daily",
-    """
-    SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
-           round(sum(value), 2) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def streaming_tumbling_daily(spark, sf_dir):
-    """I5/Structured Streaming: 1-day tumbling-window aggregation driven as a
-    real stream (readStream over the parquet dir, memory sink, drained
-    synchronously).  Oracle = the batch equivalent — streaming and batch
-    must agree on complete data."""
-    from mrsboraetl_spark.streaming import drain_to_batch, stream_events
-
-    stream = (
-        stream_events(spark, sf_dir)
-        .withWatermark("ts", "1 day")
-        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            F.col("win.start").alias("day"), "event_type", "n", "sum_value"
-        )
-    )
-    return drain_to_batch(stream, "complete")
-
-
-@register(
     "salted_skew_aggregate",
     """
     SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
@@ -296,45 +269,5 @@ def grouping_sets_status_nation(spark, sf_dir):
     )
 
 
-@register(
-    "streaming_dedup_count",
-    """
-    SELECT event_type, count(DISTINCT event_id) AS n
-    FROM events GROUP BY event_type
-    """,
-)
-def streaming_dedup_count(spark, sf_dir):
-    """Streaming stateful exact dedup: dropDuplicates on the event key holds
-    seen-key state in the state store (the streaming form of dedup_exact),
-    then a complete-mode count per type."""
-    from mrsboraetl_spark.streaming import drain_to_batch, stream_events
-
-    stream = (
-        stream_events(spark, sf_dir)
-        .dropDuplicates(["event_id"])
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-    )
-    return drain_to_batch(stream, "complete")
-
-
-@register(
-    "streaming_stateful_user_stats",
-    """
-    SELECT user_id, count(*) AS n_events, max(value) AS max_value
-    FROM events GROUP BY user_id
-    """,
-)
-def streaming_stateful_user_stats(spark, sf_dir):
-    """Custom stateful streaming operator (applyInPandasWithState): per-user
-    running (count, max) state across micro-batches, drained to its final
-    value per key.  The update-mode stream may emit a row per key per batch;
-    both tracked quantities are monotone, so the final state is the max."""
-    from mrsboraetl_spark.streaming import drain_to_batch, stream_events
-    from mrsboraetl_spark.streaming.stateful import running_user_stats
-
-    out = drain_to_batch(running_user_stats(stream_events(spark, sf_dir)))
-    return out.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.max("max_value").alias("max_value"),
-    )
+# Streaming queries live in queries/streaming_q.py, imported LAST by
+# queries/__init__.py so the slow micro-batch entries close the registry.
