@@ -42,22 +42,38 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def drain_to_batch(stream: DataFrame, output_mode: str = "update") -> DataFrame:
-    """Run a bounded stream to completion via a memory sink; return the sink
-    contents materialized as a batch DataFrame."""
+    """Run a bounded stream to completion through a foreachBatch parquet
+    sink and read the result back as a batch DataFrame.
+
+    No driver-side materialization: every micro-batch is written to parquet
+    by the executors (complete mode overwrites with the latest full state,
+    update mode appends each batch's emissions — callers aggregating
+    update-mode output must tolerate one row per key per batch).  This is
+    the same drain shape a production job would use, minus a durable
+    output path.
+    """
+    import os
+    import tempfile
+
     spark = stream.sparkSession
-    name = "drain_" + uuid.uuid4().hex[:8]
+    out_dir = tempfile.mkdtemp(prefix="drain_" + uuid.uuid4().hex[:8] + "_")
+    data_dir = os.path.join(out_dir, "data")
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(data_dir)
+
     q = (
         stream.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    out = spark.table(name)
-    return spark.createDataFrame(out.collect(), out.schema)
+    return spark.read.parquet(data_dir)
 
 
 _USER_STATS_OUTPUT = T.StructType([
