@@ -117,55 +117,71 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    sample_fraction: float = 0.25,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    partitions the corpus into ``n_centroids`` cells; each query probes its
-    ``nprobe`` nearest cells and ranks candidates by exact cosine.
+    """IVF (inverted-file) approximate top-k: a coarse quantizer partitions
+    the corpus into cells; each query probes its ``nprobe`` nearest cells
+    and ranks candidates by exact cosine.
 
-    Scale shape: training samples to the driver-managed ML fit (at 100 TB
-    you fit on a sample); assignment is one broadcast-centroid pass over
-    the corpus; the probe join is an equi-join on cell id against a corpus
+    Quantizer options:
+
+    * ``centroids`` given — a list of (cell_id, vector) seed centroids (the
+      deterministic variant; a fixed-rule seed selection is SQL-expressible,
+      so the registered query is hash-checked against a DuckDB oracle).
+    * ``centroids`` None — k-means fit on a ``sample_fraction`` sample,
+      never the full corpus (the 100 TB path: the only full-corpus work is
+      the single broadcast-centroid assignment pass; the centroid-count
+      clamp derives from the sample count, no full count() action).
+
+    Scale shape: assignment is one broadcast-centroid pass over the corpus;
+    the probe join is an equi-join on cell id against a corpus
     hash-partitioned (or bucketed) by cell — each query touches nprobe
-    cells, not the whole scan.  Iterative fit => no SQL oracle (rows-only
-    correctness check); recall is tunable via nprobe.
+    cells, not the whole scan.  Recall is tunable via nprobe.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    train = vectors.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    # Keep cells populated: more centroids than ~n/8 vectors leaves so few
-    # candidates per probe that recall collapses on small corpora.
-    n_vectors = vectors.count()
-    n_centroids = max(2, min(n_centroids, n_vectors // 8))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
-    centers = [
-        [float(x) for x in c] for c in model.clusterCenters()
-    ]
-
-    def nearest_cells(vec: Column, n: int) -> Column:
-        """Indices of the n nearest centroids (squared L2), as array<int>."""
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec.cast("array<double>"),
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                for c in centers
-            ]
-        )
-        ranked = F.array_sort(
-            F.transform(
-                dists,
-                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+        sample = vectors.sample(fraction=sample_fraction, seed=seed)
+        # Keep cells populated: more centroids than ~n/8 vectors leaves so
+        # few candidates per probe that recall collapses on small corpora.
+        n_sample = sample.count()
+        n_centroids = max(2, min(n_centroids, max(2, n_sample // 8)))
+        train = sample.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "features"
             )
         )
+        model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+        centers = [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+    else:
+        centers = [(int(cell), [float(x) for x in c]) for cell, c in centroids]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        """Ids of the n nearest centroids (squared L2; ties break on the
+        smaller cell id), as array<int>."""
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec.cast("array<double>"),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(cell).alias("cell"),
+                )
+                for cell, c in centers
+            ]
+        )
+        ranked = F.array_sort(dists)
         return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
 
     cells = vectors.withColumn(

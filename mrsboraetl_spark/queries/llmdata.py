@@ -297,18 +297,64 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
     )
 
 
-@register("ann_ivf_topk")  # iterative k-means fit: rows-only check
+@register(
+    "ann_ivf_topk",
+    """
+    WITH c AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 16
+    ), assign AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv),
+                          c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_distance(q.qv, c.cv), c.cell
+               ) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= 4
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor,
+             round(list_cosine_similarity(p.qv, CAST(a.embedding AS DOUBLE[])),
+                   4) AS cosine
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor, cosine, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor
+      ) AS rk FROM scored
+    ) WHERE rk <= 3
+    """,
+)
 def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-3: k-means coarse quantizer, nprobe=4 cell probe,
-    exact cosine rank within probed cells (operators/similarity.ivf_topk).
-    Measured recall@3 vs brute force on the (uniform-random) driver
-    embeddings: nprobe 2/4/6 -> 0.40/0.67/0.80 — the expected
+    """IVF approximate top-3 with a deterministic seed-centroid quantizer
+    (cells = the 16 lowest-id vectors; a fixed rule both engines can
+    express, so the full probe+rank pipeline is hash-checked).  nprobe=4.
+    The k-means quantizer variant of the same operator (sample-based fit)
+    is exercised in tests/test_llmdata.py with a recall-vs-brute-force
+    assertion.  Measured recall@3 vs brute force on the (uniform-random)
+    driver embeddings: nprobe 2/4/6 -> 0.40/0.67/0.80 — the expected
     recall-vs-fan-out curve; real embedding corpora cluster far more."""
     from mrsboraetl_spark.operators.similarity import ivf_topk
 
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    centroids = [(r.vec_id, list(r.embedding)) for r in seeds]
     return ivf_topk(
-        table(spark, sf_dir, "embeddings"), _query_vectors(spark, sf_dir),
-        k=3, n_centroids=16, nprobe=4,
+        emb, _query_vectors(spark, sf_dir), k=3, nprobe=4, centroids=centroids
     )
 
 
