@@ -279,18 +279,43 @@ def lsh_verified_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over distinct k-shingles, via an inverted
     index: explode shingles, equi-join on shingle, count intersections, then
     |A∪B| = |A| + |B| - |A∩B|.  Pairs below ``threshold`` never materialize
     beyond the per-shingle join.
+
+    ``max_doc_freq`` drops shingles that occur in more than that many
+    documents BEFORE the self-join (Jaccard is then over the filtered
+    shingle universe; doc sizes are recomputed post-filter so the metric
+    stays internally consistent).  Without it, one ubiquitous shingle
+    (" the ") produces a quadratic join partition — a single hot shingle in
+    d docs yields d^2 join rows, which is what kills this operator at
+    100 TB.  The cap bounds the worst partition at max_doc_freq^2 rows and
+    barely moves the metric: a shingle shared by half the corpus carries no
+    dedup signal.
     """
     sized = df.select(
         F.col(id_col).alias("doc"),
         shingles(F.col(text_col), k).alias("sh"),
     ).withColumn("sz", F.size("sh"))
     inv = sized.select("doc", "sz", F.explode("sh").alias("s"))
+    if max_doc_freq is not None:
+        keep = (
+            inv.groupBy("s")
+            .agg(F.count("*").alias("doc_freq"))
+            .filter(F.col("doc_freq") <= max_doc_freq)
+            .select("s")
+        )
+        filtered = inv.drop("sz").join(keep, "s")
+        resized = filtered.groupBy("doc").agg(F.count("*").alias("sz"))
+        inv = filtered.join(resized, "doc").select("doc", "sz", "s")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(

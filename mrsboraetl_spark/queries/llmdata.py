@@ -155,26 +155,33 @@ def dedup_simhash(spark, sf_dir):
     f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES} AS shingles FROM documents
-    ), sized AS (
-      SELECT doc_id, len(shingles) AS sz, shingles FROM sh
+    ), inv0 AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), keep AS (
+      SELECT s FROM inv0 GROUP BY s HAVING count(*) <= 100
     ), inv AS (
-      SELECT doc_id, sz, unnest(shingles) AS s FROM sized
+      SELECT doc_id, s FROM inv0 JOIN keep USING (s)
+    ), sized AS (
+      SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id
     ), common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_common
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
+      GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(n_common / (sz_a + sz_b - n_common), 4) AS jaccard
-    FROM common
-    WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.2
+           round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+    FROM common JOIN sized sa ON sa.doc_id = doc_a
+                JOIN sized sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.2
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard pairs >= 0.2 via inverted shingle index."""
+    """Exact n-gram Jaccard pairs >= 0.2 via inverted shingle index, with a
+    max_doc_freq=100 hot-shingle cap (mirrored in the oracle) so no single
+    ubiquitous shingle can produce a quadratic join partition."""
     return ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", k=5, threshold=0.2
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=5,
+        threshold=0.2, max_doc_freq=100,
     )
 
 
@@ -218,12 +225,16 @@ def dedup_lsh_verified(spark, sf_dir):
              AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_COS.replace("va", "a.embedding").replace("vb", "b.embedding")}
-          >= 0.9
+          >= 0.45
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs (cosine >= 0.9), brute-force baseline."""
-    return cosine_pairs_above(table(spark, sf_dir, "embeddings"), 0.9)
+    """Embedding near-dup pairs (cosine >= 0.45), brute-force baseline.
+    0.45 because the driver embeddings are uniform-random (pair cosines
+    concentrate near 0, max ~0.51 at sf0.01): a production-style 0.9 cut
+    returns an empty — vacuously matching — result; 0.45 keeps tens of
+    pairs so the hash check proves the similarity arithmetic."""
+    return cosine_pairs_above(table(spark, sf_dir, "embeddings"), 0.45)
 
 
 # -------------------------------------------------------- similarity search
