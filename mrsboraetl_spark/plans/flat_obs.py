@@ -94,13 +94,15 @@ def build_flat_obs(
         .groupBy("person_id", "obs_datetime")
         .agg(F.min("obs_id").alias("min_obs_id"), *_obs_aggregates())
         .select(
+            # long, not int: the reference's INT synthetic ids overflow past
+            # ~2.1e9 source obs ids; at 100 TB obs_id is a 64-bit sequence.
             (F.col("min_obs_id") + SYNTHETIC_ENCOUNTER_OFFSET)
-            .cast("int")
+            .cast("long")
             .alias("encounter_id"),
             "person_id",
             # Synthetic visit id: unique per synthetic encounter, derived —
             # not a sequential counter (quirk 10 fixed; see module docstring).
-            (F.col("min_obs_id") + FAKE_VISIT_ID_BASE).cast("int").alias("visit_id"),
+            (F.col("min_obs_id") + FAKE_VISIT_ID_BASE).cast("long").alias("visit_id"),
             F.col("obs_datetime").alias("encounter_datetime"),
             F.lit(None).cast("int").alias("encounter_type"),
             F.lit(None).cast("int").alias("location_id"),

@@ -136,6 +136,13 @@ def incremental_flat_visit_summary(
     so the person never queues and the decoded summary keeps the voided
     observation's value forever.  Fixing the intent (sync must converge to
     rebuild, I3) requires the voided-person delta here.
+
+    Voided PERSONS are a second queue-invisible change class: flat_obs
+    purges their rows on every sync, so nothing downstream of it ever
+    advances their max_date_created and their summary rows would stay
+    stale forever.  Like incremental_flat_orders (flat_orders_v1.0.sql
+    :95-98), the merged output gets an unconditional anti-join purge of
+    voided persons — convergent regardless of when the void happened.
     """
     wm = F.lit(watermark).cast("timestamp")
     queue = (
@@ -160,4 +167,9 @@ def incremental_flat_visit_summary(
     )
     if target is not None:
         target = anti_delete(target, queue, ["person_id"])
-    return replace_into(target, recomputed, ["encounter_id"])
+    merged = replace_into(target, recomputed, ["encounter_id"])
+    return anti_delete(
+        merged,
+        person.filter(F.col("voided") == 1).select("person_id"),
+        ["person_id"],
+    )

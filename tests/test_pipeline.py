@@ -219,3 +219,41 @@ def test_incremental_sync_catches_up(spark, tmp_path_factory):
         b = fresh.read_target(table).toPandas()
         cols = sorted(c for c in a.columns if c != "obs_map")
         assert _sorted_rows(a, cols) == _sorted_rows(b, cols), table
+
+
+def test_sync_purges_voided_person(spark, tmp_path_factory):
+    """Voiding a PERSON is invisible to every incremental queue: flat_obs
+    purges their rows on the next sync, so no max_date_created downstream
+    ever advances and nothing queues them.  The unconditional voided-person
+    purge on the merged output (same as flat_orders) must still converge
+    sync to rebuild."""
+    pdfs = make_sources(n_persons=40, seed=23)
+    dfs = to_spark(spark, pdfs)
+    root = str(tmp_path_factory.mktemp("voidp"))
+    runner = PipelineRunner(spark, root)
+    runner.run(dfs, mode="rebuild")
+    vs = runner.read_target("flat_visit_summary").toPandas()
+    assert len(vs) > 0
+    victim = int(vs["person_id"].iloc[0])
+
+    person2 = pdfs["person"].copy()
+    person2.loc[person2["person_id"] == victim, "voided"] = 1
+    pdfs2 = dict(pdfs)
+    pdfs2["person"] = person2
+    dfs2 = to_spark(spark, pdfs2)
+    runner.run(dfs2, mode="sync")  # the void is the ONLY change
+
+    for table in (
+        "flat_obs", "flat_orders", "flat_visit_summary",
+        "flat_latest_hiv_summary",
+    ):
+        after = runner.read_target(table).toPandas()
+        assert victim not in set(after["person_id"].tolist()), table
+
+    fresh = PipelineRunner(spark, str(tmp_path_factory.mktemp("voidp_full")))
+    fresh.run(dfs2, mode="rebuild")
+    for table in ("flat_visit_summary", "flat_latest_hiv_summary"):
+        a = runner.read_target(table).toPandas()
+        b = fresh.read_target(table).toPandas()
+        cols = sorted(c for c in a.columns if c != "obs_map")
+        assert _sorted_rows(a, cols) == _sorted_rows(b, cols), table
