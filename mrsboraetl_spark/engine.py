@@ -68,6 +68,12 @@ class PipelineRunner:
 
     def read_target(self, table: str) -> DataFrame | None:
         path = self._path(table)
+        old = path + ".old"
+        if not os.path.exists(path) and os.path.exists(old):
+            # _write crashed inside its demote->promote window (old moved
+            # aside, tmp not yet promoted): recover the previous table so
+            # the next run is an incremental, not a silent cold rebuild.
+            os.replace(old, path)
         if not os.path.exists(path):
             return None
         return self.spark.read.parquet(path)
@@ -91,9 +97,9 @@ class PipelineRunner:
         if pk:
             df = df.repartition(*pk).sortWithinPartitions(*pk)
         df.write.mode("overwrite").parquet(tmp)
-        # Promote via rename-aside so a crash at any point leaves either the
-        # old or the new table at `path` (never nothing): demote old ->
-        # promote tmp -> drop old.
+        # Promote via rename-aside: demote old -> promote tmp -> drop old.
+        # A crash between the two os.replace calls leaves nothing at `path`
+        # but the previous table intact at `.old`; read_target recovers it.
         if os.path.exists(old):
             shutil.rmtree(old)
         if os.path.exists(path):

@@ -19,10 +19,14 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# op name -> (partial agg fn, final merge fn)
+# op name -> (partial agg fn, final merge fn).
+# "count" is COUNT(col) — null-skipping, like SQL; "count_star" is COUNT(*)
+# (the input_col is ignored).  They differ whenever the counted column is
+# nullable, so pick the one whose SQL spelling you mean.
 _ALGEBRAIC = {
     "sum": (F.sum, F.sum),
     "count": (F.count, F.sum),
+    "count_star": (lambda _c: F.count(F.lit(1)), F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
 }

@@ -187,7 +187,7 @@ def salted_skew_aggregate(spark, sf_dir):
         ev,
         keys=["event_type"],
         aggs=[
-            ("event_id", "count", "n"),
+            ("event_id", "count_star", "n"),  # oracle says COUNT(*)
             ("value", "sum", "sum_raw"),
             ("value", "max", "max_raw"),
         ],
