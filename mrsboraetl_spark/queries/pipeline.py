@@ -269,5 +269,86 @@ def grouping_sets_status_nation(spark, sf_dir):
     )
 
 
+@register(
+    "visit_summary_equiv",
+    f"""
+    WITH daily AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             min(event_id) + {SYNTHETIC_ENCOUNTER_OFFSET} AS synthetic_id,
+             string_agg(
+               '!!' || event_type || '=' || {_RENDER.format(x="value")} || '!!',
+               ' ## ' ORDER BY event_type, value
+             ) AS obs,
+             count(*) AS n_events,
+             max(ts) AS max_ts,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p,
+             max(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS has_e,
+             max(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS has_s
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), latest AS (
+      SELECT user_id, event_type AS latest_type,
+             round(value, 2) AS latest_value
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn FROM events
+      ) WHERE rn = 1
+    )
+    SELECT d.user_id, d.day, d.synthetic_id, d.obs, d.n_events, d.max_ts,
+           CASE WHEN has_p = 1 THEN 'PURCHASE'
+                WHEN has_e = 1 THEN 'ERROR'
+                WHEN has_s = 1 THEN 'SIGNUP'
+                ELSE 'BROWSE' END AS visit_type,
+           l.latest_type, l.latest_value
+    FROM daily d JOIN latest l ON d.user_id = l.user_id
+    """,
+)
+def visit_summary_equiv(spark, sf_dir):
+    """The flagship pipeline shape end-to-end on driver data: the
+    flat_visit_summary plan (decode ladder + A2 blob + W3 latest join,
+    plans/flat_visit_summary.py) re-expressed over `events` so the whole
+    composition gets one driver-hash-checked row.  Per (user, day): the
+    synthetic encounter id (min id + offset), the ordered obs blob, a
+    first-match presence-decode of the day's events, and the user's
+    overall latest event joined on (broadcast when the latest side is
+    small; both sides share the user_id shuffle key otherwise)."""
+    from mrsboraetl_spark.operators.latest import latest_per_group
+
+    ev = table(spark, sf_dir, "events")
+    entry = blob_entry(F.col("event_type"), render_numeric(F.col("value")))
+
+    def has(t):
+        return F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        (F.min("event_id") + SYNTHETIC_ENCOUNTER_OFFSET).alias("synthetic_id"),
+        packed_blob(entry, [F.col("event_type"), F.col("value")]).alias("obs"),
+        F.count("*").alias("n_events"),
+        F.max("ts").alias("max_ts"),
+        has("purchase").alias("has_p"),
+        has("error").alias("has_e"),
+        has("signup").alias("has_s"),
+    )
+    latest = latest_per_group(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("latest_type"),
+        F.round("value", 2).alias("latest_value"),
+    )
+    visit_type = (
+        F.when(F.col("has_p") == 1, "PURCHASE")
+        .when(F.col("has_e") == 1, "ERROR")
+        .when(F.col("has_s") == 1, "SIGNUP")
+        .otherwise("BROWSE")
+    )
+    return daily.join(latest, "user_id").select(
+        "user_id", "day", "synthetic_id", "obs", "n_events", "max_ts",
+        visit_type.alias("visit_type"), "latest_type", "latest_value",
+    )
+
+
 # Streaming queries live in queries/streaming_q.py, imported LAST by
 # queries/__init__.py so the slow micro-batch entries close the registry.
