@@ -34,8 +34,9 @@ HEADLINE = [
     "dedup_simhash",
     "ann_brute_force_topk",
     "ann_lsh_bucketed_topk",
-    "text_quality_score",
-    "text_token_counts",
+    "ann_ivf_topk",
+    "text_doc_metrics",
+    "visit_summary_equiv",
 ]
 
 
