@@ -47,3 +47,35 @@ def test_salted_aggregate_is_two_stage(spark, sf_dir):
     # partial on (key, salt) + final on key, each with its own
     # partial/final pair -> at least 4 HashAggregate nodes
     assert plan.count("HashAggregate") >= 4
+
+
+def test_visit_summary_equiv_plan(spark, sf_dir):
+    """The flagship composition must stay a pure shuffle-join plan: no
+    cartesian/nested-loop node, both sides meeting on the user_id key."""
+    plan = _plan(spark, "visit_summary_equiv", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # decode ladder + blob pack collapse into the aggregate projection —
+    # no extra shuffle beyond groupBy(user,day) and window(user); the
+    # latest side broadcasts into the join.  (formatted explain lists each
+    # node in tree AND details, so count the details lines only)
+    import re
+
+    shuffles = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(shuffles) <= 3, plan
+
+
+def test_ivf_probe_is_equi_join(spark, sf_dir):
+    """IVF's probe must be an equi-join on the cell id (broadcast of the
+    tiny probe side is fine), never a cross join of queries x corpus."""
+    plan = _plan(spark, "ann_ivf_topk", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_caps_hot_shingles(spark, sf_dir):
+    """The doc-frequency cap must survive in the plan: the inverted index
+    is filtered through the doc_freq aggregate before the self-join."""
+    plan = _plan(spark, "dedup_ngram_jaccard", sf_dir)
+    assert "doc_freq" in plan
+    assert "CartesianProduct" not in plan
