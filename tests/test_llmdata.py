@@ -48,6 +48,33 @@ def test_ivf_kmeans_recall(spark, sf_dir):
         assert abs(round(dot / (na * nb), 4) - r.cosine) <= 1e-4
 
 
+def test_exact_then_near_composition(spark, sf_dir):
+    """On a corpus where every doc has 3 exact copies, the composition's
+    pairs must equal direct LSH over the distinct texts, with copy counts
+    carrying the collapsed multiplicity."""
+    from mrsboraetl_spark.operators.dedup import (
+        exact_then_near_pairs,
+        lsh_verified_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    n = 200
+    tripled = docs
+    for i in (1, 2):
+        tripled = tripled.unionByName(
+            docs.select((F.col("doc_id") + i * n * 10).alias("doc_id"), "text")
+        )
+    composed = exact_then_near_pairs(
+        tripled, "doc_id", "text", threshold=0.2
+    ).collect()
+    direct = lsh_verified_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    assert {(r.doc_a, r.doc_b, r.jaccard) for r in composed} == {
+        (r.doc_a, r.doc_b, r.jaccard) for r in direct
+    }
+    assert all(r.copies_a == 3 and r.copies_b == 3 for r in composed)
+    assert len(composed) > 0
+
+
 def test_ivf_seed_centroids_deterministic(spark, sf_dir):
     """The seed-centroid variant (what ann_ivf_topk registers) is fully
     deterministic: two runs yield identical rows."""
