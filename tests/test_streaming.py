@@ -1,0 +1,84 @@
+"""Structured Streaming semantics the registry's complete-mode queries
+can't show: watermark-driven finalization and late-data drop in append
+mode, across real micro-batch boundaries (maxFilesPerTrigger=1 over a
+multi-file source).
+
+Observed Spark semantics this pins down (and the engine relies on):
+
+* append mode emits a window exactly once, in the first batch whose
+  input watermark passes the window end;
+* a below-watermark row that arrives BEFORE the window's state is
+  evicted may still merge (Spark's "late data may be dropped" caveat —
+  the filter and the eviction use the same batch-start watermark);
+* a late row arriving AFTER finalization is dropped: no resurrected
+  state, no second emission for the window (the exactly-once guarantee
+  downstream consumers depend on).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.streaming import drain_to_batch
+
+T0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+    # file-source batch order follows modification time; keep it strict
+    time.sleep(1.1)
+
+
+def test_append_mode_finalizes_once_and_drops_late(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    m = dt.timedelta(minutes=1)
+    h = dt.timedelta(hours=1)
+    # batch 1: three on-time events in the 08:00 window
+    _write_batch(spark, src, [
+        (1, 1, T0 + 1 * m, 1.0),
+        (2, 1, T0 + 5 * m, 1.0),
+        (3, 2, T0 + 9 * m, 1.0),
+    ])
+    # batch 2: event 3h ahead -> input watermark for batch 3 becomes 10:00
+    _write_batch(spark, src, [(4, 3, T0 + 3 * h, 1.0)])
+    # batch 3: watermark (10:00) has passed the 08:00 window's end -> the
+    # window finalizes and emits HERE.  The 08:07 row in this same batch is
+    # below the watermark but its state is not yet evicted when the batch
+    # starts, so it still merges (the documented "may be dropped" caveat).
+    _write_batch(spark, src, [
+        (5, 1, T0 + 7 * m, 99.0),
+        (6, 3, T0 + 3 * h + 5 * m, 1.0),
+    ])
+    # batch 4: a late row AFTER finalization -> must be dropped outright;
+    # the 08:00 window must NOT re-emit.
+    _write_batch(spark, src, [
+        (7, 1, T0 + 20 * m, 77.0),
+        (8, 3, T0 + 3 * h + 10 * m, 1.0),
+    ])
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("win.start").alias("start"), "n", "sv")
+    )
+    out = drain_to_batch(stream, "append").collect()
+    # exactly one emission, for the 08:00 window only; the 11:00 window
+    # never finalizes (watermark never passes noon) and never emits; the
+    # post-finalization late row (77.0) is nowhere.
+    assert len(out) == 1, out
+    row = out[0]
+    assert row.start == T0 and row.n == 4 and row.sv == 102.0, out
