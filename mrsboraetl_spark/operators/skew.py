@@ -32,6 +32,38 @@ _ALGEBRAIC = {
 }
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_src: str | Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (skewed) left side by the hash of
+    ``salt_src``, replicate every right row across all ``n_salts`` salt
+    values, and join on keys + salt.  A hot key's left rows then spread
+    over n_salts reducers instead of funnelling through one.
+
+    Semantics-preserving for inner/left joins: each left row carries
+    exactly one salt and meets exactly one copy of each matching right
+    row.  Cost: the right side shuffles n_salts times larger — use when
+    the right side is too big to broadcast but far smaller than the
+    skewed left (the classic fact-to-mid-size-dim shape).  AQE's skew
+    handling covers sort-merge joins after the fact; this shapes the
+    plan up front and also works where AQE cannot split (e.g. under
+    bucketed/pre-partitioned requirements).
+    """
+    salt = F.pmod(F.xxhash64(salt_src), F.lit(n_salts)).alias("_salt")
+    salted_left = left.withColumn("_salt", salt)
+    replicated_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return salted_left.join(
+        replicated_right, [*on, "_salt"], how
+    ).drop("_salt")
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
