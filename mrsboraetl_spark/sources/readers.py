@@ -57,6 +57,46 @@ def read_jdbc_table(
     return reader.load()
 
 
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    delimiter: str = ",",
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV ingest (extract-file interchange).  ALWAYS pass an explicit
+    schema at scale: inferSchema is a second full scan of the data, and a
+    drifting inferred type silently changes downstream plans.  With a
+    schema the reader is a single streaming pass and malformed rows land
+    in the PERMISSIVE-mode corrupt-record column instead of failing the
+    job."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+    )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json_table(
+    spark: SparkSession, path: str, schema=None, multiline: bool = False
+) -> DataFrame:
+    """JSON-lines ingest.  Same schema rule as CSV: explicit schema = one
+    pass + stable types; ndjson (multiline=False) splits across executors,
+    a single multiline document cannot."""
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def load_tpch(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load the driver's synthetic tables (TESTDATA.md) as a dict."""
     names = names or (
