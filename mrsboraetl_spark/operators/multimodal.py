@@ -85,3 +85,78 @@ def decode_features_stub(df: DataFrame, real: bool = False) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
+
+
+def resize_stub(
+    df: DataFrame, width: int, height: int, real: bool = False
+) -> DataFrame:
+    """Image-resize pipeline shape: one output row per input row, payload
+    transformed in-place inside the Arrow batch.  The fake 'resize'
+    truncates/cycles the byte stream to width*height bytes — deterministic
+    and size-exact, so the downstream schema/partitioning contract (output
+    rows are fixed-size) is the real one.  real=True is the PIL slot.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        def fake_resize(b: bytes) -> bytes:
+            if real:
+                raise NotImplementedError("wire PIL.Image.resize here")
+            reps = -(-target // max(len(b), 1))
+            return (bytes(b) * reps)[:target]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(fake_resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, pts_ms int"
+
+
+def frame_sample_stub(
+    df: DataFrame, every_n_bytes: int = 256, max_frames: int = 8,
+    real: bool = False,
+) -> DataFrame:
+    """Video frame-sampling pipeline shape: FAN-OUT — each input row
+    yields up to ``max_frames`` output rows (one per sampled frame), the
+    batch-shape property that distinguishes frame extraction from
+    row-wise decode.  The fake 'frame' is a fixed-width byte slice at
+    deterministic offsets standing in for an ffmpeg keyframe grab;
+    pts_ms is the fake presentation timestamp.  real=True is the ffmpeg
+    slot.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame": [], "pts_ms": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if real:
+                    raise NotImplementedError("wire ffmpeg frame grab here")
+                b = bytes(payload)
+                n = min(max(len(b) // every_n_bytes, 1), max_frames)
+                for i in range(n):
+                    off = i * every_n_bytes
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(b[off:off + 16])
+                    out["pts_ms"].append(i * 40)  # fake 25fps cadence
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
