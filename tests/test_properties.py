@@ -100,6 +100,64 @@ def test_replace_into_idempotent(spark, base, delta):
         assert got[pk] == v
 
 
+ASOF_LEFT = st.fixed_dictionaries(
+    {"key": st.integers(0, 4), "lts": st.integers(0, 100)}
+)
+ASOF_RIGHT = st.fixed_dictionaries(
+    {"key": st.integers(0, 4), "rts": st.integers(0, 100),
+     "payload": st.integers(-999, 999)}
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=st.lists(ASOF_LEFT, min_size=1, max_size=40),
+    rrows=st.lists(ASOF_RIGHT, min_size=0, max_size=40),
+)
+def test_asof_join_matches_brute_force(spark, lrows, rrows):
+    """The union+window as-of join must agree with the per-row brute-force
+    definition (latest right row with rts <= lts per key; max payload
+    breaks (key, rts) duplicates after the documented pre-aggregation)
+    for ANY generated timeline, including empty right sides, duplicate
+    timestamps, and keys with no match."""
+    from mrsboraetl_spark.operators.asof import asof_join
+
+    # documented contract: pre-aggregate the right side to one row per
+    # (key, rts) so ties are well-defined
+    dedup_r: dict[tuple[int, int], int] = {}
+    for r in rrows:
+        k = (r["key"], r["rts"])
+        dedup_r[k] = max(dedup_r.get(k, -10**9), r["payload"])
+
+    left = spark.createDataFrame(
+        [(i, r["key"], r["lts"]) for i, r in enumerate(lrows)],
+        "row_id long, key long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, p) for (k, t), p in dedup_r.items()] or [(0, -1, 0)][:0],
+        "key long, rts long, payload long",
+    ) if dedup_r else spark.createDataFrame([], "key long, rts long, payload long")
+
+    got = {
+        r.row_id: r.payload
+        for r in asof_join(
+            left, right, on=["key"], left_ts="lts", right_ts="rts",
+            payload_cols=["payload"],
+        ).collect()
+    }
+
+    for i, lr in enumerate(lrows):
+        cands = [
+            (t, p) for (k, t), p in dedup_r.items()
+            if k == lr["key"] and t <= lr["lts"]
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, lr, cands)
+
+
 def test_numeric_rendering_matches_mysql_examples(spark):
     """Spot contract for render_numeric (C1): MySQL-style no trailing
     zeros / no trailing dot."""
