@@ -109,8 +109,7 @@ def test_visit_summary_decode_parity(pipeline):
             )
 
     checked = 0
-    for col in ("pregnant", "tb_status", "who_stage", "currentregmen",
-                "cd4_cd4percentage_done"):
+    for col in CODED_LADDERS:  # every coded decode ladder, not a sample
         concept, ladder, default = CODED_LADDERS[col]
         for row in vs.itertuples(index=False):
             pairs = by_enc.get(int(row.encounter_id), [])
