@@ -79,3 +79,33 @@ def test_ngram_jaccard_caps_hot_shingles(spark, sf_dir):
     plan = _plan(spark, "dedup_ngram_jaccard", sf_dir)
     assert "doc_freq" in plan
     assert "CartesianProduct" not in plan
+
+
+# Documented brute-force baselines: the ONLY registry entries allowed a
+# non-equi join in their plan.  Everything else planning a cartesian or
+# nested-loop node is a scale regression.
+BRUTE_FORCE_OK = {
+    "dedup_embedding_cosine",   # n^2/2 baseline (LSH is the scale path)
+    "ann_brute_force_topk",     # exactness baseline (broadcast queries)
+}
+# streaming queries execute on build (drain); exclude from the static sweep
+SKIP = {
+    "streaming_tumbling_daily", "streaming_dedup_count",
+    "streaming_stateful_user_stats",
+}
+
+
+def test_no_registry_query_plans_a_nested_loop(spark, sf_dir):
+    bad = {}
+    for name in REGISTRY:
+        if name in BRUTE_FORCE_OK | SKIP:
+            continue
+        plan = _plan(spark, name, sf_dir)
+        hits = [
+            node
+            for node in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if node in plan
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
