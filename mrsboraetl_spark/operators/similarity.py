@@ -121,6 +121,70 @@ def cosine_pairs_above(
     )
 
 
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    bits: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidate pairs share a sign
+    bucket in at least one of ``n_tables`` hash tables (table t uses
+    dimensions [t*bits, (t+1)*bits)), verified by exact cosine.
+
+    Replaces the n^2/2 cross join with n_tables equi-joins on bucket
+    keys; recall < 1 by construction (a pair straddling every table's
+    hyperplanes is missed) and rises with n_tables — the standard
+    SRP-LSH recall/fan-out trade.  Output is a SUBSET of
+    cosine_pairs_above(threshold) with identical cosine values, which is
+    what the recall test asserts.
+    """
+    sized = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        norm(F.col(vec_col).cast("array<double>")).alias("nrm"),
+    ).localCheckpoint()  # self-joined below; avoid double scan
+    tables = []
+    for t in range(n_tables):
+        bucketed = sized.select(
+            "id", "vec", "nrm",
+            F.lit(t).alias("tbl"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("vec"), t * bits + 1, bits),
+                    lambda v: F.when(v >= 0, "1").otherwise("0"),
+                ),
+                "",
+            ).alias("bucket"),
+        )
+        tables.append(bucketed)
+    allb = tables[0]
+    for t in tables[1:]:
+        allb = allb.unionByName(t)
+    a, b = allb.alias("a"), allb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"),
+            F.col("a.nrm").alias("na"), F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(
+        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("na") * F.col("nb")), 4
+    )
+    return cand.select("id_a", "id_b", sim.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -48,6 +48,39 @@ def test_ivf_kmeans_recall(spark, sf_dir):
         assert abs(round(dot / (na * nb), 4) - r.cosine) <= 1e-4
 
 
+def test_cosine_pairs_lsh_subset_and_recall(spark, sf_dir):
+    """LSH pair candidates must be a subset of the brute-force pairs with
+    identical cosines, and recall at a low threshold must be non-trivial
+    on the uniform-random corpus (high-cosine pairs nearly share sign
+    patterns, so real near-dups recall far better)."""
+    from mrsboraetl_spark.operators.similarity import (
+        cosine_pairs_above,
+        cosine_pairs_lsh,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    thr = 0.3
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_above(emb, thr).collect()
+    }
+    # SRP recall on UNIFORM vectors at cosine 0.3 (angle ~72deg):
+    # P(bucket match) = (1 - theta/pi)^bits = 0.597^4 ~ 0.127 per table,
+    # 1-(1-0.127)^8 ~ 0.66 over 8 tables — so >= 0.4 is a safe floor.
+    # Real near-dup corpora sit at cosine >= 0.9 (theta ~ 26deg, 0.857^b)
+    # where far wider buckets still recall ~1; the uniform corpus is the
+    # worst case.
+    approx = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_lsh(emb, thr, bits=4, n_tables=8).collect()
+    }
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert v == exact[k]
+    assert exact, "threshold too high — vacuous test"
+    assert len(approx) / len(exact) >= 0.4, (len(approx), len(exact))
+
+
 def test_exact_then_near_composition(spark, sf_dir):
     """On a corpus where every doc has 3 exact copies, the composition's
     pairs must equal direct LSH over the distinct texts, with copy counts
