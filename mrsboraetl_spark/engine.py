@@ -53,9 +53,18 @@ class PipelineRunner:
     """Run the five-stage pipeline against a dict of source DataFrames
     (keys: obs, encounter, orders, person) into a parquet directory."""
 
-    def __init__(self, spark: SparkSession, storage_root: str):
+    def __init__(
+        self, spark: SparkSession, storage_root: str, versioned: bool = False
+    ):
+        """``versioned=True`` stores every target as a VersionedTable
+        (sources/versioned.py): each run commits a new immutable version
+        behind an atomic manifest swap — snapshot isolation for
+        concurrent readers plus time travel over past sync states — at
+        the cost of keeping old versions until ``vacuum``.  The default
+        swap layout keeps only the latest state."""
         self.spark = spark
         self.root = storage_root
+        self.versioned = versioned
         os.makedirs(storage_root, exist_ok=True)
         self.watermarks = WatermarkStore(
             spark, os.path.join(storage_root, "flat_log.parquet")
@@ -66,7 +75,15 @@ class PipelineRunner:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, f"{table}.parquet")
 
+    def _versioned(self, table: str):
+        from mrsboraetl_spark.sources.versioned import VersionedTable
+
+        return VersionedTable(os.path.join(self.root, f"{table}.v"))
+
     def read_target(self, table: str) -> DataFrame | None:
+        if self.versioned:
+            vt = self._versioned(table)
+            return None if vt.version() < 0 else vt.read(self.spark)
         path = self._path(table)
         old = path + ".old"
         if not os.path.exists(path) and os.path.exists(old):
@@ -91,11 +108,14 @@ class PipelineRunner:
     }
 
     def _write(self, df: DataFrame, table: str) -> None:
-        path, tmp = self._path(table), self._path(table) + ".tmp"
-        old = path + ".old"
         pk = self._CLUSTER_BY.get(table)
         if pk:
             df = df.repartition(*pk).sortWithinPartitions(*pk)
+        if self.versioned:
+            self._versioned(table).commit(df, note=table)
+            return
+        path, tmp = self._path(table), self._path(table) + ".tmp"
+        old = path + ".old"
         df.write.mode("overwrite").parquet(tmp)
         # Promote via rename-aside: demote old -> promote tmp -> drop old.
         # A crash between the two os.replace calls leaves nothing at `path`
