@@ -37,6 +37,60 @@ def _write_batch(spark, path, rows):
     time.sleep(1.1)
 
 
+def test_stream_joins_match_batch(spark, sf_dir):
+    """Stream-static enrichment and the time-bounded stream-stream join
+    must agree with their batch equivalents on the bounded events table."""
+    from mrsboraetl_spark.streaming import stream_events
+    from mrsboraetl_spark.streaming.joins import (
+        enrich_with_static,
+        interval_stream_join,
+    )
+    from mrsboraetl_spark.queries import table
+
+    ev_batch = table(spark, sf_dir, "events")
+    dim = ev_batch.groupBy("user_id").agg(F.count("*").alias("user_events"))
+
+    # stream-static
+    enriched = enrich_with_static(
+        stream_events(spark, sf_dir).select("event_id", "user_id"),
+        dim, ["user_id"],
+    )
+    got = drain_to_batch(enriched, "append").collect()
+    want = ev_batch.select("event_id", "user_id").join(dim, "user_id").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # stream-stream: purchases within 1h after a signup by the same user
+    def sides(df):
+        s = df.filter(F.col("event_type") == "signup").select(
+            F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"),
+            F.col("event_id").alias("s_id"),
+        )
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        return s, p
+
+    ss, sp = sides(stream_events(spark, sf_dir))
+    stream_joined = interval_stream_join(
+        ss, sp, left_key="s_user", right_key="p_user",
+        left_ts="s_ts", right_ts="p_ts", within="1 HOUR",
+    ).select("s_id", "p_id")
+    got2 = {(r.s_id, r.p_id) for r in drain_to_batch(stream_joined, "append").collect()}
+    bs, bp = sides(ev_batch)
+    want2 = {
+        (r.s_id, r.p_id)
+        for r in bs.join(
+            bp,
+            (bs.s_user == bp.p_user)
+            & (bp.p_ts >= bs.s_ts)
+            & (bp.p_ts <= bs.s_ts + F.expr("INTERVAL 1 HOUR")),
+        ).select("s_id", "p_id").collect()
+    }
+    assert got2 == want2
+    assert len(got2) > 0
+
+
 def test_append_mode_finalizes_once_and_drops_late(spark, tmp_path):
     src = str(tmp_path / "stream_src")
     os.makedirs(src, exist_ok=True)
