@@ -60,6 +60,8 @@ def decode_features_stub(df: DataFrame, real: bool = False) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415 - worker-side import
+
         import pandas as pd  # noqa: PLC0415 - worker-side import
 
         for pdf in batches:
@@ -74,9 +76,13 @@ def decode_features_stub(df: DataFrame, real: bool = False) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes.astype("int32"),
-                    # deterministic fake features derived only from the bytes
+                    # deterministic fake features derived only from the
+                    # bytes — each chosen to ALSO be SQL-expressible so the
+                    # whole mapInPandas pipeline is oracle-hash-checked,
+                    # not rows-only (the checksum is md5 of the payload
+                    # bytes, which DuckDB's md5(text) reproduces)
                     "checksum": payloads.map(
-                        lambda b: format(sum(b) % 65536, "04x")
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()[:8]
                     ),
                     "fake_width": (n_bytes % 640).astype("int32"),
                     "fake_height": (n_bytes % 480).astype("int32"),

@@ -512,9 +512,23 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
-@register("multimodal_decode_stub")  # mapInPandas plumbing: rows-only check
+@register(
+    "multimodal_decode_stub",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           substr(md5(text), 1, 8) AS checksum,
+           octet_length(encode(text)) % 640 AS fake_width,
+           octet_length(encode(text)) % 480 AS fake_height,
+           octet_length(encode(text)) // 1000 + 1 AS n_frames
+    FROM documents
+    """,
+)
 def multimodal_decode_stub(spark, sf_dir):
     """Arrow-batched mapInPandas decode pipeline with a deterministic fake
-    codec (real decoder slots into operators/multimodal._decode_batch)."""
+    codec (real decoder slots into operators/multimodal._decode_batch).
+    The fake features are chosen to be SQL-expressible, so the whole
+    Python-worker path — Arrow transfer, batch iteration, schema
+    enforcement — is hash-checked against DuckDB, not just row-counted."""
     docs = with_binary_payload(table(spark, sf_dir, "documents"))
     return decode_features_stub(docs)
