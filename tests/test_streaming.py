@@ -37,6 +37,38 @@ def _write_batch(spark, path, rows):
     time.sleep(1.1)
 
 
+def test_session_window_matches_batch_sessionize(spark, sf_dir):
+    """Spark's native session_window (30-min gap) driven as a stream must
+    produce the same per-user session count as the batch lag-based
+    sessionization the registry hash-checks (sessionize_events).
+
+    Boundary caveat: the batch query splits on gap > 30min (strict) while
+    session_window splits on gap >= 30min — they disagree only on an
+    exactly-1800s gap, which the second-granularity fixture data never
+    produces.  If this ever flakes, that's the first thing to check."""
+    from mrsboraetl_spark.queries import REGISTRY, table
+    from mrsboraetl_spark.streaming import drain_to_batch, stream_events
+
+    stream = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 days")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    sessions = drain_to_batch(stream, "complete")
+    got = {
+        r.user_id: r.n_sessions
+        for r in sessions.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .collect()
+    }
+    want = {
+        r.user_id: r.n_sessions
+        for r in REGISTRY["sessionize_events"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_stream_joins_match_batch(spark, sf_dir):
     """Stream-static enrichment and the time-bounded stream-stream join
     must agree with their batch equivalents on the bounded events table."""
