@@ -459,19 +459,26 @@ def text_doc_metrics(spark, sf_dir):
              [('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 8))::BIGINT
               FOR i IN range(1, greatest(length(text)-4, 1)+1)] AS h
       FROM documents
+    ), w AS (
+      SELECT doc_id,
+             list_distinct(
+               [list_min(h[CAST(i AS INT):CAST(i AS INT)+3])
+                FOR i IN range(1, greatest(len(h)-3, 1)+1)]
+             ) AS fps
+      FROM hs
     )
-    SELECT doc_id,
-           list_sort(list_distinct(
-             [list_min(h[CAST(i AS INT):CAST(i AS INT)+3])
-              FOR i IN range(1, greatest(len(h)-3, 1)+1)]
-           )) AS fps
-    FROM hs
+    SELECT doc_id, unnest(fps) AS fp FROM w
     """,
 )
 def text_winnowing_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (k=5, w=4): distinct minima of a
     sliding window over the ordered k-gram hash stream.  Hash stream is
-    materialized as a column between the two selects (inlining caveat)."""
+    materialized as a column between the two selects (inlining caveat).
+
+    Output is one scalar row per (doc_id, fingerprint): the driver's pandas
+    canonicalizer hashes cell values and cannot sort list cells, so the
+    fingerprint set is exploded on BOTH engines (Spark explode / DuckDB
+    unnest) — same set semantics, hashable shape."""
     from mrsboraetl_spark.functions.text import (
         ordered_kgram_hashes,
         winnowing_from_hashes,
@@ -483,7 +490,10 @@ def text_winnowing_fingerprints(spark, sf_dir):
         docs.repartition(n_parts)
         .select("doc_id", ordered_kgram_hashes(F.col("text"), 5).alias("h"))
         .localCheckpoint()
-        .select("doc_id", winnowing_from_hashes(F.col("h"), 4).alias("fps"))
+        .select(
+            "doc_id",
+            F.explode(winnowing_from_hashes(F.col("h"), 4)).alias("fp"),
+        )
     )
 
 
