@@ -46,6 +46,23 @@ UNREGISTERED_ORACLES: dict[str, str] = {
            coalesce(NULL, o_orderstatus) AS status
     FROM orders
     """,
+    # Demoted from the driver registry in r3 to free slots for the 100 TB
+    # dedup scale-path entries: the J3 shape is covered by join_multi_dims +
+    # anti_join_daykey, the O1-O3 shape by topk_orders_per_customer.
+    "join_left_zero": """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    "sort_limit_top100": """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "count_distinct_by_priority": """
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
 }
 
 
@@ -174,16 +191,9 @@ def join_composite_key(spark, sf_dir):
     return ev.join(daily, ["user_id", "day"]).select("event_id", "day_events")
 
 
-@register(
-    "join_left_zero",
-    """
-    SELECT c_custkey, count(o_orderkey) AS n_orders
-    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_custkey
-    """,
-)
 def join_left_zero(spark, sf_dir):
-    """J3 left outer join preserving customers with zero orders."""
+    """J3 left outer join preserving customers with zero orders.
+    Oracle-checked via UNREGISTERED_ORACLES (driver slot freed in r3)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     return (
@@ -197,13 +207,24 @@ def join_left_zero(spark, sf_dir):
     "anti_join_no_orders",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
     """,
 )
 def anti_join_no_orders(spark, sf_dir):
-    """J4 delete-join rewrite: left_anti (the retraction primitive)."""
+    """J4 delete-join rewrite: left_anti (the retraction primitive).
+
+    The right side is restricted to *recent* orders so the anti-join has
+    non-empty survivors at every SF (every customer in the synthetic data
+    has at least one order overall, which made the unrestricted form a
+    vacuous 0-row check — VERDICT r2 item 3)."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -318,16 +339,11 @@ def obs_blob_pack(spark, sf_dir):
     )
 
 
-@register(
-    "count_distinct_by_priority",
-    """
-    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
-           count(*) AS n_orders
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
 def count_distinct_by_priority(spark, sf_dir):
-    """A10 extension: exact distinct aggregation."""
+    """A10 extension: exact distinct aggregation.  Oracle-checked via
+    UNREGISTERED_ORACLES — demoted in r3 to free a driver slot for the
+    native session_window streaming entry; the count-distinct shape stays
+    driver-covered through streaming_dedup_count's oracle."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_custs"),
@@ -450,15 +466,9 @@ def topk_orders_per_customer(spark, sf_dir):
     )
 
 
-@register(
-    "sort_limit_top100",
-    """
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
-    """,
-)
 def sort_limit_top100(spark, sf_dir):
-    """O1-O3 multi-key sort + LIMIT (Spark plans a TakeOrdered, no full sort)."""
+    """O1-O3 multi-key sort + LIMIT (Spark plans a TakeOrdered, no full sort).
+    Oracle-checked via UNREGISTERED_ORACLES (driver slot freed in r3)."""
     o = table(spark, sf_dir, "orders")
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))

@@ -63,6 +63,57 @@ def streaming_dedup_count(spark, sf_dir):
 
 
 @register(
+    "streaming_session_window",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch(ts) - epoch(prev_ts) >= 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), per AS (
+      SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           max(n) AS max_session_events
+    FROM per GROUP BY user_id
+    """,
+)
+def streaming_session_window(spark, sf_dir):
+    """Native session_window streaming aggregation (30-min inactivity gap),
+    drained in complete mode, rolled up per user.  Oracle = lag-based gap
+    sessionization; Spark closes a session when the gap is >= the timeout
+    (window end is exclusive at last_ts + gap), so the oracle's split
+    predicate is >= 1800s — NOT the strict > the batch sessionize_events
+    entry uses (see tests/test_streaming.py boundary caveat)."""
+    from mrsboraetl_spark.streaming import drain_to_batch, stream_events
+
+    stream = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 days")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    sessions = drain_to_batch(stream, "complete")
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+    )
+
+
+@register(
     "streaming_stateful_user_stats",
     """
     SELECT user_id, count(*) AS n_events, max(value) AS max_value

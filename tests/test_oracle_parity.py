@@ -34,7 +34,14 @@ SUBSET = [
 
 # Operators kept out of the 50-entry driver registry still get the same
 # oracle check here (see relational.UNREGISTERED_ORACLES).
-UNREGISTERED = ["rollup_region_counts", "window_lag_events", "greatest_if_coalesce"]
+UNREGISTERED = [
+    "rollup_region_counts",
+    "window_lag_events",
+    "greatest_if_coalesce",
+    "join_left_zero",
+    "sort_limit_top100",
+    "count_distinct_by_priority",
+]
 
 
 @pytest.fixture(scope="module")
