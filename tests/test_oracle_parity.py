@@ -63,6 +63,30 @@ def test_registry_fits_driver_cap():
     assert len(REGISTRY) <= 50, "driver evaluates at most 50 registry entries"
 
 
+def test_every_entry_has_oracle():
+    # The driver records a weaker rows-only check for oracle-less entries;
+    # keep the registry fully hash-checked.
+    missing = [n for n, e in REGISTRY.items() if not e.oracle]
+    assert not missing, f"registry entries without an oracle: {missing}"
+
+
+def test_no_nonscalar_output_columns(spark, sf_dir):
+    # The driver canonicalizes results with pandas sort_values, which raises
+    # "unhashable type: 'list'" on array/map/struct columns (round-2
+    # text_winnowing_fingerprints failure). Keep every registered output scalar.
+    bad = {}
+    for name, entry in REGISTRY.items():
+        df = entry.fn(spark, sf_dir)
+        nonscalar = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nonscalar:
+            bad[name] = nonscalar
+    assert not bad, f"non-scalar output columns break the driver canonicalizer: {bad}"
+
+
 @pytest.mark.parametrize("name", UNREGISTERED)
 def test_unregistered_queries(spark, sf_dir, duck, name):
     from mrsboraetl_spark.queries import relational
