@@ -54,6 +54,13 @@ def salted_join(
     plan up front and also works where AQE cannot split (e.g. under
     bucketed/pre-partitioned requirements).
     """
+    if how not in ("inner", "left", "left_semi", "left_anti", "leftsemi",
+                   "leftanti", "left_outer"):
+        # right/full would emit each unmatched right row n_salts times
+        raise ValueError(
+            f"salted_join preserves semantics only for left-preserving "
+            f"joins, got how={how!r}"
+        )
     salt = F.pmod(F.xxhash64(salt_src), F.lit(n_salts)).alias("_salt")
     salted_left = left.withColumn("_salt", salt)
     replicated_right = right.withColumn(

@@ -47,8 +47,14 @@ def ensure_nanos_readable(spark: SparkSession) -> None:
     (session.py) sets it at build time, but queries() must also run under a
     caller-provided SparkSession, so set it at runtime too — it is a
     runtime-settable SQL conf.
+
+    Oracle parity also assumes UTC rendering of dates/timestamps (DuckDB
+    is timezone-naive): on a non-UTC host a caller-provided session would
+    shift every date_trunc/day-derived column, so pin the session timezone
+    here as well — equally runtime-settable.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -69,12 +69,35 @@ class VersionedTable:
         return self._read_manifest()["history"]
 
     def commit(self, df: DataFrame, note: str = "") -> int:
-        """Write ``df`` as the next version; atomic at the manifest swap."""
+        """Write ``df`` as the next version; atomic at the manifest swap.
+
+        Data lands in a unique staging dir first and is renamed into
+        ``v{next_v}`` only once fully written.  A crash mid-write therefore
+        leaves an unreferenced staging dir, never a partial ``v{N}`` that
+        would make every later commit's errorifexists write raise forever.
+        An existing ``v{next_v}`` is provably an orphan from a crashed
+        commit (the manifest still points at ``next_v - 1``), so it is
+        removed; the final ``os.rename`` keeps the put-if-absent contract
+        against a concurrent writer.
+        """
+        import shutil
+        import uuid
+
         manifest = self._read_manifest()
         next_v = manifest["version"] + 1
         data_dir = os.path.join(self.root, f"v{next_v}")
-        df.write.mode("errorifexists").parquet(data_dir)
-        n_rows = df.sparkSession.read.parquet(data_dir).count()
+        staging = os.path.join(
+            self.root, f".v{next_v}-staging-{uuid.uuid4().hex}"
+        )
+        try:
+            df.write.mode("errorifexists").parquet(staging)
+            n_rows = df.sparkSession.read.parquet(staging).count()
+            if os.path.exists(data_dir):
+                shutil.rmtree(data_dir)  # un-manifested orphan — never committed
+            os.rename(staging, data_dir)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         manifest["version"] = next_v
         manifest["history"] = [
             *manifest["history"], {"version": next_v, "rows": n_rows,

@@ -73,7 +73,18 @@ def drain_to_batch(stream: DataFrame, output_mode: str = "update") -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(data_dir)
+    import shutil
+
+    try:
+        if os.path.isdir(data_dir):
+            # localCheckpoint pins the rows executor-side so the temp sink
+            # dir can be removed before the caller consumes the result.
+            return spark.read.parquet(data_dir).localCheckpoint(eager=True)
+        # A stream that produced zero micro-batches never created data_dir;
+        # match the empty-result contract instead of raising PATH_NOT_FOUND.
+        return spark.createDataFrame([], stream.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 _USER_STATS_OUTPUT = T.StructType([

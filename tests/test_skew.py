@@ -44,3 +44,13 @@ def test_salted_join_partitions_on_salt(spark, sf_dir):
     plan = buf.getvalue()
     assert "_salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_rejects_right_preserving_joins(spark, sf_dir):
+    import pytest
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    users = table(spark, sf_dir, "events").select("user_id").distinct()
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(ev, users, ["user_id"], salt_src="event_id", how=how)

@@ -168,3 +168,20 @@ def test_append_mode_finalizes_once_and_drops_late(spark, tmp_path):
     assert len(out) == 1, out
     row = out[0]
     assert row.start == T0 and row.n == 4 and row.sv == 102.0, out
+
+
+def test_drain_to_batch_zero_microbatches(spark, tmp_path):
+    """A source with no input files produces no micro-batches; the drain
+    must return an empty DataFrame with the stream's schema, not raise
+    PATH_NOT_FOUND on the never-created sink directory."""
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(str(src))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    out = drain_to_batch(stream, output_mode="complete")
+    assert out.count() == 0
+    assert out.columns == ["user_id", "n"]

@@ -58,14 +58,14 @@ def test_crashed_write_is_invisible(spark, vt):
     _df(spark, [(9, "junk")]).write.parquet(os.path.join(vt.root, "v1"))
     assert vt.version() == 0
     assert {r.pk for r in vt.read(spark).collect()} == {1}
-    # recovery: the next commit must not collide with the orphan dir
-    # (errorifexists would throw) — that IS the desired loud failure; the
-    # operator clears orphans above the committed version
-    import shutil
-
-    shutil.rmtree(os.path.join(vt.root, "v1"))
+    # recovery: the next commit clears the orphan itself (the manifest
+    # proves v1 was never committed) instead of wedging on errorifexists
     vt.commit(_df(spark, [(1, "a2")]))
     assert vt.version() == 1
+    assert {r.v for r in vt.read(spark).collect()} == {"a2"}
+    # no staging debris left behind
+    leftovers = [d for d in os.listdir(vt.root) if "staging" in d]
+    assert leftovers == []
 
 
 def test_pipeline_versioned_layout_matches_default(spark, tmp_path):
