@@ -58,9 +58,16 @@ def ensure_nanos_readable(spark: SparkSession) -> None:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a driver table; normalize TIMESTAMP(NANOS) columns (read as long
-    under spark.sql.legacy.parquet.nanosAsLong) back to proper timestamps,
-    truncating to microseconds exactly like DuckDB does."""
+    """Read a driver table; normalize timestamp columns so downstream
+    queries always see plain TIMESTAMP (LTZ, session tz pinned UTC):
+
+    * TIMESTAMP(NANOS) arrives as long under
+      spark.sql.legacy.parquet.nanosAsLong — convert via timestamp_micros,
+      truncating to microseconds exactly like DuckDB does;
+    * TIMESTAMP(MICROS) without timezone arrives as TIMESTAMP_NTZ, which
+      withWatermark and epoch casts reject — cast to TIMESTAMP.  With the
+      session tz pinned UTC the wall-clock values are unchanged, so DuckDB
+      (timezone-naive) parity holds either way."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -71,6 +78,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             if field.name == "ts" and isinstance(field.dataType, T.LongType):
                 # integer division: a double /1000 rounds in the last micros
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 

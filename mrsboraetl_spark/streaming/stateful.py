@@ -26,7 +26,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table with the on-disk schema; normalizes
-    a TIMESTAMP(NANOS)-as-long ``ts`` exactly like queries.table does."""
+    ``ts`` exactly like queries.table does — TIMESTAMP(NANOS)-as-long via
+    timestamp_micros, TIMESTAMP_NTZ via a cast to TIMESTAMP (withWatermark
+    requires an LTZ event-time column; session tz is pinned UTC so the
+    wall-clock values are unchanged)."""
     from mrsboraetl_spark.queries import ensure_nanos_readable
 
     ensure_nanos_readable(spark)
@@ -38,6 +41,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return raw
 
 
