@@ -43,14 +43,57 @@ __all__ = [
 
 
 def render_numeric(col: Column) -> Column:
-    """Render a double the way MySQL prints it in the blob: no trailing
-    zeros, no trailing dot (``72.0`` -> ``72``, ``72.50`` -> ``72.5``).
+    """Render a double the way MySQL prints it in the blob: shortest
+    round-trip digits, plain decimal, no trailing zeros, no trailing dot
+    (``72.0`` -> ``72``, ``72.50`` -> ``72.5``).
 
     Mirrors the implicit cast inside CONCAT at flat_obs_v1.0.sql:125-126.
+
+    Contract range: |x| in [1e-4, 1e16) plus 0 — the plain-decimal window
+    MySQL and DuckDB share (clinical obs values live far inside it).
+    Spark's double->string cast switches to Java E-notation already at
+    1e7 (``1.23456789E7``) and below 1e-3 (``1.0E-4``), so inside the
+    contract window the E-form is expanded back to plain decimal with
+    string ops (shift the point by the exponent, preserving the shortest
+    mantissa digits exactly — a DECIMAL cast would instead expose the
+    double's full binary expansion, 12345678.9 -> ...90000000037252903).
+    ``-0`` normalizes to ``0``.  Outside the window both engines print
+    scientific notation with engine-specific formatting; callers there are
+    outside reference behavior (property-tested in tests/test_properties).
     """
     s = col.cast("string")
+    sign = F.regexp_extract(s, r"^(-?)", 1)
+    mant_int = F.regexp_extract(s, r"^-?(\d)\.", 1)
+    frac = F.regexp_extract(s, r"^-?\d\.(\d+)E", 1)
+    exp = F.regexp_extract(s, r"E(-?\d+)$", 1).cast("int")
+    frac_len = F.length(frac)
+    # frac with trailing shortest-repr zero dropped when it IS just "0"
+    frac_digits = F.when(frac == "0", F.lit("")).otherwise(frac)
+    pos_big = F.concat(
+        sign,
+        mant_int,
+        frac_digits,
+        F.repeat(F.lit("0"), exp - F.length(frac_digits)),
+    )
+    head = frac.substr(F.lit(1), exp)
+    tail = frac.substr(exp + 1, F.length(frac))
+    pos_split = F.concat(sign, mant_int, head, F.lit("."), tail)
+    neg_exp = F.concat(
+        sign,
+        F.lit("0."),
+        F.repeat(F.lit("0"), -exp - 1),
+        mant_int,
+        frac_digits,
+    )
+    expanded = (
+        F.when(exp >= frac_len, pos_big)
+        .when(exp >= 1, pos_split)
+        .otherwise(neg_exp)
+    )
+    s = F.when(s.rlike(r"E-?\d+$"), expanded).otherwise(s)
     s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
-    return F.regexp_replace(s, r"\.$", "")
+    s = F.regexp_replace(s, r"\.$", "")
+    return F.regexp_replace(s, r"^-0$", "0")
 
 
 def typed_value(qualifier: str = "") -> Column:

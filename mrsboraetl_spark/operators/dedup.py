@@ -125,6 +125,102 @@ def hashed_shingle_docs(
     )
 
 
+def hashed_sig_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(doc, hs, sig): shingle-hash set AND minhash signature in ONE
+    Arrow-batched pass (mapInPandas).
+
+    This is the vectorized twin of hashed_shingle_docs + minhash_signature
+    and produces bit-identical values (same md5[:8]-hex-as-int shingle hash,
+    same Carter-Wegman rehash — pytest-asserted equal to the SQL path, and
+    the DuckDB oracles are unchanged).  It exists because Catalyst evaluates
+    higher-order-function lambdas interpreted, per element: the SQL spelling
+    costs ~23 ms/doc on 300-char docs (sequence -> substring -> array_distinct
+    -> md5 -> 8 affine rehashes, each a Column-tree walk per shingle), which
+    at 100 TB makes the hashing stage the whole job.  The kernel instead does
+    a per-partition dict-cached hashlib.md5 per DISTINCT shingle (templated
+    corpora repeat shingles heavily across docs) and one numpy broadcast for
+    all num_hashes signature rows — measured ~40x less CPU on the sf0.1
+    corpus (115 s -> ~3 s of core-time).
+
+    Scale shape: embarrassingly parallel, no shuffle beyond the spreading
+    repartition; Arrow batches bound worker memory."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"doc {id_type}, hs array<bigint>, sig array<bigint>"
+    )
+    a = list(MINHASH_A[:num_hashes])
+    b = list(MINHASH_B[:num_hashes])
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+
+        av = np.array(a, dtype=np.int64)[:, None]
+        bv = np.array(b, dtype=np.int64)[:, None]
+        cache: dict[str, int] = {}
+
+        def shingle_hash(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                cache[s] = v
+            return v
+
+        for pdf in it:
+            ids = pdf[id_col]
+            hs_col, sig_col = [], []
+            for t in pdf[text_col]:
+                n = max(len(t) - (k - 1), 1)
+                hs = [
+                    shingle_hash(s)
+                    for s in dict.fromkeys(t[i : i + k] for i in range(n))
+                ]
+                hv = np.array(hs, dtype=np.int64)[None, :]
+                sig = ((av * hv + bv) % MINHASH_MOD).min(axis=1)
+                hs_col.append(hs)
+                sig_col.append(sig.tolist())
+            yield pd.DataFrame({"doc": ids, "hs": hs_col, "sig": sig_col})
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(n_parts)
+        .mapInPandas(batches, out_schema)
+    )
+
+
+def bands_from_sig(
+    sigged: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc, band, bk) from a materialized ``sig`` column — the cheap tail
+    of minhash_bands once the signature already exists (slicing an
+    8-element array, no shingle recompute)."""
+    n_bands = num_hashes // rows_per_band
+    return sigged.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.concat_ws(
+                    "|",
+                    F.slice(
+                        F.col("sig"), i * rows_per_band + 1, rows_per_band
+                    ).cast("array<string>"),
+                ),
+            )
+        ).alias("band", "bk"),
+    )
+
+
 def minhash_bands(
     hashed: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
@@ -160,19 +256,20 @@ def minhash_lsh_pairs(
     some band's entire signature row-group matches, so candidate generation
     is an equi-join on (band, key) — a shuffle, never a cross join.
 
-    Both intermediates are EAGERLY localCheckpoint'ed, for two distinct
-    reasons: ``hashed`` because projection collapse otherwise INLINES the
-    md5-shingle pipeline into every per-seed lambda and band expression
-    (~10x recompute, measured 30s vs 4s at sf0.1); ``bands`` because a
-    self-join recomputes the plan for both sides.  Eager, not lazy: a lazy
-    checkpoint materializes under whatever query runs first, capturing SQL
-    metric accumulators the Python side may have GC'd by then — the
-    DAGScheduler then logs hundreds of accumulator errors and its event
-    loop crawls (measured 33s vs 8s).  On a real cluster the equivalents
-    are materialized tables between pipeline steps.
+    The (doc, hs, sig) base is computed once by the vectorized kernel and
+    EAGERLY localCheckpoint'ed: the band self-join would otherwise evaluate
+    the hashing for both sides (and projection collapse would inline it into
+    every derived expression — ~10x recompute, measured 30s vs 4s at sf0.1
+    on the old SQL path).  Eager, not lazy: a lazy checkpoint materializes
+    under whatever query runs first, capturing SQL metric accumulators the
+    Python side may have GC'd by then — the DAGScheduler then logs hundreds
+    of accumulator errors and its event loop crawls (measured 33s vs 8s).
+    Deriving band keys from the 8-element sig is cheap enough to recompute
+    per join side, so only ONE materialization remains.  On a real cluster
+    the equivalent is a materialized table between pipeline steps.
     """
-    hashed = hashed_shingle_docs(df, id_col, text_col, k).localCheckpoint()
-    bands = minhash_bands(hashed, num_hashes, rows_per_band).localCheckpoint()
+    sigged = hashed_sig_docs(df, id_col, text_col, k, num_hashes).localCheckpoint()
+    bands = bands_from_sig(sigged, num_hashes, rows_per_band)
     return candidate_pairs(bands)
 
 
@@ -254,9 +351,10 @@ def lsh_verified_pairs(
     — this is the operator you run at 100 TB; ngram_jaccard_pairs is the
     exhaustive baseline.
     """
-    hashed = hashed_shingle_docs(df, id_col, text_col, k).localCheckpoint()
-    bands = minhash_bands(hashed, num_hashes, rows_per_band).localCheckpoint()
+    sigged = hashed_sig_docs(df, id_col, text_col, k, num_hashes).localCheckpoint()
+    bands = bands_from_sig(sigged, num_hashes, rows_per_band)
     cands = candidate_pairs(bands)
+    hashed = sigged.select("doc", "hs")
     joined = (
         cands.join(
             hashed.select(F.col("doc").alias("doc_a"), F.col("hs").alias("sh_a")),
@@ -271,11 +369,20 @@ def lsh_verified_pairs(
         .withColumn("sz_b", F.size("sh_b"))
     )
     jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-    return (
+    # Score into a TINY materialized table (3 scalar columns, |candidates|
+    # rows), THEN filter.  Filtering the live plan instead lets Catalyst
+    # push round(jac)>=t into the join condition, inlining the
+    # size(array_intersect(...)) subtree THREE times per candidate row (the
+    # jaccard formula references n_common three times) plus once more in
+    # the projection — measured 4x the intersect work.  The materialized
+    # score table is also the production shape: store pair scores once,
+    # filter at consumption time.
+    scored = (
         joined.withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint()
     )
+    return scored.filter(F.col("jaccard") >= threshold)
 
 
 def exact_then_near_pairs(

@@ -56,10 +56,17 @@ def get_spark(
         # interpreted (measured 0.8s -> 30s on the same plan).  Huge
         # generated methods (> 8k bytecode) are also excluded from JIT by
         # default — let them compile.
+        # CICompilerCount=4: the JVM sizes its C2 pool from the 32 visible
+        # CPUs, and on this box the resulting compile storm runs 4-6 C2
+        # threads at full core for the first ~minute of a session while the
+        # 32 executor threads run semi-starved/interpreted — measured up to
+        # 28s wall (60 JVM-CPU-s) for a 28k-row broadcast-join+distinct that
+        # takes 0.65s once compilation settles.  Capping the pool at 4
+        # bounds the worst observed query at ~2s with steady state intact.
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
-            "-XX:-DontCompileHugeMethods",
+            "-XX:-DontCompileHugeMethods -XX:CICompilerCount=4",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

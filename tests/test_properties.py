@@ -168,3 +168,61 @@ def test_numeric_rendering_matches_mysql_examples(spark):
     df = spark.createDataFrame([(v,) for v, _ in cases], "x double")
     got = [r[0] for r in df.select(render_numeric(F.col("x"))).collect()]
     assert got == [want for _, want in cases]
+
+
+RENDER_FLOAT = st.one_of(
+    # the full plain-decimal contract window, both signs, log-uniform-ish
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-9.9e14, max_value=9.9e14),
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=1e-4, max_value=1.0),
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-1.0, max_value=-1e-4),
+    st.sampled_from([
+        0.0, -0.0, 1e-4, -1e-4, 9999999.0, 1e7, 1.5e7, 123456789.25,
+        12345678.9, 99999999.99, 7.25e10, 4.0e13, 123456789012345.6,
+        1.000001e7, 0.00012345, -0.0005, 2.0 ** 40, 2.0 ** -10,
+    ]),
+)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(RENDER_FLOAT, min_size=1, max_size=200))
+def test_render_numeric_matches_duckdb_over_float_grid(spark, xs):
+    """VERDICT r2 item 8: byte-parity of the blob numeric renderer across
+    engines over an adversarial float grid (negatives, E-notation
+    thresholds at 1e7 and 1e-4, shortest-repr 16-17 digit mantissas).
+
+    Contract window |x| in [1e-4, 9.9e14] plus 0: inside it MySQL and
+    DuckDB both print plain shortest decimal while Spark's cast switches
+    to Java E-notation at 1e7 — render_numeric must expand those back
+    bit-identically.  Each hypothesis example is one batch through one
+    Spark job; rows whose magnitude leaves the window are filtered (both
+    engines go scientific there, with engine-specific formats)."""
+    import duckdb
+
+    from mrsboraetl_spark.functions.obsmap import render_numeric
+
+    xs = [x for x in xs if x == 0 or 1e-4 <= abs(x) <= 9.9e14]
+    if not xs:
+        return
+    df = spark.createDataFrame([(v,) for v in xs], "x double")
+    got = [r[0] for r in df.select(render_numeric(F.col("x"))).collect()]
+    render = ("regexp_replace(regexp_replace(CAST(x AS VARCHAR),"
+              " '(\\.\\d*?)0+$', '\\1'), '\\.$', '')")
+    con = duckdb.connect()
+    # hand the doubles over bit-exactly (pandas -> duckdb), the same way
+    # the driver's compare does via parquet: duckdb's VARCHAR->DOUBLE
+    # literal parse is NOT correctly rounded at 17-digit mantissas, which
+    # would test the parser, not the renderer
+    import pandas as pd
+
+    frame = pd.DataFrame({"x": pd.Series(xs, dtype="float64")})
+    con.register("vals", frame)
+    want = [r[0] for r in con.sql(f"select {render} from vals").fetchall()]
+    assert got == want, [
+        (v, g, w) for v, g, w in zip(xs, got, want) if g != w
+    ][:5]
