@@ -129,3 +129,68 @@ def winnowing_from_hashes(hash_col: Column, w: int = 4) -> Column:
         lambda i: F.array_min(F.slice(hash_col, i, w)),
     )
     return F.array_sort(F.array_distinct(windows))
+
+
+def winnowing_fingerprint_rows(
+    df, id_col: str, text_col: str, k: int = 5, w: int = 4
+):
+    """Vectorized winnowing: one (doc, fp) row per distinct window-minimum,
+    computed in an Arrow-batched mapInPandas kernel.
+
+    Bit-identical to ordered_kgram_hashes + winnowing_from_hashes +
+    explode (pytest-asserted; the DuckDB oracle is unchanged): same
+    md5[:8]-hex k-gram hash, same document-order stream with duplicates,
+    same ``max(n-w+1, 1)`` window count with the short-text whole-array
+    window.  Exists for the same reason as dedup.hashed_sig_docs — the
+    Catalyst HOF spelling evaluates one lambda call per k-gram plus one
+    per window, interpreted, which makes the hash stream the entire cost
+    of the operator; the kernel dict-caches md5 per distinct k-gram and
+    takes sliding-window minima with numpy strides.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity with peers)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"doc_id {id_type}, fp bigint"
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+
+        cache: dict[str, int] = {}
+
+        def gram_hash(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                cache[s] = v
+            return v
+
+        for pdf in it:
+            ids, fps = [], []
+            for doc, t in zip(pdf[id_col], pdf[text_col]):
+                n = max(len(t) - (k - 1), 1)
+                h = np.fromiter(
+                    (gram_hash(t[i : i + k]) for i in range(n)),
+                    dtype=np.int64,
+                    count=n,
+                )
+                if len(h) <= w:
+                    mins = np.array([h.min()], dtype=np.int64)
+                else:
+                    mins = np.lib.stride_tricks.sliding_window_view(
+                        h, w
+                    ).min(axis=1)
+                for fp in np.unique(mins):
+                    ids.append(doc)
+                    fps.append(int(fp))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, text_col)
+        .repartition(n_parts)
+        .mapInPandas(batches, out_schema)
+    )

@@ -561,29 +561,19 @@ def text_doc_metrics(spark, sf_dir):
 )
 def text_winnowing_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (k=5, w=4): distinct minima of a
-    sliding window over the ordered k-gram hash stream.  Hash stream is
-    materialized as a column between the two selects (inlining caveat).
+    sliding window over the ordered k-gram hash stream, via the vectorized
+    Arrow kernel (bit-identical to the HOF spelling
+    ordered_kgram_hashes + winnowing_from_hashes, which remains as the
+    oracle-documented parity reference — see functions/text.py).
 
     Output is one scalar row per (doc_id, fingerprint): the driver's pandas
     canonicalizer hashes cell values and cannot sort list cells, so the
-    fingerprint set is exploded on BOTH engines (Spark explode / DuckDB
+    fingerprint set is exploded on BOTH engines (Spark kernel rows / DuckDB
     unnest) — same set semantics, hashable shape."""
-    from mrsboraetl_spark.functions.text import (
-        ordered_kgram_hashes,
-        winnowing_from_hashes,
-    )
+    from mrsboraetl_spark.functions.text import winnowing_fingerprint_rows
 
     docs = table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
-    return (
-        docs.repartition(n_parts)
-        .select("doc_id", ordered_kgram_hashes(F.col("text"), 5).alias("h"))
-        .localCheckpoint()
-        .select(
-            "doc_id",
-            F.explode(winnowing_from_hashes(F.col("h"), 4)).alias("fp"),
-        )
-    )
+    return winnowing_fingerprint_rows(docs, "doc_id", "text", 5, 4)
 
 
 # -------------------------------------------------------------- multimodal

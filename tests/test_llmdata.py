@@ -125,3 +125,57 @@ def test_ivf_seed_centroids_deterministic(spark, sf_dir):
         )
 
     assert run() == run()
+
+
+def test_vectorized_minhash_kernel_matches_sql_spelling(spark, sf_dir):
+    """hashed_sig_docs (Arrow kernel) must be bit-identical to the HOF
+    spelling shingle_hashes + minhash_signature — the kernel exists for
+    speed (Catalyst evaluates HOF lambdas interpreted per element), never
+    for different math; the DuckDB oracles encode the SQL spelling."""
+    from mrsboraetl_spark.operators.dedup import (
+        hashed_shingle_docs,
+        hashed_sig_docs,
+        minhash_signature,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sql_side = {
+        r["doc"]: (r["hs"], r["sig"])
+        for r in hashed_shingle_docs(docs, "doc_id", "text")
+        .withColumn("sig", minhash_signature(F.col("hs"), 8))
+        .collect()
+    }
+    vec_side = {
+        r["doc"]: (r["hs"], r["sig"])
+        for r in hashed_sig_docs(docs, "doc_id", "text", 5, 8).collect()
+    }
+    assert sql_side == vec_side
+
+
+def test_vectorized_winnowing_kernel_matches_sql_spelling(spark, sf_dir):
+    """winnowing_fingerprint_rows must equal ordered_kgram_hashes +
+    winnowing_from_hashes + explode, row for row."""
+    from mrsboraetl_spark.functions.text import (
+        ordered_kgram_hashes,
+        winnowing_from_hashes,
+        winnowing_fingerprint_rows,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sql_rows = sorted(
+        map(
+            tuple,
+            docs.repartition(8)
+            .select("doc_id", ordered_kgram_hashes(F.col("text"), 5).alias("h"))
+            .localCheckpoint()
+            .select(
+                "doc_id",
+                F.explode(winnowing_from_hashes(F.col("h"), 4)).alias("fp"),
+            )
+            .collect(),
+        )
+    )
+    vec_rows = sorted(
+        map(tuple, winnowing_fingerprint_rows(docs, "doc_id", "text", 5, 4).collect())
+    )
+    assert sql_rows == vec_rows
