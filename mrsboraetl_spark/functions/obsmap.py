@@ -49,17 +49,19 @@ def render_numeric(col: Column) -> Column:
 
     Mirrors the implicit cast inside CONCAT at flat_obs_v1.0.sql:125-126.
 
-    Contract range: |x| in [1e-4, 1e16) plus 0 — the plain-decimal window
-    MySQL and DuckDB share (clinical obs values live far inside it).
+    Contract range: |x| in [1e-4, 9.9e14] plus 0 — the plain-decimal
+    window MySQL and DuckDB share (clinical obs values live far inside
+    it; above ~1e15 DuckDB's own formatter stops being shortest-repr).
     Spark's double->string cast switches to Java E-notation already at
     1e7 (``1.23456789E7``) and below 1e-3 (``1.0E-4``), so inside the
     contract window the E-form is expanded back to plain decimal with
     string ops (shift the point by the exponent, preserving the shortest
     mantissa digits exactly — a DECIMAL cast would instead expose the
     double's full binary expansion, 12345678.9 -> ...90000000037252903).
-    ``-0`` normalizes to ``0``.  Outside the window both engines print
-    scientific notation with engine-specific formatting; callers there are
-    outside reference behavior (property-tested in tests/test_properties).
+    ``-0.0`` renders ``-0`` (MySQL and DuckDB agree).  Outside the window
+    both engines print scientific notation with engine-specific
+    formatting; callers there are outside reference behavior
+    (property-tested in tests/test_properties).
     """
     s = col.cast("string")
     sign = F.regexp_extract(s, r"^(-?)", 1)
@@ -92,8 +94,7 @@ def render_numeric(col: Column) -> Column:
     )
     s = F.when(s.rlike(r"E-?\d+$"), expanded).otherwise(s)
     s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
-    s = F.regexp_replace(s, r"\.$", "")
-    return F.regexp_replace(s, r"^-0$", "0")
+    return F.regexp_replace(s, r"\.$", "")
 
 
 def typed_value(qualifier: str = "") -> Column:

@@ -439,6 +439,39 @@ def exact_then_near_pairs(
     )
 
 
+def shingle_docs_exploded(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """(doc, s) — one row per DISTINCT k-shingle per doc, emitted by an
+    Arrow-batched kernel.  Row-equivalent to
+    ``select(doc, explode(shingles(text, k)))`` (the HOF spelling the
+    DuckDB oracles encode), vectorized for the same reason as
+    hashed_sig_docs: Catalyst evaluates the sequence->substring->
+    array_distinct lambdas interpreted per element, and the inverted-index
+    consumers below re-evaluate the un-materialized explode several times.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        for pdf in it:
+            ids, ss = [], []
+            for doc, t in zip(pdf[id_col], pdf[text_col]):
+                n = max(len(t) - (k - 1), 1)
+                for s in dict.fromkeys(t[i : i + k] for i in range(n)):
+                    ids.append(doc)
+                    ss.append(s)
+            yield pd.DataFrame({"doc": ids, "s": ss})
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, text_col)
+        .repartition(n_parts)
+        .mapInPandas(batches, f"doc {id_type}, s string")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -462,19 +495,17 @@ def ngram_jaccard_pairs(
     barely moves the metric: a shingle shared by half the corpus carries no
     dedup signal.
     """
-    sized = df.select(
-        F.col(id_col).alias("doc"),
-        shingles(F.col(text_col), k).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
-    inv = sized.select("doc", "sz", F.explode("sh").alias("s"))
+    exploded = shingle_docs_exploded(df, id_col, text_col, k).localCheckpoint()
+    sizes = exploded.groupBy("doc").agg(F.count("*").alias("sz"))
+    inv = exploded.join(sizes, "doc").select("doc", "sz", "s")
     if max_doc_freq is not None:
         keep = (
-            inv.groupBy("s")
+            exploded.groupBy("s")
             .agg(F.count("*").alias("doc_freq"))
             .filter(F.col("doc_freq") <= max_doc_freq)
             .select("s")
         )
-        filtered = inv.drop("sz").join(keep, "s")
+        filtered = exploded.join(keep, "s")
         resized = filtered.groupBy("doc").agg(F.count("*").alias("sz"))
         inv = filtered.join(resized, "doc").select("doc", "sz", "s")
     a, b = inv.alias("a"), inv.alias("b")
