@@ -334,6 +334,73 @@ def token_hashes(text: Column) -> Column:
     return F.transform(tokens, lambda t: F.md5(t))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+
+    Pigeonhole guarantee: split the ``num_bits`` fingerprint into
+    ``n_bands`` equal bands; any pair with Hamming distance <= n_bands-1
+    agrees on at least one whole band, so generating candidates with a
+    band equi-join (shuffle on the band key, never an all-pairs join)
+    has FULL recall for ``max_hamming <= n_bands - 1``.  Candidates are
+    then verified with the exact bit-count — the same candidates+verify
+    shape as lsh_verified_pairs, which is what survives at 100 TB.
+
+    Output: (doc_a, doc_b, hamming) with hamming <= max_hamming.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            "banded pigeonhole recall requires max_hamming <= n_bands - 1"
+        )
+    band_w = num_bits // n_bands
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    fp = (
+        df.repartition(n_parts)
+        .select(F.col(id_col).alias("doc"), token_hashes(F.col(text_col)).alias("th"))
+        .select("doc", simhash_bits(F.col("th"), num_bits).alias("sh"))
+        .localCheckpoint()
+    )
+    bands = fp.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.col("sh").substr(i * band_w + 1, F.lit(band_w)),
+            )
+        ).alias("band", "bk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    joined = (
+        cands.join(fp.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(fp.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    )
+    sa, sb = F.col("sh_a"), F.col("sh_b")
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(num_bits)),
+            lambda i: sa.substr(i, F.lit(1)) != sb.substr(i, F.lit(1)),
+        )
+    )
+    scored = joined.select("doc_a", "doc_b", hamming.alias("hamming")).localCheckpoint()
+    return scored.filter(F.col("hamming") <= max_hamming)
+
+
 def lsh_verified_pairs(
     df: DataFrame,
     id_col: str,

@@ -621,3 +621,64 @@ def multimodal_decode_stub(spark, sf_dir):
     enforcement — is hash-checked against DuckDB, not just row-counted."""
     docs = with_binary_payload(table(spark, sf_dir, "documents"))
     return decode_features_stub(docs)
+
+
+# Operators kept OUT of the 50-entry driver registry (cap reached) but
+# oracle-checked by tests/test_oracle_parity.py, mirroring
+# relational.UNREGISTERED_ORACLES.
+UNREGISTERED_ORACLES: dict[str, str] = {
+    "simhash_near_pairs": f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_TOKENS}) AS ts FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(ts) AS t FROM toks
+    ), votes AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN substr(md5(t), CAST(i AS INT), 1)
+                      IN ('8','9','a','b','c','d','e','f')
+                 THEN 1 ELSE -1 END) AS v
+      FROM tok CROSS JOIN range(1, 33) r(i)
+      GROUP BY doc_id, i
+    ), fp AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+               AS sh
+      FROM votes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, sh, b.band,
+             substr(sh, CAST(b.band * 16 + 1 AS INT), 16) AS bk
+      FROM fp CROSS JOIN range(0, 2) b(band)
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len([i FOR i IN range(1, 33)
+                IF substr(sh_a, CAST(i AS INT), 1)
+                   <> substr(sh_b, CAST(i AS INT), 1)]) AS hamming
+    FROM cands
+    WHERE len([i FOR i IN range(1, 33)
+               IF substr(sh_a, CAST(i AS INT), 1)
+                  <> substr(sh_b, CAST(i AS INT), 1)]) <= 1
+    """,
+}
+
+
+def simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS at scale: banded pigeonhole candidates
+    (Hamming <= n_bands-1 guarantees a shared 16-bit band -> equi-join,
+    full recall at max_hamming=1) + exact bit-count verification.  The
+    driver corpus is template-heavy (token sets nearly identical across
+    docs), so even Hamming <= 1 admits ~10k pairs at 500 docs — the
+    operator's selectivity is a property of the data, the banding keeps
+    the join an equi-join regardless.  Completes the simhash
+    family: dedup_simhash computes fingerprints, this consumes them.
+    Unregistered (50-entry cap); oracle-checked in test_oracle_parity."""
+    from mrsboraetl_spark.operators.dedup import simhash_near_pairs as op
+
+    return op(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        num_bits=32, n_bands=2, max_hamming=1,
+    )

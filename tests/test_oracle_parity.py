@@ -41,6 +41,7 @@ UNREGISTERED = [
     "join_left_zero",
     "sort_limit_top100",
     "count_distinct_by_priority",
+    "simhash_near_pairs",
 ]
 
 
@@ -89,8 +90,9 @@ def test_no_nonscalar_output_columns(spark, sf_dir):
 
 @pytest.mark.parametrize("name", UNREGISTERED)
 def test_unregistered_queries(spark, sf_dir, duck, name):
-    from mrsboraetl_spark.queries import relational
+    from mrsboraetl_spark.queries import llmdata, relational
 
-    sdf = getattr(relational, name)(spark, sf_dir)
-    err = compare(name, sdf, relational.UNREGISTERED_ORACLES[name], duck)
+    module = relational if hasattr(relational, name) else llmdata
+    sdf = getattr(module, name)(spark, sf_dir)
+    err = compare(name, sdf, module.UNREGISTERED_ORACLES[name], duck)
     assert err is None, f"{name}: {err}"
