@@ -595,3 +595,96 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, label) — connected components of the undirected pair graph,
+    label = minimum node id in the component: the cluster assignment that
+    turns near-dup PAIRS into dedup DECISIONS (keep label, drop the rest).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels (one symmetric-edge join + one groupBy
+    — two key-partitioned shuffles per round), iterating to a fixpoint.
+    Rounds needed = graph diameter; near-dup clusters are dense (LSH emits
+    most intra-cluster pairs), so 2-4 rounds in practice.  Each round's
+    labels are localCheckpoint'ed — iterative lineage otherwise grows the
+    plan exponentially and re-evaluates every prior round.  At 100 TB you
+    would swap in the two-phase large-star/small-star variant (same
+    per-round shuffle structure, provably fewer rounds on high-diameter
+    graphs); the convergence test is a driver-side scalar count, not a
+    collect.
+
+    Raises if ``max_iter`` rounds don't converge (diameter > max_iter) —
+    silent partial labels would silently under-merge clusters.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), "label"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("u").alias("node"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_cluster_keepers(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """(id, cluster, is_keeper) for EVERY row of ``df``: docs absent from
+    the pair graph are their own singleton cluster; the keeper of each
+    cluster is its minimum id (matching exact_dedup's keeper rule)."""
+    comps = connected_components(pairs, src, dst)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps.select(F.col("node").alias("id"), "label"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("label"), F.col("id")).alias("cluster"),
+        )
+        .withColumn("is_keeper", (F.col("id") == F.col("cluster")))
+    )

@@ -124,10 +124,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     WITH toks AS (
       SELECT doc_id, list_distinct({_TOKENS}) AS ts FROM documents
     ), tok AS (
-      SELECT doc_id, unnest(ts) AS t FROM toks
+      SELECT doc_id, md5(unnest(ts)) AS h FROM toks
     ), votes AS (
       SELECT doc_id, i,
-             sum(CASE WHEN substr(md5(t), CAST(i AS INT), 1)
+             sum(CASE WHEN substr(h, CAST(i AS INT), 1)
                       IN ('8','9','a','b','c','d','e','f')
                  THEN 1 ELSE -1 END) AS v
       FROM tok CROSS JOIN range(1, 33) r(i)
@@ -631,10 +631,10 @@ UNREGISTERED_ORACLES: dict[str, str] = {
     WITH toks AS (
       SELECT doc_id, list_distinct({_TOKENS}) AS ts FROM documents
     ), tok AS (
-      SELECT doc_id, unnest(ts) AS t FROM toks
+      SELECT doc_id, md5(unnest(ts)) AS h FROM toks
     ), votes AS (
       SELECT doc_id, i,
-             sum(CASE WHEN substr(md5(t), CAST(i AS INT), 1)
+             sum(CASE WHEN substr(h, CAST(i AS INT), 1)
                       IN ('8','9','a','b','c','d','e','f')
                  THEN 1 ELSE -1 END) AS v
       FROM tok CROSS JOIN range(1, 33) r(i)

@@ -179,3 +179,78 @@ def test_vectorized_winnowing_kernel_matches_sql_spelling(spark, sf_dir):
         map(tuple, winnowing_fingerprint_rows(docs, "doc_id", "text", 5, 4).collect())
     )
     assert sql_rows == vec_rows
+
+
+def _union_find_components(edges):
+    """Independent Python oracle: classic union-find with path compression."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark, sf_dir):
+    """Min-label propagation over the REAL lsh_verified pair graph must
+    equal union-find run on the same edges."""
+    from mrsboraetl_spark.operators.dedup import (
+        connected_components,
+        lsh_verified_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(docs, "doc_id", "text", 8, 5, 2, 0.2)
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert edges, "probe needs a non-empty pair graph"
+    want = _union_find_components(edges)
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_chain_diameter(spark):
+    """A path graph exercises the iteration bound: diameter D needs ~D
+    rounds, and an insufficient max_iter must raise, not under-merge."""
+    import pytest as _pytest
+
+    from mrsboraetl_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["label"] for r in connected_components(chain).collect()
+    }
+    assert got == {i: 1 for i in range(1, 13)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_dedup_cluster_keepers_covers_all_docs(spark, sf_dir):
+    """Every doc gets exactly one cluster row; keepers are the cluster
+    minima; docs outside the pair graph are their own singleton."""
+    from mrsboraetl_spark.operators.dedup import (
+        dedup_cluster_keepers,
+        lsh_verified_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(docs, "doc_id", "text", 8, 5, 2, 0.2)
+    out = dedup_cluster_keepers(docs, pairs, "doc_id").toPandas()
+    assert len(out) == docs.count()
+    assert out["id"].is_unique
+    keepers = out[out["is_keeper"]]
+    assert (keepers["id"] == keepers["cluster"]).all()
+    mins = out.groupby("cluster")["id"].min()
+    assert (mins.index == mins.values).all()
