@@ -109,3 +109,54 @@ def test_no_registry_query_plans_a_nested_loop(spark, sf_dir):
         if hits:
             bad[name] = hits
     assert not bad, bad
+
+
+def test_unregistered_scale_ops_plan_no_nested_loop(spark, sf_dir):
+    """simhash_near_pairs and the connected-components round are banded /
+    key-partitioned equi-joins — the same cartesian guard the registry
+    sweep enforces, for the unregistered scale operators."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from mrsboraetl_spark.operators.dedup import simhash_near_pairs
+    from mrsboraetl_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+
+    def fmt(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    plans = {"simhash_near_pairs": fmt(
+        simhash_near_pairs(docs, "doc_id", "text", 32, 2, 1)
+    )}
+    # one propagation round of connected_components, plan-only
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    sym = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    plans["cc_round"] = fmt(
+        sym.join(labels.select(F.col("node").alias("v"), "label"), "v")
+        .groupBy("u")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    bad = {
+        name: [
+            n for n in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if n in plan
+        ]
+        for name, plan in plans.items()
+    }
+    bad = {k: v for k, v in bad.items() if v}
+    assert not bad, bad
