@@ -70,17 +70,20 @@ def main() -> None:
     # contention (C2 threads competing with the 32 executor threads) plus
     # neighbor noise that can inflate a single pass of an arbitrary query
     # by 5-20x; the min of three passes is robust to such stalls while
-    # never flattering a plan that is actually slow every time.
-    timings: dict[str, float] = {}
+    # never flattering a plan that is actually slow every time.  ALL
+    # samples are emitted alongside the min so a reader can separate box
+    # noise (one inflated sample, tight min) from a real regression
+    # (all three samples slow) without re-running anything.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(3):
         for name in HEADLINE:
             fn = REGISTRY[name].fn
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            samples[name].append(round(time.perf_counter() - t0, 3))
 
+    timings = {name: min(ts) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -89,6 +92,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf,
             }
         )

@@ -159,11 +159,18 @@ def winnowing_fingerprint_rows(
 
         import numpy as np
 
+        # Distinct-k-gram memo, capped like dedup's kernels: templated
+        # corpora repeat k-grams (the win); high-entropy corpora would
+        # otherwise grow the dict unboundedly over a task's batches.
+        from mrsboraetl_spark.operators.dedup import _KERNEL_CACHE_MAX
+
         cache: dict[str, int] = {}
 
         def gram_hash(s: str) -> int:
             v = cache.get(s)
             if v is None:
+                if len(cache) > _KERNEL_CACHE_MAX:
+                    cache.clear()
                 v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
                 cache[s] = v
             return v
@@ -190,7 +197,10 @@ def winnowing_fingerprint_rows(
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
+        # NULL text dropped JVM-side: the kernel slices the string, and the
+        # exploded output of the SQL spelling has no rows for a null doc.
         df.select(id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
         .repartition(n_parts)
         .mapInPandas(batches, out_schema)
     )

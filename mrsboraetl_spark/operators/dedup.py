@@ -52,6 +52,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # Prime just above 2^32 — the affine rehash modulus.
 MINHASH_MOD = 4294967311
+# Per-task cap on the kernels' distinct-shingle md5 memo dicts (entries).
+_KERNEL_CACHE_MAX = 4_000_000
 # Fixed odd 30-bit multipliers/offsets for the Carter-Wegman family
 # h_s = (A[s]*h + B[s]) mod MINHASH_MOD.  They MUST be large and unrelated:
 # a first cut used a_s = 2s+1, making seed 0 the identity map — every pair
@@ -166,11 +168,18 @@ def hashed_sig_docs(
 
         av = np.array(a, dtype=np.int64)[:, None]
         bv = np.array(b, dtype=np.int64)[:, None]
+        # Per-task memo over DISTINCT shingles.  Bounded: templated corpora
+        # repeat shingles heavily (the win), but a high-entropy corpus grows
+        # the dict with every new shingle, so clear past ~4M entries
+        # (~400 MB) — Arrow batches bound the ROW memory, the cap bounds
+        # the CACHE memory, and a clear only costs re-hashing.
         cache: dict[str, int] = {}
 
         def shingle_hash(s: str) -> int:
             v = cache.get(s)
             if v is None:
+                if len(cache) > _KERNEL_CACHE_MAX:
+                    cache.clear()
                 v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
                 cache[s] = v
             return v
@@ -192,7 +201,12 @@ def hashed_sig_docs(
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
+        # NULL text is dropped JVM-side: the kernel indexes/slices the
+        # string, and the SQL spelling's null row (null hs/sig array)
+        # carries no information any consumer uses — explode-of-null /
+        # band derivation both emit nothing for it anyway.
         df.select(F.col(id_col), F.col(text_col))
+        .filter(F.col(text_col).isNotNull())
         .repartition(n_parts)
         .mapInPandas(batches, out_schema)
     )
@@ -251,10 +265,12 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     k: int = 5,
     rows_per_band: int = 2,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: a pair is a candidate iff
     some band's entire signature row-group matches, so candidate generation
     is an equi-join on (band, key) — a shuffle, never a cross join.
+    ``max_band_freq`` caps hot bands (see candidate_pairs).
 
     The (doc, hs, sig) base is computed once by the vectorized kernel and
     EAGERLY localCheckpoint'ed: the band self-join would otherwise evaluate
@@ -270,13 +286,36 @@ def minhash_lsh_pairs(
     """
     sigged = hashed_sig_docs(df, id_col, text_col, k, num_hashes).localCheckpoint()
     bands = bands_from_sig(sigged, num_hashes, rows_per_band)
-    return candidate_pairs(bands)
+    return candidate_pairs(bands, max_band_freq)
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
+def candidate_pairs(
+    bands: DataFrame, max_band_freq: int | None = None
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing a band key — the LSH
     candidate self-join.  ``bands`` must already be materialized
-    (checkpoint/table): a self-join evaluates the plan for both sides."""
+    (checkpoint/table): a self-join evaluates the plan for both sides.
+
+    ``max_band_freq`` drops (band, key) buckets shared by more than that
+    many docs BEFORE the self-join — the hot-band analogue of
+    ngram_jaccard_pairs' ``max_doc_freq``.  A single degenerate band
+    shared by d docs yields a d^2 join partition, the one remaining
+    quadratic at 100 TB on templated corpora (near-identical boilerplate
+    that exact-dedup does NOT collapse).  The cap bounds the worst
+    partition at max_band_freq^2 rows.  Recall trade-off: a pair whose
+    ONLY shared band is over-full is lost — docs in a mega-band are
+    near-dups of thousands of others, so at production scale they are
+    better handled by the exact-then-near composition or flagged
+    wholesale; pairs sharing any non-hot band are unaffected.
+    """
+    if max_band_freq is not None:
+        keep = (
+            bands.groupBy("band", "bk")
+            .agg(F.count("*").alias("band_freq"))
+            .filter(F.col("band_freq") <= max_band_freq)
+            .select("band", "bk")
+        )
+        bands = bands.join(keep, ["band", "bk"])
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -341,6 +380,7 @@ def simhash_near_pairs(
     num_bits: int = 32,
     n_bands: int = 4,
     max_hamming: int = 3,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded for scale.
 
@@ -351,12 +391,23 @@ def simhash_near_pairs(
     has FULL recall for ``max_hamming <= n_bands - 1``.  Candidates are
     then verified with the exact bit-count — the same candidates+verify
     shape as lsh_verified_pairs, which is what survives at 100 TB.
+    ``max_band_freq`` caps hot bands exactly like candidate_pairs
+    (documented recall trade-off there); the pigeonhole guarantee then
+    holds only for pairs retaining a non-hot shared band.
 
     Output: (doc_a, doc_b, hamming) with hamming <= max_hamming.
     """
     if max_hamming > n_bands - 1:
         raise ValueError(
             "banded pigeonhole recall requires max_hamming <= n_bands - 1"
+        )
+    if num_bits % n_bands:
+        # With band_w = num_bits // n_bands the trailing num_bits % n_bands
+        # bits would fall in NO band: a pair differing only there is never
+        # a candidate and the full-recall guarantee silently breaks.
+        raise ValueError(
+            "num_bits must be divisible by n_bands: trailing bits would be "
+            "uncovered by every band and break the pigeonhole guarantee"
         )
     band_w = num_bits // n_bands
     n_parts = df.sparkSession.sparkContext.defaultParallelism
@@ -375,17 +426,7 @@ def simhash_near_pairs(
             )
         ).alias("band", "bk"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+    cands = candidate_pairs(bands, max_band_freq)
     joined = (
         cands.join(fp.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(fp.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
@@ -409,6 +450,7 @@ def lsh_verified_pairs(
     k: int = 5,
     rows_per_band: int = 2,
     threshold: float = 0.2,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """The scale-path near-dup pipeline: banded-LSH candidate generation,
     then Jaccard verification computed in-row via array_intersect over the
@@ -416,11 +458,12 @@ def lsh_verified_pairs(
     perturb Jaccard by < 1e-4 and identically in the oracle).  Only
     candidate pairs ever materialize, so cost is O(candidates), not O(n^2)
     — this is the operator you run at 100 TB; ngram_jaccard_pairs is the
-    exhaustive baseline.
+    exhaustive baseline.  ``max_band_freq`` caps hot bands (see
+    candidate_pairs).
     """
     sigged = hashed_sig_docs(df, id_col, text_col, k, num_hashes).localCheckpoint()
     bands = bands_from_sig(sigged, num_hashes, rows_per_band)
-    cands = candidate_pairs(bands)
+    cands = candidate_pairs(bands, max_band_freq)
     hashed = sigged.select("doc", "hs")
     joined = (
         cands.join(
@@ -452,40 +495,29 @@ def lsh_verified_pairs(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
-def exact_then_near_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 8,
-    k: int = 5,
-    rows_per_band: int = 2,
-    threshold: float = 0.2,
-) -> DataFrame:
-    """The 100 TB dedup composition: exact dedup FIRST, near-dedup the
-    cluster representatives only.
+def exact_then_near(df: DataFrame, id_col: str, text_col: str, near_fn) -> DataFrame:
+    """The 100 TB dedup composition, generic over the near-dup family:
+    exact dedup FIRST, run ``near_fn(representative_rows)`` on the
+    keepers only, then attach both clusters' copy counts.
 
     Pair enumeration is inherently quadratic inside duplicate clusters
     (every doc in a c-copy cluster contributes c*(c-1)/2 pairs through
-    every LSH band), and web-scale corpora are full of exact dups.
-    Collapsing each exact cluster to its keeper before LSH makes the
-    near-dedup cost a function of DISTINCT content, not raw rows.  The
-    output pairs carry both clusters' copy counts, so total affected-row
-    multiplicity (copies_a * copies_b) is recoverable without ever
-    materializing the within-cluster quadratic.
+    every LSH/simhash band), and web-scale corpora are full of exact
+    dups.  Collapsing each exact cluster to its keeper before the
+    near-dup pass makes its cost a function of DISTINCT content, not raw
+    rows; the carried copy counts make total affected-row multiplicity
+    (copies_a * copies_b) recoverable without ever materializing the
+    within-cluster quadratic.
 
-    Measured (50k docs, every doc in a 10-copy exact cluster, threshold
-    0.2): direct lsh_verified_pairs = ~122s; this composition = 14.4s
-    end-to-end (one hash groupBy + the 5k-representative near-dedup + two
-    size joins) — and the gap widens with cluster size, since the direct
-    path is quadratic in copies and the composed path constant.
+    ``near_fn`` takes the representative-row DataFrame (same schema as
+    ``df``) and must return pairs with ``doc_a``/``doc_b`` columns; its
+    score columns (jaccard, hamming, ...) pass through unchanged.
     """
     reps = exact_dedup(df, id_col, text_col).localCheckpoint()
     rep_rows = df.join(
         reps.select(F.col("keeper").alias(id_col)), id_col, "left_semi"
     )
-    near = lsh_verified_pairs(
-        rep_rows, id_col, text_col, num_hashes, k, rows_per_band, threshold
-    )
+    near = near_fn(rep_rows)
     sizes = reps.select("keeper", "n_copies")
     return (
         near.join(
@@ -502,8 +534,61 @@ def exact_then_near_pairs(
             ),
             "doc_b",
         )
-        .select("doc_a", "doc_b", "jaccard", "copies_a", "copies_b")
     )
+
+
+def exact_then_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    k: int = 5,
+    rows_per_band: int = 2,
+    threshold: float = 0.2,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """exact_then_near with the MinHash-LSH+Jaccard-verify near path.
+
+    Measured (50k docs, every doc in a 10-copy exact cluster, threshold
+    0.2): direct lsh_verified_pairs = ~122s; this composition = 14.4s
+    end-to-end (one hash groupBy + the 5k-representative near-dedup + two
+    size joins) — and the gap widens with cluster size, since the direct
+    path is quadratic in copies and the composed path constant.
+    """
+    return exact_then_near(
+        df,
+        id_col,
+        text_col,
+        lambda rep_rows: lsh_verified_pairs(
+            rep_rows, id_col, text_col, num_hashes, k, rows_per_band,
+            threshold, max_band_freq,
+        ),
+    ).select("doc_a", "doc_b", "jaccard", "copies_a", "copies_b")
+
+
+def exact_then_near_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """exact_then_near with the banded-SimHash near path: exact clusters
+    collapse to keepers before fingerprinting, so a 10-copy boilerplate
+    cluster contributes ONE row to every band bucket instead of ten
+    (the same within-cluster-quadratic win measured for the minhash
+    path).  Output: (doc_a, doc_b, hamming, copies_a, copies_b)."""
+    return exact_then_near(
+        df,
+        id_col,
+        text_col,
+        lambda rep_rows: simhash_near_pairs(
+            rep_rows, id_col, text_col, num_bits, n_bands, max_hamming,
+            max_band_freq,
+        ),
+    ).select("doc_a", "doc_b", "hamming", "copies_a", "copies_b")
 
 
 def shingle_docs_exploded(
@@ -533,7 +618,10 @@ def shingle_docs_exploded(
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
+        # NULL text filtered JVM-side — exactly explode-of-null semantics
+        # (no rows), which is what the SQL spelling emits.
         df.select(id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
         .repartition(n_parts)
         .mapInPandas(batches, f"doc {id_type}, s string")
     )
@@ -607,20 +695,35 @@ def connected_components(
     label = minimum node id in the component: the cluster assignment that
     turns near-dup PAIRS into dedup DECISIONS (keep label, drop the rest).
 
-    Min-label propagation: each round every node takes the min of its own
-    label and its neighbors' labels (one symmetric-edge join + one groupBy
-    — two key-partitioned shuffles per round), iterating to a fixpoint.
-    Rounds needed = graph diameter; near-dup clusters are dense (LSH emits
-    most intra-cluster pairs), so 2-4 rounds in practice.  Each round's
-    labels are localCheckpoint'ed — iterative lineage otherwise grows the
-    plan exponentially and re-evaluates every prior round.  At 100 TB you
-    would swap in the two-phase large-star/small-star variant (same
-    per-round shuffle structure, provably fewer rounds on high-diameter
-    graphs); the convergence test is a driver-side scalar count, not a
-    collect.
+    Min-label propagation WITH pointer-doubling: each round every node
+    takes the min of (its own label, its neighbors' labels, its label's
+    label).  The third term is the union-find path-halving shortcut: label
+    values are always in-component node ids, so labels form a forest, and
+    jumping to the grandparent halves the remaining depth every round —
+    convergence in O(log diameter) rounds instead of O(diameter) (measured
+    on a 50k-node pure chain, the worst case: 18 rounds vs the 50,000 the
+    plain propagation would need; see PERF.md).  Dense near-dup clusters
+    (LSH emits most intra-cluster pairs) still converge in 2-4 rounds.
+    Cost per round: three key-partitioned shuffles (neighbor join + groupBy
+    + label-of-label self-join); each round's labels are
+    localCheckpoint'ed — iterative lineage otherwise grows the plan
+    exponentially and re-evaluates every prior round.  This replaces the
+    previously-documented large-star/small-star upgrade path: same
+    asymptotic round count, one fewer pass per round, and the edge set is
+    never rewritten.
 
-    Raises if ``max_iter`` rounds don't converge (diameter > max_iter) —
-    silent partial labels would silently under-merge clusters.
+    Correctness of the fixpoint: at convergence each node's label is <=
+    every neighbor's label AND vice versa (symmetry), so all labels in a
+    component are equal; label values never leave the component and
+    label(min) == min, hence every label is the component minimum.
+
+    The convergence test is a driver-side scalar ``count()`` per round —
+    a bounded action, not a collect; at cluster scale you would fold the
+    changed-count into an accumulator inside the label job (or check
+    every k rounds) to save one job submission per round.
+
+    Raises if ``max_iter`` rounds don't converge — silent partial labels
+    would silently under-merge clusters.
     """
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -643,12 +746,27 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .select(F.col("u").alias("node"), "nbr_label")
         )
+        # Pointer doubling: label-of-label.  Every label value is itself a
+        # node (labels start as self and only ever take existing ids), so
+        # this inner self-join matches exactly one row per node.
+        grand = (
+            labels.join(
+                labels.select(
+                    F.col("node").alias("label"), F.col("label").alias("glabel")
+                ),
+                "label",
+            )
+            .select("node", "glabel")
+        )
         new_labels = (
             labels.join(nbr_min, "node", "left")
+            .join(grand, "node")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                    F.col("glabel"),
                 ).alias("label"),
             )
             .localCheckpoint()

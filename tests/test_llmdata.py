@@ -254,3 +254,117 @@ def test_dedup_cluster_keepers_covers_all_docs(spark, sf_dir):
     assert (keepers["id"] == keepers["cluster"]).all()
     mins = out.groupby("cluster")["id"].min()
     assert (mins.index == mins.values).all()
+
+
+def test_band_cap_recall_tradeoff(spark, sf_dir):
+    """max_band_freq: a cap above every band's frequency is a no-op; a
+    tight cap yields a SUBSET (hot-band pairs dropped, nothing invented),
+    on both the minhash and simhash candidate paths."""
+    from mrsboraetl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert base, "probe needs candidates"
+    uncapped_eq = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", max_band_freq=10**9
+        ).collect()
+    }
+    assert uncapped_eq == base
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", max_band_freq=2
+        ).collect()
+    }
+    assert capped <= base
+    sim_base = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(
+            docs, "doc_id", "text", 32, 2, 1
+        ).collect()
+    }
+    sim_capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(
+            docs, "doc_id", "text", 32, 2, 1, max_band_freq=3
+        ).collect()
+    }
+    assert sim_capped <= sim_base
+
+
+def test_simhash_band_width_must_divide(spark, sf_dir):
+    """num_bits % n_bands != 0 leaves trailing bits in no band — the
+    pigeonhole recall guarantee breaks silently, so it must raise."""
+    import pytest as _pytest
+
+    from mrsboraetl_spark.operators.dedup import simhash_near_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError, match="divisible"):
+        simhash_near_pairs(docs, "doc_id", "text", 32, 3, 1)
+
+
+def test_kernels_skip_null_text(spark):
+    """NULL text must not crash the Arrow kernels; the null doc simply
+    emits nothing (explode-of-null semantics)."""
+    from mrsboraetl_spark.functions.text import winnowing_fingerprint_rows
+    from mrsboraetl_spark.operators.dedup import (
+        hashed_sig_docs,
+        shingle_docs_exploded,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world of text"), (2, None), (3, "more text here")],
+        "doc_id long, text string",
+    )
+    sig_docs = {r.doc for r in hashed_sig_docs(df, "doc_id", "text").collect()}
+    assert sig_docs == {1, 3}
+    exp_docs = {
+        r.doc for r in shingle_docs_exploded(df, "doc_id", "text").collect()
+    }
+    assert exp_docs == {1, 3}
+    win_docs = {
+        r.doc_id
+        for r in winnowing_fingerprint_rows(df, "doc_id", "text").collect()
+    }
+    assert win_docs == {1, 3}
+
+
+def test_exact_then_near_simhash_matches_direct(spark, sf_dir):
+    """The generic exact-then-near wrapper with the simhash near path must
+    produce exactly the pairs the direct operator finds on the exact-dup
+    representatives, with correct copy counts attached."""
+    from mrsboraetl_spark.operators.dedup import (
+        exact_dedup,
+        exact_then_near_simhash,
+        simhash_near_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    reps = exact_dedup(docs, "doc_id", "text")
+    rep_rows = docs.join(
+        reps.select(F.col("keeper").alias("doc_id")), "doc_id", "left_semi"
+    )
+    direct = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(
+            rep_rows, "doc_id", "text", 32, 2, 1
+        ).collect()
+    }
+    composed_rows = exact_then_near_simhash(
+        docs, "doc_id", "text", 32, 2, 1
+    ).collect()
+    composed = {(r.doc_a, r.doc_b, r.hamming) for r in composed_rows}
+    assert composed == direct
+    copies = {r.keeper: r.n_copies for r in reps.collect()}
+    for r in composed_rows:
+        assert r.copies_a == copies[r.doc_a]
+        assert r.copies_b == copies[r.doc_b]

@@ -17,7 +17,7 @@ SUBSET = [
     "join_multi_dims",
     "anti_join_daykey",
     "obs_blob_pack",
-    "setop_intersect_except",
+    "dedup_cluster_keepers",
     "latest_order_per_customer",
     "topk_orders_per_customer",
     "union_all_pad",
@@ -41,7 +41,9 @@ UNREGISTERED = [
     "join_left_zero",
     "sort_limit_top100",
     "count_distinct_by_priority",
-    "simhash_near_pairs",
+    # Demoted r5 to free slots for dedup_cluster_keepers + simhash_near_pairs
+    "pivot_status_counts",
+    "setop_intersect_except",
 ]
 
 
