@@ -690,6 +690,8 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    stats_reset_every: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, label) — connected components of the undirected pair graph,
     label = minimum node id in the component: the cluster assignment that
@@ -700,9 +702,8 @@ def connected_components(
     label).  The third term is the union-find path-halving shortcut: label
     values are always in-component node ids, so labels form a forest, and
     jumping to the grandparent halves the remaining depth every round —
-    convergence in O(log diameter) rounds instead of O(diameter) (measured
-    on a 50k-node pure chain, the worst case: 18 rounds vs the 50,000 the
-    plain propagation would need; see PERF.md).  Dense near-dup clusters
+    convergence in O(log diameter) rounds instead of O(diameter) (see the
+    chain/lattice probe table in PERF.md).  Dense near-dup clusters
     (LSH emits most intra-cluster pairs) still converge in 2-4 rounds.
     Cost per round: three key-partitioned shuffles (neighbor join + groupBy
     + label-of-label self-join); each round's labels are
@@ -711,6 +712,22 @@ def connected_components(
     previously-documented large-star/small-star upgrade path: same
     asymptotic round count, one fewer pass per round, and the edge set is
     never rewritten.
+
+    **Stats reset (``stats_reset_every``, measured — see PERF.md round 5):**
+    ``localCheckpoint`` truncates the *lineage* but PRESERVES the origin
+    Dataset's size-in-bytes estimate, and the non-CBO stats visitor
+    estimates an inner join as the PRODUCT of its children's sizes.  With
+    three references to ``labels`` per round the preserved estimate
+    compounds as ~3^round, and by round ~12 Catalyst's broadcast-size
+    check is multiplying BigIntegers with millions of digits of pure
+    driver CPU: measured per-round wall on a 10k chain went 0.3s -> 2.3s
+    -> 11s -> 40s -> 224s (rounds 10-14) with executors idle.  Every
+    ``stats_reset_every`` rounds the labels table is therefore written to
+    parquet and re-read — a scan with real (small) file stats, resetting
+    the estimate — bounding inter-reset growth at 3^k.  At cluster scale
+    pass ``checkpoint_dir`` on shared storage (the parquet round-trip is
+    the standard durable checkpoint for iterative state anyway); locally
+    a temp dir is used and removed on exit.
 
     Correctness of the fixpoint: at convergence each node's label is <=
     every neighbor's label AND vice versa (symmetry), so all labels in a
@@ -725,6 +742,12 @@ def connected_components(
     Raises if ``max_iter`` rounds don't converge — silent partial labels
     would silently under-merge clusters.
     """
+    import shutil
+    import tempfile
+
+    spark = edges.sparkSession
+    own_dir = checkpoint_dir is None
+    ckpt_root = checkpoint_dir or tempfile.mkdtemp(prefix="cc_labels_")
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -737,7 +760,7 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         nbr_min = (
             sym.join(
                 labels.select(F.col("node").alias("v"), "label"), "v"
@@ -769,8 +792,14 @@ def connected_components(
                     F.col("glabel"),
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        parquet_round = (rnd + 1) % stats_reset_every == 0
+        if parquet_round:
+            path = f"{ckpt_root}/round_{rnd}"
+            new_labels.write.mode("overwrite").parquet(path)
+            new_labels = spark.read.parquet(path)
+        else:
+            new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -780,10 +809,25 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            global _LAST_CC_ROUNDS
+            _LAST_CC_ROUNDS = rnd + 1
+            if own_dir:
+                if parquet_round:
+                    # The result would otherwise read from the temp dir
+                    # we are about to remove.
+                    labels = labels.localCheckpoint()
+                shutil.rmtree(ckpt_root, ignore_errors=True)
             return labels
+    if own_dir:
+        shutil.rmtree(ckpt_root, ignore_errors=True)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+# Diagnostics only (read by tests/cc_probe.py): rounds taken by the most
+# recent connected_components call on this driver.  Not part of the API.
+_LAST_CC_ROUNDS = 0
 
 
 def dedup_cluster_keepers(
@@ -792,11 +836,14 @@ def dedup_cluster_keepers(
     id_col: str,
     src: str = "doc_a",
     dst: str = "doc_b",
+    **cc_kwargs,
 ) -> DataFrame:
     """(id, cluster, is_keeper) for EVERY row of ``df``: docs absent from
     the pair graph are their own singleton cluster; the keeper of each
-    cluster is its minimum id (matching exact_dedup's keeper rule)."""
-    comps = connected_components(pairs, src, dst)
+    cluster is its minimum id (matching exact_dedup's keeper rule).
+    ``cc_kwargs`` (max_iter, checkpoint_dir, ...) pass through to
+    :func:`connected_components`."""
+    comps = connected_components(pairs, src, dst, **cc_kwargs)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comps.select(F.col("node").alias("id"), "label"), "id", "left")

@@ -29,7 +29,9 @@ def shuffle_totals(ui_port: int = 4040) -> tuple[int, int]:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [1200, 4800, 50000]
+    args = sys.argv[1:]
+    versioned = "--versioned" in args
+    sizes = [int(a) for a in args if a != "--versioned"] or [1200, 4800, 50000]
 
     sys.path.insert(0, "/root/repo")
     import tempfile
@@ -52,7 +54,7 @@ def main() -> None:
         gen_s = time.time() - t0
 
         root = tempfile.mkdtemp(prefix=f"probe_{n}_")
-        runner = PipelineRunner(spark, root)
+        runner = PipelineRunner(spark, root, versioned=versioned)
 
         rd0, wr0 = shuffle_totals()
         t0 = time.time()
@@ -69,6 +71,7 @@ def main() -> None:
             json.dumps(
                 {
                     "n_persons": n,
+                    "versioned": versioned,
                     "n_obs": n_obs,
                     "gen_sec": round(gen_s, 1),
                     "rebuild_sec": round(rebuild_s, 1),
