@@ -1,0 +1,140 @@
+"""Dataset-curation operators for training-data pipelines: deterministic
+split assignment and repetition (quality) metrics.
+
+Both are pure-built-in column plans — no UDFs, no Python workers — so
+they stay inside whole-stage codegen and scale as ordinary scans/aggs.
+
+* ``split_assign`` — hash-based train/val/test assignment.  The split is
+  a pure function of (id, salt): stable under repartitioning, appends,
+  reshuffles, and cluster size, which is the property that matters at
+  100 TB — re-running the pipeline after ingesting new data never moves
+  an existing document across splits (md5 is used for engine-portable
+  oracle parity; swap xxhash64 for raw speed, same plan shape).
+
+* ``repetition_metrics`` — per-document token-repetition signals of the
+  kind used for corpus quality filtering (duplicate-token fraction,
+  most-frequent-token fraction, most-frequent-bigram fraction; cf. the
+  published Gopher/C4 data-quality heuristics).  Implemented as
+  explode -> two key-partitioned aggregations (token counts per doc,
+  then per-doc maxima).  The shuffle key is (doc_id, token), so the
+  worst partition is bounded by the largest single document's token
+  count — no corpus-level skew is possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "v1",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """Append (bucket, split) columns: deterministic hash split.
+
+    bucket = first 8 md5 hex digits of "<id>:<salt>" mod ``buckets``;
+    split  = train/val/test by cumulative percentage.  Changing ``salt``
+    re-rolls the assignment; everything else (row order, partitioning,
+    corpus growth) leaves it fixed.
+    """
+    if not 0 < train_pct + val_pct <= 100:
+        raise ValueError("train_pct + val_pct must be in (0, 100]")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(buckets),
+    )
+    train_hi = buckets * train_pct // 100
+    val_hi = buckets * (train_pct + val_pct) // 100
+    return df.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_hi, F.lit("train"))
+        .when(F.col("bucket") < val_hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, n_tokens, n_distinct, dup_token_frac, top_token_frac,
+    top_bigram_frac) per document.
+
+    Tokenization is single-space split after whitespace normalization —
+    chosen because it is bit-identical across Spark and ANSI-SQL oracles.
+    ``dup_token_frac`` = 1 - distinct/total (the mass of repeated
+    tokens), ``top_token_frac``/``top_bigram_frac`` = share of the most
+    frequent token/bigram — high values mark degenerate/templated text.
+    Documents with fewer than 2 tokens get ``top_bigram_frac`` 0.0, not
+    null, so downstream threshold filters need no null guard.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+        ).alias("ts"),
+    ).where(F.col("ts").isNotNull())
+
+    tok_counts = (
+        toks.select("id", F.explode("ts").alias("t"))
+        .groupBy("id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+
+    # sequence(1, 0) would generate a DESCENDING [1, 0] (and element_at 0
+    # then errors), so single-token docs take the empty-array branch.
+    bigrams = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ts", i), F.element_at("ts", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("b"),
+    )
+    bg_stats = (
+        bigrams.groupBy("id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg_c"))
+    )
+
+    return (
+        tok_stats.join(bg_stats, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "dup_token_frac"
+            ),
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("top_bg_c") / F.col("n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )

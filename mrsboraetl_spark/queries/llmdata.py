@@ -743,8 +743,85 @@ def dedup_cluster_keepers(spark, sf_dir):
     return op(docs, pairs, "doc_id")
 
 
+def curation_split_assign(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment (curation layer).
+    The split is a pure function of (doc_id, salt) — stable under
+    repartitioning and corpus growth, the property a 100 TB pipeline
+    needs so re-runs never move documents across splits.  Unregistered
+    (50-entry driver cap); oracle-checked via UNREGISTERED_ORACLES."""
+    from mrsboraetl_spark.operators.curation import split_assign
+
+    docs = table(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id", salt="v1").select(
+        "doc_id", "bucket", "split"
+    )
+
+
+def curation_repetition_metrics(spark, sf_dir):
+    """Per-document token-repetition quality signals (Gopher/C4-style
+    duplicate-token, top-token and top-bigram fractions).  Explode + two
+    key-partitioned aggs; worst shuffle partition bounded by the largest
+    single document.  Unregistered (driver cap); oracle-checked via
+    UNREGISTERED_ORACLES."""
+    from mrsboraetl_spark.operators.curation import repetition_metrics
+
+    docs = table(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 # Operators kept OUT of the 50-entry driver registry but oracle-checked by
 # tests/test_oracle_parity.py, mirroring relational.UNREGISTERED_ORACLES.
-# (simhash_near_pairs graduated to the registry in r5; llmdata currently
-# has no unregistered leftovers.)
-UNREGISTERED_ORACLES: dict[str, str] = {}
+# (simhash_near_pairs graduated to the registry in r5; the curation layer
+# entries below were added in r5.)
+UNREGISTERED_ORACLES: dict[str, str] = {
+    "curation_split_assign": """
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':v1'), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    "curation_repetition_metrics": """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents WHERE text IS NOT NULL
+    ), tok AS (
+      SELECT doc_id, unnest(ts) AS t FROM toks
+    ), tc AS (
+      SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+    ), tstats AS (
+      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+             max(c) AS top_c
+      FROM tc GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS b
+      FROM toks
+    ), bc AS (
+      SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+    ), bstats AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg_c
+      FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_tokens,
+           t.n_distinct,
+           round(1.0 - t.n_distinct / CAST(t.n_tokens AS DOUBLE), 6)
+             AS dup_token_frac,
+           round(t.top_c / CAST(t.n_tokens AS DOUBLE), 6) AS top_token_frac,
+           round(coalesce(b.top_bg_c / CAST(b.n_bigrams AS DOUBLE), 0.0), 6)
+             AS top_bigram_frac
+    FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id
+    """,
+}

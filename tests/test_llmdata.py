@@ -237,6 +237,34 @@ def test_connected_components_chain_diameter(spark):
         connected_components(chain, max_iter=2)
 
 
+def test_connected_components_stats_stay_bounded(spark):
+    """Regression pin for the round-5 finding: localCheckpoint PRESERVES
+    the origin Dataset's size-in-bytes estimate (Spark 3.4+), and the
+    non-CBO join estimate is the product of its children — an iterative
+    self-join loop therefore compounds the estimate ~3^round until the
+    driver spends minutes multiplying million-digit BigIntegers inside
+    broadcast-size checks (measured: 224s for round 14 alone on a 10k
+    chain).  The parquet stats reset (stats_reset_every) bounds it; this
+    asserts the returned plan's estimate is sane after enough rounds to
+    have exploded without the reset."""
+    from mrsboraetl_spark.operators.dedup import (
+        _LAST_CC_ROUNDS,  # noqa: F401 - imported to assert it exists
+        connected_components,
+    )
+    from mrsboraetl_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 600)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(chain, max_iter=30)
+    assert dedup._LAST_CC_ROUNDS >= 10  # enough rounds to compound 3^r
+    size = int(
+        labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    # Without the reset this is a ~3^rounds product (>10^40 by round 10).
+    assert size < 10**15, f"stats estimate exploded: {size}"
+
+
 def test_dedup_cluster_keepers_covers_all_docs(spark, sf_dir):
     """Every doc gets exactly one cluster row; keepers are the cluster
     minima; docs outside the pair graph are their own singleton."""
