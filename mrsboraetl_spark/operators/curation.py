@@ -66,6 +66,105 @@ def split_assign(
     )
 
 
+def sample_by_source(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    salt: str = "mix1",
+    default_rate: float = 0.0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic corpus mixing: keep each row with its source's
+    sampling rate, decided by hash(id, salt) — the distributed spelling
+    of "sample 30% of crawl, 100% of books".
+
+    Like :func:`split_assign`, the keep/drop decision is a pure function
+    of (id, salt): re-runs, repartitions, and corpus growth reproduce
+    the exact same subset (unlike ``df.sample``, whose output depends on
+    partitioning), so downstream dedup/metrics stay comparable across
+    pipeline runs.  One codegen'd filter, no shuffle.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(buckets),
+    )
+    thresh = F.lit(int(default_rate * buckets))
+    for s, r in sorted(rates.items()):
+        thresh = F.when(F.col(source_col) == s, F.lit(int(r * buckets))).otherwise(
+            thresh
+        )
+    return df.filter(bucket < thresh)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_chunk_tokens) — split each document
+    into fixed-token-budget windows with overlap: the context-window
+    chunking step of an embedding / training pipeline.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final chunk may be short but
+    every token is covered exactly (docs at or under the budget yield
+    one chunk).  Pure built-ins — the token array is computed once per
+    row and sliced per chunk in the same projection, so the only row
+    growth is the explode itself (sum of chunk counts, the output's
+    inherent size).  NULL text yields no rows, matching explode-of-null.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+        ).alias("ts"),
+    ).where(F.col("ts").isNotNull())
+    n_chunks = F.when(F.size("ts") <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((F.size("ts") - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    return (
+        toks.select(
+            "id",
+            "ts",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    "ts", F.col("chunk_idx") * stride + 1, F.lit(chunk_tokens)
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(
+                    "ts", F.col("chunk_idx") * stride + 1, F.lit(chunk_tokens)
+                )
+            ).alias("n_chunk_tokens"),
+        )
+    )
+
+
 def repetition_metrics(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

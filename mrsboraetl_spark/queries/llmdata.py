@@ -757,6 +757,32 @@ def curation_split_assign(spark, sf_dir):
     )
 
 
+def curation_sample_mix(spark, sf_dir):
+    """Deterministic corpus mixing: per-source sampling rates decided by
+    hash(id, salt) — reproducible across runs/partitionings, unlike
+    df.sample.  Unregistered (driver cap); oracle-checked."""
+    from mrsboraetl_spark.operators.curation import sample_by_source
+
+    docs = table(spark, sf_dir, "documents")
+    rates = {"src0": 0.3, "src1": 1.0, "src2": 0.6}
+    return sample_by_source(
+        docs, "doc_id", "source", rates, salt="mix1", default_rate=0.1
+    ).select("doc_id", "source")
+
+
+def curation_chunk_documents(spark, sf_dir):
+    """Context-window chunking: fixed-token-budget windows with overlap
+    (embedding/training prep).  Pure built-ins; the explode is the
+    output's inherent row growth.  Unregistered (driver cap);
+    oracle-checked."""
+    from mrsboraetl_spark.operators.curation import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=8
+    ).withColumnRenamed("id", "doc_id")
+
+
 def curation_repetition_metrics(spark, sf_dir):
     """Per-document token-repetition quality signals (Gopher/C4-style
     duplicate-token, top-token and top-bigram fractions).  Explode + two
@@ -776,6 +802,41 @@ def curation_repetition_metrics(spark, sf_dir):
 # (simhash_near_pairs graduated to the registry in r5; the curation layer
 # entries below were added in r5.)
 UNREGISTERED_ORACLES: dict[str, str] = {
+    "curation_sample_mix": """
+    WITH b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':mix1'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source FROM b
+    WHERE bucket < CASE source
+                     WHEN 'src0' THEN 300000
+                     WHEN 'src1' THEN 1000000
+                     WHEN 'src2' THEN 600000
+                     ELSE 100000 END
+    """,
+    "curation_chunk_documents": """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT doc_id, ts,
+             CASE WHEN len(ts) <= 64 THEN 1
+                  ELSE CAST(ceil((len(ts) - 8) / 56.0) AS INT) END AS n_chunks
+      FROM toks
+    ), e AS (
+      SELECT doc_id, ts, unnest(range(0, n_chunks)) AS chunk_idx FROM c
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(ts[chunk_idx * 56 + 1 : chunk_idx * 56 + 64], ' ')
+             AS chunk_text,
+           len(ts[chunk_idx * 56 + 1 : chunk_idx * 56 + 64])
+             AS n_chunk_tokens
+    FROM e
+    """,
     "curation_split_assign": """
     WITH b AS (
       SELECT doc_id,

@@ -265,6 +265,34 @@ def test_connected_components_stats_stay_bounded(spark):
     assert size < 10**15, f"stats estimate exploded: {size}"
 
 
+def test_chunk_documents_reconstructs_text(spark, sf_dir):
+    """Dropping each chunk's leading overlap (except chunk 0) and
+    concatenating in chunk order must reproduce the normalized document
+    exactly — i.e. chunks cover every token once with the declared
+    overlap and nothing else."""
+    from mrsboraetl_spark.operators.curation import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    chunk_tokens, overlap = 32, 4
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens, overlap)
+    pdf = out.toPandas().sort_values(["id", "chunk_idx"])
+    rebuilt = {}
+    for _, r in pdf.iterrows():
+        toks = r["chunk_text"].split(" ")
+        if r["chunk_idx"] > 0:
+            toks = toks[overlap:]
+        rebuilt.setdefault(r["id"], []).extend(toks)
+    import re
+
+    for rr in docs.select("doc_id", "text").collect():
+        want = re.sub(r"\s+", " ", rr["text"]).strip().split(" ")
+        assert rebuilt[rr["doc_id"]] == want, rr["doc_id"]
+    # every chunk except the last per doc is exactly the budget
+    last = pdf.groupby("id")["chunk_idx"].transform("max")
+    full = pdf[pdf["chunk_idx"] != last]
+    assert (full["n_chunk_tokens"] == chunk_tokens).all()
+
+
 def test_dedup_cluster_keepers_covers_all_docs(spark, sf_dir):
     """Every doc gets exactly one cluster row; keepers are the cluster
     minima; docs outside the pair graph are their own singleton."""

@@ -44,8 +44,11 @@ UNREGISTERED = [
     # Demoted r5 to free slots for dedup_cluster_keepers + simhash_near_pairs
     "pivot_status_counts",
     "setop_intersect_except",
-    # Curation layer (added r5): deterministic split + repetition quality
+    # Curation layer (added r5): deterministic split/mix, chunking,
+    # repetition quality
     "curation_split_assign",
+    "curation_sample_mix",
+    "curation_chunk_documents",
     "curation_repetition_metrics",
 ]
 
