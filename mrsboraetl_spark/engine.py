@@ -54,17 +54,38 @@ class PipelineRunner:
     (keys: obs, encounter, orders, person) into a parquet directory."""
 
     def __init__(
-        self, spark: SparkSession, storage_root: str, versioned: bool = False
+        self,
+        spark: SparkSession,
+        storage_root: str,
+        versioned: bool = False,
+        partitioned: bool = False,
     ):
         """``versioned=True`` stores every target as a VersionedTable
         (sources/versioned.py): each run commits a new immutable version
         behind an atomic manifest swap — snapshot isolation for
         concurrent readers plus time travel over past sync states — at
         the cost of keeping old versions until ``vacuum``.  The default
-        swap layout keeps only the latest state."""
+        swap layout keeps only the latest state.
+
+        ``partitioned=True`` lays the large targets out hive-style under
+        ``p_month=YYYY-MM`` directories (derived from the encounter
+        datetime) so date-range consumers get PARTITION PRUNING — at
+        100 TB a month-window query then opens ~1/N of the files instead
+        of relying on row-group stats alone.  Within each month
+        directory files stay clustered+sorted on the PK (the shuffle key
+        is (p_month, pk), so no task writes into more than one month
+        directory).  ``read_target`` drops the synthetic ``p_month`` so
+        the incremental plans see the exact stage schema; date-range
+        consumers read the path directly with a ``p_month`` filter."""
         self.spark = spark
         self.root = storage_root
         self.versioned = versioned
+        self.partitioned = partitioned
+        if versioned and partitioned:
+            raise ValueError(
+                "versioned and partitioned layouts are mutually exclusive "
+                "(the manifest writer commits unpartitioned snapshots)"
+            )
         os.makedirs(storage_root, exist_ok=True)
         self.watermarks = WatermarkStore(
             spark, os.path.join(storage_root, "flat_log.parquet")
@@ -93,7 +114,14 @@ class PipelineRunner:
             os.replace(old, path)
         if not os.path.exists(path):
             return None
-        return self.spark.read.parquet(path)
+        df = self.spark.read.parquet(path)
+        if self.partitioned and self.PARTITION_COL in df.columns:
+            # Incremental plans expect the exact stage schema; the
+            # synthetic partition column is a storage-layout detail.
+            # Date-range consumers should read the path directly and
+            # filter on p_month to get partition pruning.
+            df = df.drop(self.PARTITION_COL)
+        return df
 
     # PK per target: writes are repartitioned + sorted on it, so parquet
     # row-group min/max statistics prune key probes (the engine's stand-in
@@ -107,16 +135,47 @@ class PipelineRunner:
         "flat_latest_hiv_summary": ["person_id"],
     }
 
+    # Hive partition column per large target (partitioned=True): month of
+    # the row's clinical datetime.  Month granularity keeps directory
+    # cardinality bounded (years of data -> tens of partitions) while
+    # matching the dominant consumer predicate (date-range reports).
+    # flat_latest_hiv_summary stays unpartitioned: a small latest-state
+    # per-patient table with no date-range access pattern.
+    _PARTITION_SRC = {
+        "flat_obs": "encounter_datetime",
+        "flat_orders": "encounter_datetime",
+        "flat_lab_obs": "test_datetime",
+        "flat_visit_summary": "encounter_datetime",
+    }
+    PARTITION_COL = "p_month"
+
     def _write(self, df: DataFrame, table: str) -> None:
         pk = self._CLUSTER_BY.get(table)
-        if pk:
+        part_src = self._PARTITION_SRC.get(table) if self.partitioned else None
+        if part_src:
+            df = df.withColumn(
+                self.PARTITION_COL,
+                F.coalesce(
+                    F.date_format(F.col(part_src), "yyyy-MM"), F.lit("unknown")
+                ),
+            )
+            # Shuffle on (month, pk): every task's rows land in a single
+            # month directory (no file fan-out across partitions) and stay
+            # sorted on the PK inside it for row-group stats.
+            df = df.repartition(self.PARTITION_COL, *pk).sortWithinPartitions(
+                *pk
+            )
+        elif pk:
             df = df.repartition(*pk).sortWithinPartitions(*pk)
         if self.versioned:
             self._versioned(table).commit(df, note=table)
             return
         path, tmp = self._path(table), self._path(table) + ".tmp"
         old = path + ".old"
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if part_src:
+            writer = writer.partitionBy(self.PARTITION_COL)
+        writer.parquet(tmp)
         # Promote via rename-aside: demote old -> promote tmp -> drop old.
         # A crash between the two os.replace calls leaves nothing at `path`
         # but the previous table intact at `.old`; read_target recovers it.
