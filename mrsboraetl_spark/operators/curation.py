@@ -27,6 +27,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hash_bucket(id_col: str, salt: str, buckets: int):
+    """Deterministic bucket from (id, salt).  Deliberately built with
+    null-PROPAGATING concat (not concat_ws, which skips nulls): a NULL id
+    yields a NULL bucket, which behaves identically in Spark and the
+    ANSI-SQL oracle spelling (``id::VARCHAR || ':salt'``) — every
+    comparison against a NULL bucket is false, so NULL ids fall to the
+    otherwise/ELSE branch in split_assign and are dropped by
+    sample_by_source's filter in both engines."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(buckets),
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str,
@@ -44,18 +68,7 @@ def split_assign(
     """
     if not 0 < train_pct + val_pct <= 100:
         raise ValueError("train_pct + val_pct must be in (0, 100]")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(buckets),
-    )
+    bucket = _hash_bucket(id_col, salt, buckets)
     train_hi = buckets * train_pct // 100
     val_hi = buckets * (train_pct + val_pct) // 100
     return df.withColumn("bucket", bucket).withColumn(
@@ -90,18 +103,7 @@ def sample_by_source(
             raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(buckets),
-    )
+    bucket = _hash_bucket(id_col, salt, buckets)
     thresh = F.lit(int(default_rate * buckets))
     for s, r in sorted(rates.items()):
         thresh = F.when(F.col(source_col) == s, F.lit(int(r * buckets))).otherwise(

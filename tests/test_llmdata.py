@@ -5,6 +5,7 @@ IVF variant IS in the registry (ann_ivf_topk) and hash-checked there."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mrsboraetl_spark.operators.similarity import brute_force_topk, ivf_topk
@@ -263,6 +264,97 @@ def test_connected_components_stats_stay_bounded(spark):
     )
     # Without the reset this is a ~3^rounds product (>10^40 by round 10).
     assert size < 10**15, f"stats estimate exploded: {size}"
+
+
+def _pairs_set(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_lsh_index_incremental_equals_batch(spark, sf_dir, tmp_path):
+    """Ingesting the corpus in batches must produce, across all ingests,
+    exactly the batch operator's pair set on the full corpus — the
+    incremental index never re-hashes indexed docs yet misses nothing."""
+    from mrsboraetl_spark.operators.dedup import minhash_lsh_pairs
+    from mrsboraetl_spark.operators.lsh_index import LshBandIndex
+
+    docs = table(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 0)
+
+    idx = LshBandIndex(str(tmp_path / "idx"))
+    got = _pairs_set(idx.ingest(b1, "doc_id", "text"))
+    got |= _pairs_set(idx.ingest(b2, "doc_id", "text"))
+    want = _pairs_set(minhash_lsh_pairs(docs, "doc_id", "text"))
+    assert got == want
+
+    # capped path: equivalence on the final frequencies (both sides see
+    # the full corpus's band counts once everything is ingested)
+    idx2 = LshBandIndex(str(tmp_path / "idx2"))
+    got2 = _pairs_set(idx2.ingest(docs, "doc_id", "text", max_band_freq=10))
+    want2 = _pairs_set(
+        minhash_lsh_pairs(docs, "doc_id", "text", max_band_freq=10)
+    )
+    assert got2 == want2
+
+
+def test_lsh_index_param_mismatch_rejected(spark, sf_dir, tmp_path):
+    from mrsboraetl_spark.operators.lsh_index import LshBandIndex
+
+    docs = table(spark, sf_dir, "documents").limit(10)
+    idx = LshBandIndex(str(tmp_path / "idx"), rows_per_band=2)
+    idx.ingest(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="built with"):
+        LshBandIndex(str(tmp_path / "idx"), rows_per_band=4)
+
+
+def test_lsh_index_second_ingest_probes_without_rehashing(spark, sf_dir, tmp_path):
+    """The second ingest's pair set includes cross-batch pairs, and the
+    accumulated band table holds every ingested doc exactly once per
+    band (no re-append of indexed docs)."""
+    from mrsboraetl_spark.operators.lsh_index import LshBandIndex
+
+    docs = table(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    idx = LshBandIndex(str(tmp_path / "idx"))
+    idx.ingest(b1, "doc_id", "text")
+    p2 = idx.ingest(b2, "doc_id", "text")
+    cross = {
+        (a, b) for a, b in _pairs_set(p2) if (a < 250) != (b < 250)
+    }
+    assert cross, "self-similar corpus must yield cross-batch candidates"
+    # every pair from ingest 2 involves a new doc
+    assert all(a >= 250 or b >= 250 for a, b in _pairs_set(p2))
+    bands = idx.bands(spark)
+    n_bands_per_doc = 8 // 2  # num_hashes / rows_per_band
+    assert bands.count() == docs.count() * n_bands_per_doc
+    assert bands.groupBy("doc", "band").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+
+def test_curation_hash_null_id_matches_sql_semantics(spark):
+    """The bucket hash is built with null-PROPAGATING concat so a NULL id
+    behaves identically in Spark and the ANSI oracle spelling: NULL
+    bucket -> every comparison false -> ELSE branch ('test') in
+    split_assign, dropped by sample_by_source even at rate 1.0."""
+    from mrsboraetl_spark.operators.curation import (
+        sample_by_source,
+        split_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (3, "b")], "id long, src string"
+    )
+    got = {r["id"]: r["split"] for r in split_assign(df, "id").collect()}
+    assert got[None] == "test"
+    kept = [
+        r["id"]
+        for r in sample_by_source(
+            df, "id", "src", {"a": 1.0, "b": 1.0}
+        ).collect()
+    ]
+    assert None not in kept and sorted(kept) == [1, 3]
 
 
 def test_chunk_documents_reconstructs_text(spark, sf_dir):

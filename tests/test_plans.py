@@ -134,6 +134,15 @@ def test_unregistered_scale_ops_plan_no_nested_loop(spark, sf_dir):
     plans = {"simhash_near_pairs": fmt(
         simhash_near_pairs(docs, "doc_id", "text", 32, 2, 1)
     )}
+    # incremental LSH index probe: must stay a (band, bk) equi-join
+    import tempfile
+
+    from mrsboraetl_spark.operators.lsh_index import LshBandIndex
+
+    idx = LshBandIndex(tempfile.mkdtemp(prefix="lshidx_plan_"))
+    plans["lsh_index_ingest"] = fmt(
+        idx.ingest(docs.limit(50), "doc_id", "text", max_band_freq=100)
+    )
     # one propagation round of connected_components, plan-only
     edges = spark.createDataFrame(
         [(1, 2), (2, 3)], "doc_a long, doc_b long"
