@@ -185,3 +185,48 @@ def test_drain_to_batch_zero_microbatches(spark, tmp_path):
     out = drain_to_batch(stream, output_mode="complete")
     assert out.count() == 0
     assert out.columns == ["user_id", "n"]
+
+
+def test_streaming_dedup_index_matches_batch(spark, sf_dir, tmp_path):
+    """Documents arriving as a file stream (one micro-batch per file)
+    through the incremental LSH index must discover, across all
+    micro-batches, exactly the batch operator's pair set on the full
+    corpus; replaying a finished batch (marker present) is a no-op."""
+    from mrsboraetl_spark.operators.dedup import minhash_lsh_pairs
+    from mrsboraetl_spark.operators.lsh_index import LshBandIndex
+    from mrsboraetl_spark.queries import table
+    from mrsboraetl_spark.streaming.dedup import (
+        stream_documents,
+        streaming_dedup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    # three files -> three micro-batches with maxFilesPerTrigger=1
+    docs.repartition(3).write.parquet(src)
+
+    idx = LshBandIndex(str(tmp_path / "idx"))
+    pairs_path = str(tmp_path / "pairs")
+    q = streaming_dedup_pairs(
+        stream_documents(spark, src), idx, "doc_id", "text",
+        pairs_path, str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_path).distinct().collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == want
+    # all three batch markers exist; the band table holds each doc once
+    markers = os.listdir(os.path.join(idx.path, "_done"))
+    assert len(markers) == 3, markers
+    n_docs = docs.filter(F.col("text").isNotNull()).count()
+    assert idx.bands(spark).select("doc").distinct().count() == n_docs
