@@ -185,6 +185,40 @@ def cosine_pairs_lsh(
     )
 
 
+def _nearest_cells_expr(
+    centers: list[tuple[int, list[float]]],
+    col_name: str,
+    n: int,
+    offset: int = 0,
+    width: int | None = None,
+) -> Column:
+    """Ids of the n nearest centers (squared L2; ties break on the smaller
+    id) for ``col_name`` — or for its subvector [offset+1, offset+width]
+    when ``width`` is given — as array<int>.
+
+    Built as ONE SQL string parsed JVM-side: composing this from nested
+    pyspark.sql.functions calls costs n_centers * dim py4j round-trips
+    for the literals alone (~1.4s of driver time per invocation at
+    16x64 — measured); one expr() parse is ~nothing.
+    """
+    src = f"cast(`{col_name}` as array<double>)"
+    if width is not None:
+        src = f"slice({src}, {offset + 1}, {width})"
+    structs = ", ".join(
+        "named_struct('d', aggregate(zip_with("
+        f"{src}, "
+        "array({vals}), (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, v) -> acc + v), 'cell', {cell})".format(
+            vals=", ".join(f"{x!r}D" for x in c), cell=cell
+        )
+        for cell, c in centers
+    )
+    return F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {n}),"
+        " s -> s.cell)"
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -239,27 +273,7 @@ def ivf_topk(
         centers = [(int(cell), [float(x) for x in c]) for cell, c in centroids]
 
     def nearest_cells(col_name: str, n: int) -> Column:
-        """Ids of the n nearest centroids (squared L2; ties break on the
-        smaller cell id), as array<int>.
-
-        Built as ONE SQL string parsed JVM-side: composing this from
-        nested pyspark.sql.functions calls costs n_centroids * dim py4j
-        round-trips for the literals alone (~1.4s of driver time per
-        invocation at 16x64 — measured); one expr() parse is ~nothing.
-        """
-        structs = ", ".join(
-            "named_struct('d', aggregate(zip_with("
-            f"cast(`{col_name}` as array<double>), "
-            "array({vals}), (x, y) -> (x - y) * (x - y)), "
-            "0.0D, (acc, v) -> acc + v), 'cell', {cell})".format(
-                vals=", ".join(f"{x!r}D" for x in c), cell=cell
-            )
-            for cell, c in centers
-        )
-        return F.expr(
-            f"transform(slice(array_sort(array({structs})), 1, {n}),"
-            " s -> s.cell)"
-        )
+        return _nearest_cells_expr(centers, col_name, n)
 
     cells = vectors.withColumn(
         "cell", nearest_cells(vec_col, 1).getItem(0)
@@ -278,6 +292,273 @@ def ivf_topk(
     )
     return (
         scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor", "cosine", "rk")
+    )
+
+
+def unit(a: Column) -> Column:
+    """L2-normalized copy of an embedding: on unit vectors squared L2 is
+    2 - 2*cosine, so an L2-ranked search equals a cosine-ranked one."""
+    a = a.cast("array<double>")
+    n = norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
+def pq_seed_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    codebook_size: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: the first
+    ``codebook_size`` corpus rows (by id, L2-normalized), sliced into
+    ``m`` subvectors — the same fixed-seed-rows rule as the IVF
+    registered quantizer, so PQ codes are reproducible across runs.
+    Bounded collect of codebook_size rows (the only driver-side data).
+    Cheap but crude: arbitrary rows are poor subspace representatives
+    (measured recall ablation in ivf_pq_topk's docstring); prefer
+    pq_kmeans_codebooks except where bit-level run-to-run determinism
+    matters more than recall.  Every downstream plan is identical —
+    codebooks are literals either way.  Returns [m][codebook_size][dim/m]."""
+    rows = (
+        vectors.orderBy(id_col)
+        .limit(codebook_size)
+        .select(unit(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    vecs = [[float(x) for x in r["v"]] for r in rows]
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [[v[s * sub : (s + 1) * sub] for v in vecs] for s in range(m)]
+
+
+def pq_kmeans_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    codebook_size: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 0.5,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Trained product-quantization codebooks: per-subspace k-means on a
+    normalized SAMPLE (never the full corpus — the 100 TB path), the
+    standard PQ training.  ``m`` independent fits of dim/m-dimensional
+    data; deterministic given ``seed``.  Returns [m][<=codebook_size][dim/m]."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = (
+        vectors.sample(fraction=sample_fraction, seed=seed)
+        .select(unit(F.col(vec_col)).alias("v"))
+        .localCheckpoint()
+    )
+    dim = len(sample.first()["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    n_sample = sample.count()
+    k = max(2, min(codebook_size, n_sample))
+    books = []
+    for s in range(m):
+        train = sample.select(
+            array_to_vector(
+                F.slice("v", s * sub + 1, sub).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + s, maxIter=10).fit(train)
+        books.append(
+            [[float(x) for x in c] for c in model.clusterCenters()]
+        )
+    return books
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    m: int = 16,
+    codebook_size: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | str = "kmeans",
+    refine: int | None = 8,
+    train_cells: bool = True,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse cells prune the corpus, product-
+    quantization codes rank the candidates — the memory-compression
+    architecture for embedding search at 100 TB.
+
+    Index side (one pass, no shuffle): every vector is L2-normalized,
+    assigned to its nearest coarse cell, and encoded as ``m`` small
+    codes (nearest codebook entry per subvector) — ``m`` bytes standing
+    in for dim*4; at scale the (cell, codes) table is what lives hot
+    while raw vectors stay cold on storage.  Query side: each query
+    probes its ``nprobe`` nearest cells (equi-join on cell — the same
+    plan shape as ivf_topk, never a scan) and ranks candidates by
+    ASYMMETRIC distance: the query precomputes, per subspace, its exact
+    distance to each codebook entry (an array of ``codebook_size``
+    doubles riding on the broadcast query row), and a candidate's score
+    is ``m`` array lookups + adds — no vector arithmetic per candidate
+    at all.  On unit vectors the summed squared-L2 ranks identically to
+    cosine up to quantization error; ``pq_dist`` is that approximate
+    distance (recall floor pytest-pinned against brute force, same
+    protocol as the k-means IVF variant).
+
+    ``codebooks``: "kmeans" (default — trained per subspace on a sample,
+    the standard PQ), "seed" (deterministic first-rows, crude), or a
+    precomputed [m][K][dim/m] list (train once, reuse across query
+    batches — the production shape).  ``refine``: re-rank the top
+    ``k*refine`` PQ candidates by EXACT cosine (one equi-join back to
+    the raw vectors for just those ids) — the standard IVF-PQ+refine
+    tail that recovers quantization-error losses while still reading
+    only ~k*refine raw vectors per query instead of every candidate.
+
+    Measured recall@3 on the 500x64 corpus (brute-force ground truth;
+    see test_ivf_pq_recall): the coarse stage's CEILING — the fraction
+    of true neighbors in any probed cell — is 0.67 at nprobe=4 and 0.87
+    at nprobe=8 with 16 trained cells; at the defaults (m=16, K=32,
+    refine=8, nprobe=8) the full pipeline hits that 0.87 ceiling, i.e.
+    PQ ranking + exact refinement recover everything the cells admit.
+    Ablations, each measured: seed codebooks + seed cells + no refine
+    0.20; trained codebooks alone 0.33 (PQ top-k is noisy); + refine
+    0.60; + trained cells and wider codebooks 0.87.  Compression at the
+    defaults: 16 one-byte codes stand in for 64 floats (16x); scale
+    recall via nprobe against the cell count, exactly as in ivf_topk.
+
+    Coarse centroids are sample-k-means on the normalized vectors by
+    default (``train_cells=False`` falls back to the deterministic
+    seed-rows rule, same trade as the codebooks).
+    """
+    if codebooks == "kmeans":
+        codebooks = pq_kmeans_codebooks(
+            vectors, m, codebook_size, id_col, vec_col
+        )
+    elif codebooks == "seed":
+        codebooks = pq_seed_codebooks(
+            vectors, m, codebook_size, id_col, vec_col
+        )
+    sub = len(codebooks[0][0])
+    if train_cells:
+        # Coarse cells from sample k-means on the NORMALIZED vectors —
+        # seed-row cells are unbalanced enough to dominate the recall
+        # loss (measured: 0.60 -> 0.87 at identical PQ settings).
+        coarse = pq_kmeans_codebooks(
+            vectors, 1, n_centroids, id_col, vec_col
+        )[0]
+        centers = [(i, c) for i, c in enumerate(coarse)]
+    else:
+        centers_rows = (
+            vectors.orderBy(id_col)
+            .limit(n_centroids)
+            .select(unit(F.col(vec_col)).alias("v"))
+            .collect()
+        )
+        centers = [
+            (i, [float(x) for x in r["v"]])
+            for i, r in enumerate(centers_rows)
+        ]
+
+    nvec = vectors.select(
+        F.col(id_col), unit(F.col(vec_col)).alias("_nv")
+    )
+    coded = nvec.select(
+        F.col(id_col),
+        _nearest_cells_expr(centers, "_nv", 1).getItem(0).alias("cell"),
+        F.array(
+            *[
+                _nearest_cells_expr(
+                    list(enumerate(codebooks[s])), "_nv", 1,
+                    offset=s * sub, width=sub,
+                ).getItem(0)
+                for s in range(m)
+            ]
+        ).alias("codes"),
+    )
+
+    nq = queries.select(
+        "query_id", unit(F.col("query_vec")).alias("_nq")
+    )
+    # Per-subspace asymmetric distance tables: exact squared L2 from the
+    # query subvector to EVERY codebook entry, as array<double> literals
+    # on the broadcast row.
+    def dt_expr(s: int) -> Column:
+        entries = ", ".join(
+            "aggregate(zip_with(slice(cast(`_nq` as array<double>), "
+            f"{s * sub + 1}, {sub}), "
+            "array({vals}), (x, y) -> (x - y) * (x - y)), "
+            "0.0D, (acc, v) -> acc + v)".format(
+                vals=", ".join(f"{x!r}D" for x in e)
+            )
+            for e in codebooks[s]
+        )
+        return F.expr(f"array({entries})")
+
+    probes = nq.select(
+        "query_id",
+        F.explode(_nearest_cells_expr(centers, "_nq", nprobe)).alias("cell"),
+        *[dt_expr(s).alias(f"_dt{s}") for s in range(m)],
+    )
+
+    pq_dist = F.round(
+        sum(
+            F.element_at(F.col(f"_dt{s}"), F.col("codes").getItem(s) + 1)
+            for s in range(m)
+        ),
+        4,
+    )
+    scored = (
+        coded.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor"),
+            pq_dist.alias("pq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor")
+    )
+    if refine is None:
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor", "pq_dist", "rk")
+        )
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k * refine)
+        .select("query_id", "neighbor", "pq_dist")
+    )
+    # Exact re-rank of the shortlist: equi-joins on neighbor/query ids
+    # touch only k*refine raw vectors per query.
+    rescored = (
+        shortlist.join(
+            vectors.select(
+                F.col(id_col).alias("neighbor"), F.col(vec_col).alias("_v")
+            ),
+            "neighbor",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor",
+            F.round(cosine(F.col("query_vec"), F.col("_v")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor", "cosine", "rk")
     )

@@ -266,6 +266,53 @@ def test_connected_components_stats_stay_bounded(spark):
     assert size < 10**15, f"stats estimate exploded: {size}"
 
 
+def test_ivf_pq_recall(spark, sf_dir):
+    """IVF-PQ at the defaults (trained cells + codebooks, exact
+    refinement) must recover a solid fraction of the exact top-3 — the
+    measured ceiling is the coarse stage's cell-recall (0.87 at
+    nprobe=8/16 cells), and PQ+refine reaches it; assert a floor robust
+    to k-means sampling variation.  With refinement the reported cosine
+    must be the exact one."""
+    import math
+
+    from mrsboraetl_spark.operators.similarity import ivf_pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = _queries(spark, sf_dir)
+    exact = {
+        (r.query_id, r.neighbor)
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+    approx = ivf_pq_topk(emb, q, k=3).collect()
+    approx_pairs = {(r.query_id, r.neighbor) for r in approx}
+    recall = len(exact & approx_pairs) / len(exact)
+    assert recall >= 0.6, f"recall@3 collapsed: {recall}"
+    emb_rows = {r.vec_id: r.embedding for r in emb.collect()}
+    qmap = {r.query_id: r.query_vec for r in q.collect()}
+    for r in approx:
+        a, b = qmap[r.query_id], emb_rows[r.neighbor]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        assert abs(round(dot / (na * nb), 4) - r.cosine) <= 1e-4
+
+
+def test_ivf_pq_codes_and_norefine_shape(spark, sf_dir):
+    """Without refinement the operator emits pq_dist ascending per query
+    with exactly k rows; the approximate distance is non-negative and
+    bounded by 4 (max squared L2 between unit vectors is 4)."""
+    from mrsboraetl_spark.operators.similarity import ivf_pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = _queries(spark, sf_dir)
+    out = ivf_pq_topk(emb, q, k=3, refine=None).toPandas()
+    assert set(out.columns) == {"query_id", "neighbor", "pq_dist", "rk"}
+    assert (out.groupby("query_id")["rk"].count() == 3).all()
+    assert ((out["pq_dist"] >= 0) & (out["pq_dist"] <= 4.0001)).all()
+    for _, g in out.groupby("query_id"):
+        assert list(g.sort_values("rk")["pq_dist"]) == sorted(g["pq_dist"])
+
+
 def _pairs_set(df):
     return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
 

@@ -143,6 +143,17 @@ def test_unregistered_scale_ops_plan_no_nested_loop(spark, sf_dir):
     plans["lsh_index_ingest"] = fmt(
         idx.ingest(docs.limit(50), "doc_id", "text", max_band_freq=100)
     )
+    # IVF-PQ: cell equi-join probe + id equi-join refinement, never a scan
+    from mrsboraetl_spark.operators.similarity import ivf_pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plans["ivf_pq_topk"] = fmt(
+        ivf_pq_topk(emb, q, k=3, train_cells=False, codebooks="seed")
+    )
     # one propagation round of connected_components, plan-only
     edges = spark.createDataFrame(
         [(1, 2), (2, 3)], "doc_a long, doc_b long"
