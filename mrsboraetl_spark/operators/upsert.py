@@ -35,16 +35,25 @@ def anti_delete(target: DataFrame, keys: DataFrame, on: Sequence[str]) -> DataFr
 
 
 def replace_into(
-    target: DataFrame | None, new_rows: DataFrame, pk: Sequence[str]
+    target: DataFrame | None,
+    new_rows: DataFrame,
+    pk: Sequence[str],
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """MySQL REPLACE INTO: new rows win over existing rows with the same PK.
 
     ``target=None`` models the cold-start (empty table) case.
+    ``evolve_schema=True`` permits the delta to add (or omit) columns —
+    the Delta-MERGE ``mergeSchema`` behavior: rows from the side missing
+    a column carry NULL for it.  Off by default so an accidental schema
+    drift in a fixed-schema pipeline still fails loudly.
     """
     if target is None:
         return new_rows
     survivors = anti_delete(target, new_rows, pk)
-    return survivors.unionByName(new_rows)
+    return survivors.unionByName(
+        new_rows, allowMissingColumns=evolve_schema
+    )
 
 
 def dedupe_latest(

@@ -117,13 +117,21 @@ class VersionedTable:
     def merge(
         self, spark: SparkSession, delta: DataFrame, keys: Sequence[str],
         note: str = "merge",
+        evolve_schema: bool = False,
     ) -> int:
         """REPLACE-INTO merge as a new version (upsert with history).
-        First merge on an empty table commits the delta as v0."""
+        First merge on an empty table commits the delta as v0.
+        ``evolve_schema=True`` lets the delta add columns (existing rows
+        read NULL for them) — and because every version is an immutable
+        full snapshot, time travel still returns each version under the
+        schema it was written with."""
         from mrsboraetl_spark.operators.upsert import replace_into
 
         base = self.read(spark) if self.version() >= 0 else None
-        return self.commit(replace_into(base, delta, list(keys)), note=note)
+        return self.commit(
+            replace_into(base, delta, list(keys), evolve_schema=evolve_schema),
+            note=note,
+        )
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop data dirs of versions older than the last ``keep_last``.

@@ -105,3 +105,20 @@ def test_vacuum_drops_old_versions(spark, vt):
     assert [r.v for r in vt.read(spark, 2).collect()] == ["v2"]
     with pytest.raises(Exception):
         vt.read(spark, 0).collect()
+
+
+def test_merge_schema_evolution(spark, vt):
+    """evolve_schema=True lets a delta add a column (existing rows read
+    NULL for it) while time travel keeps each version's own schema;
+    without the flag, schema drift fails loudly."""
+    vt.commit(_df(spark, [(1, "a"), (2, "b")]), note="initial")
+    delta = spark.createDataFrame(
+        [(2, "b2", 9.5), (3, "c", 1.0)], "pk long, v string, score double"
+    )
+    with pytest.raises(Exception):
+        vt.merge(spark, delta, ["pk"])
+    v = vt.merge(spark, delta, ["pk"], evolve_schema=True)
+    latest = {r.pk: (r.v, r.score) for r in vt.read(spark).collect()}
+    assert latest == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.0)}
+    assert "score" not in vt.read(spark, version=0).columns
+    assert vt.version() == v == 1
