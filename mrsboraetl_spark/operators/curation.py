@@ -167,6 +167,68 @@ def chunk_documents(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 10,
+    max_dup_token_frac: float = 0.9,
+    max_top_token_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.5,
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Every input row with a ``keep`` verdict and the reasons it failed
+    (array of rule names, empty when kept) — the composed corpus quality
+    gate (published C4/Gopher-style rule filtering) over this package's
+    own signals: token count and repetition fractions from
+    :func:`repetition_metrics`, language from ``functions.text.lang_id``.
+
+    Emitting verdict+reasons instead of dropping rows is deliberate: at
+    100 TB the audit question is "WHY did 4% of the crawl disappear",
+    so the filter is a projection and the drop is the caller's
+    ``filter(size(reasons) == 0)`` — same scan either way.  Thresholds
+    are monotone: relaxing any of them can only shrink reasons/keep
+    more (pytest-pinned)."""
+    from mrsboraetl_spark.functions.text import lang_id
+
+    rep = repetition_metrics(df, id_col, text_col)
+    base = df.select(
+        F.col(id_col).alias("id"), lang_id(F.col(text_col)).alias("_lang")
+    ).join(rep, "id", "left")
+
+    rules = [
+        ("too_short", F.coalesce(F.col("n_tokens"), F.lit(0)) < min_tokens),
+        (
+            "dup_tokens",
+            F.coalesce(F.col("dup_token_frac"), F.lit(1.0))
+            > max_dup_token_frac,
+        ),
+        (
+            "top_token",
+            F.coalesce(F.col("top_token_frac"), F.lit(1.0))
+            > max_top_token_frac,
+        ),
+        (
+            "top_bigram",
+            F.coalesce(F.col("top_bigram_frac"), F.lit(1.0))
+            > max_top_bigram_frac,
+        ),
+    ]
+    if langs is not None:
+        rules.append(("lang", ~F.col("_lang").isin(*langs)))
+    reasons = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)) for name, cond in rules]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return base.select(
+        "id",
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )
+
+
 def repetition_metrics(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

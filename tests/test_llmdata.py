@@ -380,6 +380,28 @@ def test_lsh_index_second_ingest_probes_without_rehashing(spark, sf_dir, tmp_pat
     ).count() == 0
 
 
+def test_quality_filter_covers_all_docs_and_is_monotone(spark, sf_dir):
+    """Every doc gets a verdict; keep == no reasons; relaxing every
+    threshold keeps a superset; null text fails too_short, not the job."""
+    from mrsboraetl_spark.operators.curation import quality_filter
+
+    docs = table(spark, sf_dir, "documents")
+    out = quality_filter(docs, "doc_id", "text", langs=("en",)).toPandas()
+    assert len(out) == docs.count()
+    assert (out["keep"] == (out["reasons"].str.len() == 0)).all()
+    kept = set(out[out["keep"]]["id"])
+    relaxed = quality_filter(
+        docs, "doc_id", "text",
+        min_tokens=1, max_dup_token_frac=1.0, max_top_token_frac=1.0,
+        max_top_bigram_frac=1.0,
+    ).toPandas()
+    kept_relaxed = set(relaxed[relaxed["keep"]]["id"])
+    assert kept <= kept_relaxed
+    null_doc = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = quality_filter(null_doc, "doc_id", "text").collect()[0]
+    assert not r["keep"] and "too_short" in r["reasons"]
+
+
 def test_curation_hash_null_id_matches_sql_semantics(spark):
     """The bucket hash is built with null-PROPAGATING concat so a NULL id
     behaves identically in Spark and the ANSI oracle spelling: NULL
