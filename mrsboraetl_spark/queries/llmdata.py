@@ -783,6 +783,20 @@ def curation_chunk_documents(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+def curation_quality_filter(spark, sf_dir):
+    """Composed quality gate: keep verdict + ordered audit reasons per
+    document (token count, repetition fractions, language whitelist).
+    Unregistered (driver cap, and the reasons array would break the
+    driver canonicalizer anyway); oracle-checked via
+    UNREGISTERED_ORACLES with the rules spelled out in the same order."""
+    from mrsboraetl_spark.operators.curation import quality_filter
+
+    docs = table(spark, sf_dir, "documents")
+    return quality_filter(docs, "doc_id", "text", langs=("en",)).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def curation_repetition_metrics(spark, sf_dir):
     """Per-document token-repetition quality signals (Gopher/C4-style
     duplicate-token, top-token and top-bigram fractions).  Explode + two
@@ -802,6 +816,79 @@ def curation_repetition_metrics(spark, sf_dir):
 # (simhash_near_pairs graduated to the registry in r5; the curation layer
 # entries below were added in r5.)
 UNREGISTERED_ORACLES: dict[str, str] = {
+    "curation_quality_filter": f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents WHERE text IS NOT NULL
+    ), tok AS (
+      SELECT doc_id, unnest(ts) AS t FROM toks
+    ), tc AS (
+      SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+    ), tstats AS (
+      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+             max(c) AS top_c
+      FROM tc GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS b
+      FROM toks
+    ), bc AS (
+      SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+    ), bstats AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg_c
+      FROM bc GROUP BY doc_id
+    ), rep AS (
+      SELECT t.doc_id,
+             t.n_tokens,
+             round(1.0 - t.n_distinct / CAST(t.n_tokens AS DOUBLE), 6)
+               AS dup_token_frac,
+             round(t.top_c / CAST(t.n_tokens AS DOUBLE), 6)
+               AS top_token_frac,
+             round(coalesce(b.top_bg_c / CAST(b.n_bigrams AS DOUBLE), 0.0), 6)
+               AS top_bigram_frac
+      FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id
+    ), lt AS (SELECT doc_id, {_TOKENS} AS ltoks FROM documents),
+    hits AS (
+      SELECT doc_id,
+             len(list_filter(ltoks, t -> list_contains({_in_list("en")}, t))) AS h_en,
+             len(list_filter(ltoks, t -> list_contains({_in_list("es")}, t))) AS h_es,
+             len(list_filter(ltoks, t -> list_contains({_in_list("fr")}, t))) AS h_fr,
+             len(list_filter(ltoks, t -> list_contains({_in_list("de")}, t))) AS h_de
+      FROM lt
+    ), lang AS (
+      SELECT doc_id,
+             CASE WHEN h_en = greatest(h_en, h_es, h_fr, h_de)
+                       AND greatest(h_en, h_es, h_fr, h_de) > 0 THEN 'en'
+                  WHEN h_es = greatest(h_en, h_es, h_fr, h_de)
+                       AND greatest(h_en, h_es, h_fr, h_de) > 0 THEN 'es'
+                  WHEN h_fr = greatest(h_en, h_es, h_fr, h_de)
+                       AND greatest(h_en, h_es, h_fr, h_de) > 0 THEN 'fr'
+                  WHEN h_de = greatest(h_en, h_es, h_fr, h_de)
+                       AND greatest(h_en, h_es, h_fr, h_de) > 0 THEN 'de'
+                  ELSE 'und' END AS lang_pred
+      FROM hits
+    ), rules AS (
+      SELECT d.doc_id,
+             list_filter([
+               CASE WHEN coalesce(r.n_tokens, 0) < 10
+                    THEN 'too_short' END,
+               CASE WHEN coalesce(r.dup_token_frac, 1.0) > 0.9
+                    THEN 'dup_tokens' END,
+               CASE WHEN coalesce(r.top_token_frac, 1.0) > 0.5
+                    THEN 'top_token' END,
+               CASE WHEN coalesce(r.top_bigram_frac, 1.0) > 0.5
+                    THEN 'top_bigram' END,
+               CASE WHEN l.lang_pred NOT IN ('en') THEN 'lang' END
+             ], x -> x IS NOT NULL) AS reasons
+      FROM documents d
+      LEFT JOIN rep r ON d.doc_id = r.doc_id
+      LEFT JOIN lang l ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, reasons, len(reasons) = 0 AS keep FROM rules
+    """,
     "curation_sample_mix": """
     WITH b AS (
       SELECT doc_id, source,

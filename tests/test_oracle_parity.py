@@ -50,6 +50,7 @@ UNREGISTERED = [
     "curation_sample_mix",
     "curation_chunk_documents",
     "curation_repetition_metrics",
+    "curation_quality_filter",
 ]
 
 
