@@ -745,6 +745,8 @@ def connected_components(
     import shutil
     import tempfile
 
+    if stats_reset_every < 1:
+        raise ValueError("stats_reset_every must be >= 1")
     spark = edges.sparkSession
     own_dir = checkpoint_dir is None
     ckpt_root = checkpoint_dir or tempfile.mkdtemp(prefix="cc_labels_")

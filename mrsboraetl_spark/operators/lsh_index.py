@@ -31,7 +31,11 @@ join is co-located instead of a shuffle; the parquet-append layout here
 keeps the same plan shape with one extra exchange.  Appends are
 crash-safe in the same sense as Spark's parquet append (a failed job
 leaves no committed files); parameters are pinned in ``_meta.json`` so
-an index can never be probed with a mismatched hash family.
+an index can never be probed with a mismatched hash family.  One writer
+at a time: concurrent ingests into the same index would interleave
+appends without coordination (the streaming driver in
+streaming/dedup.py serializes batches; for multi-writer setups put a
+VersionedTable in front of the band table).
 """
 
 from __future__ import annotations
