@@ -226,3 +226,54 @@ def test_render_numeric_matches_duckdb_over_float_grid(spark, xs):
     assert got == want, [
         (v, g, w) for v, g, w in zip(xs, got, want) if g != w
     ][:5]
+
+
+WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=6,
+)
+DOC_TEXT = st.lists(WORD, min_size=1, max_size=80).map(" ".join)
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(DOC_TEXT, min_size=1, max_size=20),
+    geometry=st.tuples(
+        st.integers(min_value=2, max_value=24),   # chunk_tokens
+        st.integers(min_value=0, max_value=23),   # overlap (< chunk_tokens)
+    ).filter(lambda t: t[1] < t[0]),
+)
+def test_chunk_documents_reconstruction_property(spark, texts, geometry):
+    """For ANY texts (unicode words incl. digits) and any valid
+    (chunk_tokens, overlap) geometry: dropping each chunk's leading
+    overlap and concatenating in order reproduces the whitespace-
+    normalized document; every chunk except the last is exactly the
+    budget; chunk_idx is dense from 0."""
+    import re
+
+    from mrsboraetl_spark.operators.curation import chunk_documents
+
+    chunk_tokens, overlap = geometry
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    out = (
+        chunk_documents(df, "id", "t", chunk_tokens, overlap)
+        .toPandas()
+        .sort_values(["id", "chunk_idx"])
+    )
+    for i, text in enumerate(texts):
+        g = out[out["id"] == i]
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        toks: list = []
+        for _, r in g.iterrows():
+            ct = r["chunk_text"].split(" ")
+            assert len(ct) == r["n_chunk_tokens"]
+            toks.extend(ct[overlap:] if r["chunk_idx"] > 0 else ct)
+        want = re.sub(r"\s+", " ", text).strip().split(" ")
+        assert toks == want, (i, chunk_tokens, overlap)
+        assert (g[g["chunk_idx"] != g["chunk_idx"].max()]["n_chunk_tokens"]
+                == chunk_tokens).all()
