@@ -229,6 +229,73 @@ def quality_filter(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 256,
+    n_streams: int = 32,
+    salt: str = "pack1",
+) -> DataFrame:
+    """(id, stream, seq_idx, tok_offset, n_tokens) — deterministic
+    training-order shuffle + contiguous fixed-budget sequence packing
+    (GPT-style "concatenate then cut every ``budget`` tokens").
+
+    Each document lands in a hash stream (= an independent packing
+    lane), is ordered within the stream by a salted md5 of its id (the
+    deterministic stand-in for epoch shuffling), and is assigned the
+    sequence index where its first token falls:
+    seq_idx = (running token count before this doc) div budget,
+    tok_offset = the same mod budget.  A document longer than the
+    remaining room simply spans into the next sequence, exactly like
+    the concat-and-cut packing it models.
+
+    Scale shape: ONE shuffle on the stream key, then an in-partition
+    window sum — no global ordering anywhere; lanes pack in parallel
+    and adding streams adds parallelism without changing any lane's
+    content (the lane a doc lands in is a pure function of (id, salt)).
+    Re-runs over a grown corpus re-pack only because new docs interleave
+    in hash order — the ordering KEY of existing docs never changes.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.split(
+                F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+            )
+        ).alias("n_tokens"),
+    ).where(F.col("n_tokens").isNotNull())
+    keyed = toks.select(
+        "id",
+        "n_tokens",
+        _hash_bucket("id", salt, n_streams).alias("stream"),
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(":" + salt))).alias(
+            "ord_key"
+        ),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("ord_key", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = keyed.withColumn(
+        "before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "id",
+        "stream",
+        # integer div, not float: exact however large the lane's running
+        # token count grows
+        F.expr(f"before div {budget}").alias("seq_idx"),
+        F.pmod(F.col("before"), F.lit(budget)).alias("tok_offset"),
+        "n_tokens",
+    )
+
+
 def repetition_metrics(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Benchmark decontamination: remove training documents that share a
+token n-gram with a held-out evaluation set.
+
+The canonical training-data hygiene step (GPT-3 App. C / PaLM-style
+"13-gram overlap" filtering, scaled here to the short synthetic docs):
+any train document containing at least one token n-gram that also
+occurs in the eval corpus is flagged (and, in the removal variant,
+dropped).
+
+100 TB shape: the eval side is a benchmark suite — megabytes against a
+corpus of terabytes — so its distinct n-gram set is broadcast and the
+only full-corpus work is one generate-and-probe pass over the train
+side (explode + broadcast hash semi-join; no shuffle of the corpus).
+The flag aggregation shuffles only the *matching* (doc, gram) rows,
+which decontamination assumes to be a tiny fraction of the corpus.
+
+Tokenization mirrors functions.text.tokens / the DuckDB ``_TOKENS``
+spelling so oracles stay byte-stable.
+
+Reference scope note: the reference ETL (flat_obs_v1.0.sql etc.) has no
+decontamination concept — this is part of the training-data extension
+layer (SURVEY.md §8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.functions.text import tokens
+
+
+def token_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Distinct token n-grams per document: (id_col, gram).
+
+    Pure codegen: tokenize, slide an n-window via transform-over-sequence,
+    join each window with single spaces, explode, distinct within doc.
+    Documents shorter than n tokens yield no rows (sequence guard).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens(F.col(text_col))
+    # sequence(1, 0) is DESCENDING in Spark, not empty — guard short docs
+    # explicitly so they contribute no grams.
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_counts(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(id_col, n_hits) for every train document sharing >= 1 token
+    n-gram with the eval corpus; n_hits = number of distinct shared grams.
+
+    The eval gram set is broadcast (benchmarks are small by construction);
+    the train side is streamed through one explode + broadcast inner join,
+    then a key-partitioned count over only the matching rows.
+    """
+    eval_grams = (
+        token_ngrams(eval_df, id_col, text_col, n)
+        .select("gram")
+        .distinct()
+    )
+    hits = token_ngrams(train, id_col, text_col, n).join(
+        F.broadcast(eval_grams), "gram"
+    )
+    return hits.groupBy(id_col).agg(F.count("*").alias("n_hits"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """The removal variant: train rows with zero eval n-gram overlap.
+
+    Spelled as a broadcast LEFT ANTI join against the (small) contaminated
+    id set, so the full-width train rows are never shuffled.
+    """
+    bad = contamination_counts(train, eval_df, id_col, text_col, n).select(
+        id_col
+    )
+    return train.join(F.broadcast(bad), id_col, "left_anti")

@@ -811,11 +811,166 @@ def curation_repetition_metrics(spark, sf_dir):
     )
 
 
+def decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: (doc_id, n_hits) for every train
+    document sharing >= 1 token 4-gram with the eval slice (doc_id %
+    23 == 0, standing in for a held-out benchmark — parameters chosen so
+    the check is non-vacuous at every test SF: ~30 contaminated docs).
+    The eval gram set is broadcast; the corpus side is one explode +
+    broadcast semi-probe — the corpus itself never shuffles.
+    Unregistered (driver cap); oracle-checked via UNREGISTERED_ORACLES."""
+    from mrsboraetl_spark.operators.decontam import contamination_counts
+
+    docs = table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    return contamination_counts(train, eval_df, "doc_id", "text", n=4)
+
+
+# BM25 constants shared by the Spark builder and the oracle spelling so
+# the float literals are the SAME doubles on both engines.
+_BM25_TERMS = ("window", "merge", "stream")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+def search_bm25_topk(spark, sf_dir):
+    """BM25 top-k keyword retrieval over the documents corpus.  The
+    query-term filter hits the exploded token stream BEFORE any
+    aggregation (only matching tokens shuffle); corpus scalars join via
+    a term-keyed broadcast hash join; top-k is orderBy+limit
+    (TakeOrderedAndProject), ranked after the cut.  Score rounded to 4
+    digits on both engines and the ordering computed on the ROUNDED
+    value so cross-engine ulp noise cannot flip ranks.  Unregistered
+    (driver cap); oracle-checked via UNREGISTERED_ORACLES."""
+    from mrsboraetl_spark.operators.search import bm25_scores
+
+    docs = table(spark, sf_dir, "documents")
+    scores = bm25_scores(
+        docs, _BM25_TERMS, "doc_id", "text", k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", F.round("score", 4).alias("score"))
+    from pyspark.sql import Window
+
+    top = scores.orderBy(F.desc("score"), "doc_id").limit(_BM25_TOPK)
+    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def sketch_kmv_distinct(spark, sf_dir):
+    """Vocabulary size per source via the deterministic K-Minimum-Values
+    sketch (k=64): bounded, mergeable distinct-count state — and because
+    the hash is md5, the SAME estimate to the digit on both engines, so
+    unlike HLL it is hash-check oracle-able.  Unregistered (driver cap);
+    oracle-checked via UNREGISTERED_ORACLES."""
+    from mrsboraetl_spark.functions.text import tokens
+    from mrsboraetl_spark.operators.sketch import kmv_distinct
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return kmv_distinct(toks, "source", "tok", k=64)
+
+
+def curation_pack_sequences(spark, sf_dir):
+    """Deterministic training-order shuffle + contiguous sequence packing
+    (concatenate-then-cut at a 256-token budget, 32 parallel lanes).
+    One shuffle on the lane key + an in-partition window sum — no global
+    sort.  Unregistered (driver cap); oracle-checked via
+    UNREGISTERED_ORACLES."""
+    from mrsboraetl_spark.operators.curation import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", "text", budget=256, n_streams=32, salt="pack1"
+    ).withColumnRenamed("id", "doc_id")
+
+
 # Operators kept OUT of the 50-entry driver registry but oracle-checked by
 # tests/test_oracle_parity.py, mirroring relational.UNREGISTERED_ORACLES.
 # (simhash_near_pairs graduated to the registry in r5; the curation layer
 # entries below were added in r5.)
 UNREGISTERED_ORACLES: dict[str, str] = {
+    "decontam_ngram_overlap": f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS ts FROM documents
+    ), gram_lists AS (
+      SELECT doc_id,
+             [array_to_string(
+                list_slice(ts, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')
+              FOR i IN range(1, greatest(len(ts) - 3, 0) + 1)] AS gs
+      FROM toks
+    ), grams AS (
+      SELECT DISTINCT doc_id, unnest(gs) AS gram FROM gram_lists
+    )
+    SELECT t.doc_id, count(*) AS n_hits
+    FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 23 <> 0) t
+    JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0) e
+      USING (gram)
+    GROUP BY t.doc_id
+    """,
+    "search_bm25_topk": f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS ts FROM documents
+    ), lengths AS (
+      SELECT doc_id, len(ts) AS dl FROM toks
+    ), corpus AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lengths
+    ), tok AS (
+      SELECT doc_id, unnest(ts) AS term FROM toks
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ), dft AS (
+      SELECT term, count(*) AS df_t FROM tf GROUP BY term
+    ), scored AS (
+      SELECT t.doc_id,
+             ((ln(1.0 + ((c.n_docs - d.df_t) + 0.5) / (d.df_t + 0.5))
+               * t.tf) * {_BM25_K1 + 1.0!r})
+             / (t.tf + {_BM25_K1!r}
+                * ({1.0 - _BM25_B!r}
+                   + (({_BM25_B!r} * l.dl) / c.avgdl))) AS part
+      FROM tf t
+      JOIN dft d USING (term)
+      JOIN lengths l USING (doc_id)
+      CROSS JOIN corpus c
+    ), s AS (
+      SELECT doc_id, round(sum(part), 4) AS score FROM scored
+      GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM s
+    )
+    SELECT doc_id, score, rank FROM ranked WHERE rank <= {_BM25_TOPK}
+    """,
+    # "sketch_kmv_distinct" is appended below the dict literal: its SQL is
+    # generated by operators.sketch.kmv_oracle_sql so both engines share
+    # one estimator spelling.
+    "curation_pack_sequences": """
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                              ' ')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), keyed AS (
+      SELECT doc_id, n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':pack1'), 1, 8))::BIGINT
+               % 32 AS stream,
+             md5(doc_id::VARCHAR || ':pack1') AS ord_key
+      FROM toks
+    ), packed AS (
+      SELECT doc_id, stream, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY stream
+                                 ORDER BY ord_key, doc_id
+                                 ROWS UNBOUNDED PRECEDING)
+               - n_tokens AS before
+      FROM keyed
+    )
+    SELECT doc_id, stream, before // 256 AS seq_idx,
+           before % 256 AS tok_offset, n_tokens
+    FROM packed
+    """,
     "curation_quality_filter": f"""
     WITH toks AS (
       SELECT doc_id,
@@ -973,3 +1128,12 @@ UNREGISTERED_ORACLES: dict[str, str] = {
     FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id
     """,
 }
+
+from mrsboraetl_spark.operators.sketch import kmv_oracle_sql  # noqa: E402
+
+UNREGISTERED_ORACLES["sketch_kmv_distinct"] = kmv_oracle_sql(
+    f"(SELECT source, unnest({_TOKENS}) AS tok FROM documents) AS src",
+    "source",
+    "tok",
+    64,
+)

@@ -51,6 +51,11 @@ UNREGISTERED = [
     "curation_chunk_documents",
     "curation_repetition_metrics",
     "curation_quality_filter",
+    # Round-5 session 2: decontamination, lexical search, sketches, packing
+    "decontam_ngram_overlap",
+    "search_bm25_topk",
+    "sketch_kmv_distinct",
+    "curation_pack_sequences",
 ]
 
 

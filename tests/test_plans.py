@@ -171,6 +171,18 @@ def test_unregistered_scale_ops_plan_no_nested_loop(spark, sf_dir):
         .groupBy("u")
         .agg(F.min("label").alias("nbr_label"))
     )
+    # r5 session 2: decontamination / BM25 / KMV sketch / sequence packing.
+    # BM25 in particular must stay a term-keyed broadcast HASH join — its
+    # constant-key spelling constant-folds into a BroadcastNestedLoopJoin.
+    from mrsboraetl_spark.queries import llmdata as L
+
+    for name in (
+        "decontam_ngram_overlap",
+        "search_bm25_topk",
+        "sketch_kmv_distinct",
+        "curation_pack_sequences",
+    ):
+        plans[name] = fmt(getattr(L, name)(spark, sf_dir))
     bad = {
         name: [
             n for n in ("CartesianProduct", "BroadcastNestedLoopJoin")

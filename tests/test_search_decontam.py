@@ -1,0 +1,195 @@
+"""Unit tests for the round-5 session-2 additions: decontamination,
+BM25/TF-IDF search, KMV/HLL sketches, and sequence packing — semantics
+beyond what the oracle-parity hash checks pin."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.operators.curation import pack_sequences
+from mrsboraetl_spark.operators.decontam import (
+    contamination_counts,
+    decontaminate,
+    token_ngrams,
+)
+from mrsboraetl_spark.operators.search import bm25_topk, tfidf_scores
+from mrsboraetl_spark.operators.sketch import approx_distinct, kmv_distinct
+from mrsboraetl_spark.queries import table
+
+
+# ------------------------------------------------------------- decontam
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_drops_exactly_the_flagged_docs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = {
+        r.doc_id
+        for r in contamination_counts(train, eval_df, n=5).collect()
+    }
+    kept = {r.doc_id for r in decontaminate(train, eval_df, n=5).collect()}
+    all_train = {r.doc_id for r in train.select("doc_id").collect()}
+    assert kept == all_train - flagged
+    assert flagged, "probe is vacuous: eval slice shares no 5-gram"
+
+
+def test_token_ngrams_short_docs_yield_no_grams(spark):
+    # sequence(1, 0) is descending in Spark — the guard must make docs
+    # shorter than n contribute nothing, not bogus grams.
+    df = _docs(
+        spark,
+        [(1, "a b c"), (2, "one two three four five"), (3, None)],
+    )
+    out = token_ngrams(df, "doc_id", "text", 5).collect()
+    assert {r.doc_id for r in out} == {2}
+    assert [r.gram for r in out] == ["one two three four five"]
+
+
+def test_contamination_counts_counts_distinct_shared_grams(spark):
+    train = _docs(spark, [(1, "a b c d e f"), (2, "x y z w v u")])
+    eval_df = _docs(spark, [(10, "a b c d e"), (11, "b c d e f")])
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_counts(train, eval_df, n=5).collect()
+    }
+    # doc 1's grams: "a b c d e", "b c d e f" — both in eval; doc 2: none
+    assert got == {(1, 2)}
+
+
+# --------------------------------------------------------------- search
+
+def test_bm25_prefers_higher_tf_at_equal_length(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spark spark spark pad pad pad"),
+            (2, "spark pad pad pad pad pad"),
+            (3, "pad pad pad pad pad pad"),
+        ],
+    )
+    hits = bm25_topk(df, ["spark"], k=10).orderBy("rank").collect()
+    assert [r.doc_id for r in hits] == [1, 2]  # doc 3 matches nothing
+    assert hits[0].score > hits[1].score > 0
+    assert [r.rank for r in hits] == [1, 2]
+
+
+def test_bm25_penalizes_longer_docs_at_equal_tf(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spark pad"),
+            (2, "spark " + "pad " * 20),
+            (3, "pad"),
+        ],
+    )
+    hits = bm25_topk(df, ["spark"], k=10).orderBy("rank").collect()
+    assert [r.doc_id for r in hits] == [1, 2]
+
+
+def test_tfidf_matches_hand_computation(spark):
+    # 4 docs, term "x" in 2 of them -> idf = ln(4/2); tf=2 in doc 1.
+    df = _docs(
+        spark,
+        [(1, "x x y"), (2, "x z"), (3, "y z"), (4, "z z")],
+    )
+    got = {
+        r.doc_id: r.score for r in tfidf_scores(df, ["x"]).collect()
+    }
+    idf = math.log(4 / 2)
+    assert got.keys() == {1, 2}
+    assert got[1] == pytest.approx((1 + math.log(2)) * idf)
+    assert got[2] == pytest.approx(1.0 * idf)
+
+
+def test_bm25_empty_terms_rejected(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        bm25_topk(df, [], k=5)
+
+
+# -------------------------------------------------------------- sketches
+
+def test_kmv_exact_below_k_and_estimate_above_k(spark):
+    rows = [("small", f"v{i}") for i in range(10)] + [
+        ("big", f"w{i}") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: r.est_distinct for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert got["small"] == 10.0  # sketch holds all values: exact
+    # KMV std-err ~ 1/sqrt(k-2) ≈ 12.7%; the estimate is deterministic
+    # (md5), so this is a fixed-value check with slack, not a flaky one.
+    assert got["big"] == pytest.approx(2000, rel=0.35)
+
+
+def test_kmv_ignores_duplicates_and_nulls(spark):
+    rows = [("g", "a")] * 100 + [("g", "b")] * 50 + [("g", None)] * 7
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = kmv_distinct(df, "g", "v", k=8).collect()
+    assert len(got) == 1 and got[0].est_distinct == 2.0
+
+
+def test_approx_distinct_hll_within_tolerance(spark):
+    rows = [("g", f"v{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    est = approx_distinct(df, "g", "v", rsd=0.05).collect()[0].est_distinct
+    assert est == pytest.approx(5000, rel=0.15)
+
+
+def test_kmv_k_must_be_at_least_two(spark):
+    df = spark.createDataFrame([("g", "a")], "g string, v string")
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "g", "v", k=1)
+
+
+# ---------------------------------------------------------- pack_sequences
+
+def test_pack_sequences_contiguous_within_each_stream(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    out = pack_sequences(docs, "doc_id", "text", budget=256, n_streams=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_stream: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.tok_offset < 256
+        assert r.seq_idx >= 0
+        by_stream.setdefault(r.stream, []).append(r)
+    assert set(by_stream) <= set(range(8))
+    # Within a stream the docs tile the token axis exactly: sorted by
+    # global start offset, each doc starts where the previous one ended.
+    for rs in by_stream.values():
+        rs.sort(key=lambda r: r.seq_idx * 256 + r.tok_offset)
+        pos = 0
+        for r in rs:
+            assert r.seq_idx * 256 + r.tok_offset == pos
+            pos += r.n_tokens
+
+
+def test_pack_sequences_is_deterministic_and_salt_sensitive(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    a = {
+        (r.id, r.stream, r.seq_idx, r.tok_offset)
+        for r in pack_sequences(docs, "doc_id", "text").collect()
+    }
+    b = {
+        (r.id, r.stream, r.seq_idx, r.tok_offset)
+        for r in pack_sequences(docs, "doc_id", "text").collect()
+    }
+    c = {
+        (r.id, r.stream, r.seq_idx, r.tok_offset)
+        for r in pack_sequences(docs, "doc_id", "text", salt="other").collect()
+    }
+    assert a == b
+    assert a != c
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "text", budget=0)
