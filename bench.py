@@ -37,6 +37,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_doc_metrics",
     "visit_summary_equiv",
+    # r5 session 2 marquee addition (registered in place of
+    # anti_join_no_orders): eval-set n-gram decontamination
+    "decontam_ngram_overlap",
 ]
 
 

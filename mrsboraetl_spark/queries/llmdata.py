@@ -811,6 +811,27 @@ def curation_repetition_metrics(spark, sf_dir):
     )
 
 
+@register(
+    "decontam_ngram_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS ts FROM documents
+    ), gram_lists AS (
+      SELECT doc_id,
+             [array_to_string(
+                list_slice(ts, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')
+              FOR i IN range(1, greatest(len(ts) - 3, 0) + 1)] AS gs
+      FROM toks
+    ), grams AS (
+      SELECT DISTINCT doc_id, unnest(gs) AS gram FROM gram_lists
+    )
+    SELECT t.doc_id, count(*) AS n_hits
+    FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 23 <> 0) t
+    JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0) e
+      USING (gram)
+    GROUP BY t.doc_id
+    """,
+)
 def decontam_ngram_overlap(spark, sf_dir):
     """Benchmark decontamination: (doc_id, n_hits) for every train
     document sharing >= 1 token 4-gram with the eval slice (doc_id %
@@ -818,7 +839,9 @@ def decontam_ngram_overlap(spark, sf_dir):
     the check is non-vacuous at every test SF: ~30 contaminated docs).
     The eval gram set is broadcast; the corpus side is one explode +
     broadcast semi-probe — the corpus itself never shuffles.
-    Unregistered (driver cap); oracle-checked via UNREGISTERED_ORACLES."""
+    Promoted into the driver registry in r5 session 2 (slot freed by
+    demoting anti_join_no_orders, whose J4 shape anti_join_daykey still
+    covers)."""
     from mrsboraetl_spark.operators.decontam import contamination_counts
 
     docs = table(spark, sf_dir, "documents")
@@ -890,24 +913,6 @@ def curation_pack_sequences(spark, sf_dir):
 # (simhash_near_pairs graduated to the registry in r5; the curation layer
 # entries below were added in r5.)
 UNREGISTERED_ORACLES: dict[str, str] = {
-    "decontam_ngram_overlap": f"""
-    WITH toks AS (
-      SELECT doc_id, {_TOKENS} AS ts FROM documents
-    ), gram_lists AS (
-      SELECT doc_id,
-             [array_to_string(
-                list_slice(ts, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')
-              FOR i IN range(1, greatest(len(ts) - 3, 0) + 1)] AS gs
-      FROM toks
-    ), grams AS (
-      SELECT DISTINCT doc_id, unnest(gs) AS gram FROM gram_lists
-    )
-    SELECT t.doc_id, count(*) AS n_hits
-    FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 23 <> 0) t
-    JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0) e
-      USING (gram)
-    GROUP BY t.doc_id
-    """,
     "search_bm25_topk": f"""
     WITH toks AS (
       SELECT doc_id, {_TOKENS} AS ts FROM documents

@@ -30,6 +30,7 @@ SUBSET = [
     "salted_skew_aggregate",
     "dedup_exact",
     "text_doc_metrics",
+    "decontam_ngram_overlap",
 ]
 
 # Operators kept out of the 50-entry driver registry still get the same
@@ -44,6 +45,8 @@ UNREGISTERED = [
     # Demoted r5 to free slots for dedup_cluster_keepers + simhash_near_pairs
     "pivot_status_counts",
     "setop_intersect_except",
+    # Demoted r5 session 2 to free a slot for decontam_ngram_overlap
+    "anti_join_no_orders",
     # Curation layer (added r5): deterministic split/mix, chunking,
     # repetition quality
     "curation_split_assign",
@@ -51,8 +54,8 @@ UNREGISTERED = [
     "curation_chunk_documents",
     "curation_repetition_metrics",
     "curation_quality_filter",
-    # Round-5 session 2: decontamination, lexical search, sketches, packing
-    "decontam_ngram_overlap",
+    # Round-5 session 2: lexical search, sketches, packing (decontamination
+    # went straight into the driver registry)
     "search_bm25_topk",
     "sketch_kmv_distinct",
     "curation_pack_sequences",

@@ -177,7 +177,7 @@ def test_unregistered_scale_ops_plan_no_nested_loop(spark, sf_dir):
     from mrsboraetl_spark.queries import llmdata as L
 
     for name in (
-        "decontam_ngram_overlap",
+        # decontam_ngram_overlap is registered -> covered by the registry sweep
         "search_bm25_topk",
         "sketch_kmv_distinct",
         "curation_pack_sequences",
