@@ -75,6 +75,7 @@ def contamination_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """(id_col, n_hits) for every train document sharing >= 1 token
     n-gram with the eval corpus; n_hits = number of distinct shared grams.
@@ -85,16 +86,25 @@ def contamination_counts(
     matters for scale: the broadcast probe runs BEFORE the per-doc gram
     dedup, so the distinct shuffles only grams that actually matched the
     eval set (assumed a tiny fraction of the corpus) instead of every
-    gram the corpus generates — measured 4.3s -> ~1s at sf0.1.
+    gram the corpus generates.
+
+    ``broadcast_eval=False`` spells the probe as a gram-keyed shuffle
+    hash join instead — the fallback when the eval side outgrows
+    broadcast (a full benchmark SUITE of gram sets, or decontaminating
+    one corpus half against the other).  Same result set
+    (pytest-pinned); the trade is one corpus-gram shuffle for not
+    materializing the eval grams on every executor.
     """
     eval_grams = (
         token_ngrams(eval_df, id_col, text_col, n)
         .select("gram")
         .distinct()
     )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
     hits = (
         _exploded_ngrams(train, id_col, text_col, n)
-        .join(F.broadcast(eval_grams), "gram")
+        .join(eval_grams, "gram")
         .distinct()  # a doc repeating a matched gram counts it once
     )
     return hits.groupBy(id_col).agg(F.count("*").alias("n_hits"))

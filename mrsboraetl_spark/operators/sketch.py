@@ -113,6 +113,76 @@ def kmv_oracle_sql(
     """
 
 
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """(group_cols..., sketch) — the KMV state itself: the ascending
+    array of the <= k smallest hash fractions per group.
+
+    This is the MERGEABLE form: compute per shard/day/partition-group,
+    store alongside the data, and combine later with
+    :func:`kmv_merge_estimate` — the merged estimate equals the direct
+    estimate over the union EXACTLY (md5 is deterministic, and the k
+    smallest of a union are a subset of the per-shard k smallest).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashed = (
+        df.select(
+            *[F.col(c) for c in group_cols],
+            _hash_frac(F.col(value_col).cast("string")).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    mins = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return mins.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("h")).alias("sketch")
+    )
+
+
+def kmv_merge_estimate(
+    sketches: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """(group_col, est_distinct) from a table of per-shard KMV sketches
+    (the output of :func:`kmv_sketch` over (group, shard) keys).
+
+    Merge = k smallest distinct hash values across the shards' sketches;
+    the estimator and rounding are identical to :func:`kmv_distinct`, so
+    merged-over-shards equals direct-over-union exactly (pytest-pinned).
+    Shuffle shape: the exploded sketch rows are (group, h) pairs bounded
+    by k * n_shards per group — sketch-sized, never corpus-sized.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    exploded = (
+        sketches.select(F.col(group_col), F.explode("sketch").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    mins = exploded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return (
+        mins.groupBy(group_col)
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("h_k"))
+        .select(
+            group_col,
+            F.round(
+                F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+                .otherwise((k - 1) / F.col("h_k")),
+                4,
+            ).alias("est_distinct"),
+        )
+    )
+
+
 def approx_distinct(
     df: DataFrame, group_col: str, value_col: str, rsd: float = 0.05
 ) -> DataFrame:

@@ -142,6 +142,56 @@ def test_approx_distinct_hll_within_tolerance(spark):
     assert est == pytest.approx(5000, rel=0.15)
 
 
+def test_kmv_sharded_merge_equals_direct(spark, sf_dir):
+    """The mergeable-state contract: per-shard sketches combined with
+    kmv_merge_estimate give EXACTLY the direct estimate over the union —
+    the property that lets a 100 TB pipeline sketch per day/partition
+    and fold later."""
+    from mrsboraetl_spark.operators.sketch import (
+        kmv_merge_estimate,
+        kmv_sketch,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        (F.col("doc_id") % 3).alias("shard"),
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    direct = {
+        r.source: r.est_distinct
+        for r in kmv_distinct(toks, "source", "tok", k=32).collect()
+    }
+    partials = kmv_sketch(toks, ["source", "shard"], "tok", k=32)
+    assert partials.filter(F.size("sketch") > 32).count() == 0
+    merged = {
+        r.source: r.est_distinct
+        for r in kmv_merge_estimate(partials, "source", k=32).collect()
+    }
+    assert merged == direct
+
+
+def test_decontam_shuffle_fallback_matches_broadcast(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    bc = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_counts(train, eval_df, n=4).collect()
+    }
+    sh = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_counts(
+            train, eval_df, n=4, broadcast_eval=False
+        ).collect()
+    }
+    assert bc == sh and bc
+
+
 def test_kmv_k_must_be_at_least_two(spark):
     df = spark.createDataFrame([("g", "a")], "g string, v string")
     with pytest.raises(ValueError):
