@@ -1,0 +1,112 @@
+"""Multi-dimensional data layout: z-order (Morton-curve) clustering.
+
+Hive partitioning (engine.py ``partitioned=True``) prunes on ONE
+directory column; bucketing (sources/bucketing.py) co-locates ONE join
+key.  When queries filter on TWO independent columns (user AND time,
+tenant AND day), clustering the stored files along a space-filling
+curve gives every file/row-group a tight min/max envelope on BOTH
+columns, so the engine's ordinary stats-based pruning (parquet
+row-group skipping via pushed predicates — free, no catalog needed)
+cuts the scan on either dimension or both.
+
+Spark-first spelling: the z-key is a pure codegen'd bit-interleave
+expression; the layout is ``repartitionByRange(z)`` +
+``sortWithinPartitions(z)`` + plain parquet — one range shuffle at
+write time, standard files at read time (readers need no special
+support; the key column itself is dropped).  This is the same
+mechanism Delta/Iceberg OPTIMIZE ZORDER applies, expressed with stock
+DataFrame ops.
+
+Scale note: per-column [min, max] for normalization comes from one
+1-row scalar aggregate collected at WRITE time (bounded driver action,
+mirroring the documented 16-row seed collect in queries/llmdata) — or
+pass ``ranges`` explicitly when the caller already knows the domain
+(e.g. a fixed tenant-id space), which drops the extra scan entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ZKEY = "__zkey"
+
+
+def _normalize(
+    col: Column, lo: float, hi: float, bits: int
+) -> Column:
+    """Linear-bin a numeric column into [0, 2**bits) as a long; the
+    degenerate lo == hi domain maps everything to 0."""
+    n_bins = (1 << bits) - 1
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(
+        float(hi) - float(lo)
+    )
+    clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))
+    return F.round(clamped * n_bins).cast("long")
+
+
+def zorder_key(
+    cols: Sequence[Column], bits: int = 16
+) -> Column:
+    """Interleave the low ``bits`` bits of the given (already
+    normalized, non-negative long) columns into one Morton key.
+
+    Bit layout: key bit (i * n_cols + j) = bit i of cols[j], so equal
+    prefixes of the key correspond to hypercubes of the domain — the
+    property that gives every contiguous key range a tight per-column
+    envelope.  Pure shiftleft/shiftright/bitwise-and composition:
+    whole-stage codegen, no UDFs.
+    """
+    n = len(cols)
+    if not 1 <= n * bits <= 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 32,
+    bits: int = 16,
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> None:
+    """Write ``df`` as plain parquet clustered along the z-order curve
+    of ``cols``.
+
+    ``ranges`` maps column -> (lo, hi) normalization domain; columns not
+    given are scanned once for min/max (1-row collect, write-time only).
+    """
+    need = [c for c in cols if ranges is None or c not in ranges]
+    got = dict(ranges or {})
+    if need:
+        row = df.agg(
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in need],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in need],
+        ).collect()[0]
+        for c in need:
+            got[c] = (row[f"lo_{c}"], row[f"hi_{c}"])
+    z = zorder_key(
+        [
+            _normalize(F.col(c), got[c][0], got[c][1], bits)
+            for c in cols
+        ],
+        bits,
+    )
+    (
+        df.withColumn(_ZKEY, z)
+        .repartitionByRange(n_files, _ZKEY)
+        .sortWithinPartitions(_ZKEY)
+        .drop(_ZKEY)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
