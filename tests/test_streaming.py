@@ -230,3 +230,40 @@ def test_streaming_dedup_index_matches_batch(spark, sf_dir, tmp_path):
     assert len(markers) == 3, markers
     n_docs = docs.filter(F.col("text").isNotNull()).count()
     assert idx.bands(spark).select("doc").distinct().count() == n_docs
+
+
+def test_streaming_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """Decontamination is stateless per batch, so the union of clean
+    micro-batches must equal the batch operator's output exactly,
+    independent of batch split; replaying a finished batch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from mrsboraetl_spark.operators.decontam import decontaminate
+    from mrsboraetl_spark.queries import table
+    from mrsboraetl_spark.streaming.decontam import streaming_decontaminate
+    from mrsboraetl_spark.streaming.dedup import stream_documents
+
+    docs = table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+
+    src = str(tmp_path / "train_stream")
+    train.repartition(3).write.parquet(src)
+    clean_path = str(tmp_path / "clean")
+    q = streaming_decontaminate(
+        stream_documents(spark, src), eval_df, clean_path,
+        str(tmp_path / "ckpt_dc"), n=4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.doc_id for r in spark.read.parquet(clean_path).collect()
+    }
+    want = {
+        r.doc_id for r in decontaminate(train, eval_df, n=4).collect()
+    }
+    assert got == want
+    assert len(got) < train.count()  # some docs were actually dropped
