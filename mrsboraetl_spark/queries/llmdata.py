@@ -908,11 +908,36 @@ def curation_pack_sequences(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+def profile_source_percentiles(spark, sf_dir):
+    """Per-source corpus profiling with EXACT percentiles: doc counts,
+    mean and p50/p90 document length.  Spark's sort-based exact
+    percentile aggregate matches DuckDB's quantile_cont to the ulp
+    (linear interpolation on the ordered multiset) — the exact path;
+    the 100 TB path is the approx_percentile sketch in
+    functions/approx.py (error-bound-tested).  Unregistered (driver
+    cap); oracle-checked via UNREGISTERED_ORACLES."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+    )
+
+
 # Operators kept OUT of the 50-entry driver registry but oracle-checked by
 # tests/test_oracle_parity.py, mirroring relational.UNREGISTERED_ORACLES.
 # (simhash_near_pairs graduated to the registry in r5; the curation layer
 # entries below were added in r5.)
 UNREGISTERED_ORACLES: dict[str, str] = {
+    "profile_source_percentiles": """
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+    FROM documents GROUP BY source
+    """,
     "search_bm25_topk": f"""
     WITH toks AS (
       SELECT doc_id, {_TOKENS} AS ts FROM documents

@@ -59,6 +59,7 @@ UNREGISTERED = [
     "search_bm25_topk",
     "sketch_kmv_distinct",
     "curation_pack_sequences",
+    "profile_source_percentiles",
 ]
 
 
