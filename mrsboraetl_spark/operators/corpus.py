@@ -1,0 +1,159 @@
+"""The composed corpus-curation pipeline: one call from a raw document
+table to a training-ready corpus with a per-document audit trail.
+
+Stage order (each stage only sees the previous stage's survivors, so
+the expensive near-dup pass runs on the smallest possible corpus):
+
+1. QUALITY   — operators/curation.quality_filter (length, repetition,
+               language rules; monotone thresholds)
+2. DECONTAM  — operators/decontam (eval-set token-n-gram overlap,
+               broadcast gram probe)
+3. DEDUP     — LSH + exact-Jaccard-verified near-dup pairs ->
+               connected components -> cluster keepers (non-keepers
+               drop; the keeper is the cluster's minimum id)
+4. SPLIT     — operators/curation.split_assign (hash train/val/test,
+               stable under corpus growth)
+5. PACK      — operators/curation.pack_sequences (training-order
+               shuffle + fixed-budget concatenate-then-cut), train
+               split only; val/test stay document-grained
+
+The audit DataFrame covers EVERY input document exactly once with its
+disposition — 'kept' or the name of the stage that dropped it — so the
+100 TB question "why did 4% of the crawl disappear" is one groupBy
+away (pytest pins the exactly-once partition property).
+
+Everything composes the already-oracle-checked operators; the
+composition itself is pinned by row-accounting and agreement tests
+(tests/test_corpus_pipeline.py) rather than one giant SQL oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.operators.curation import (
+    pack_sequences,
+    quality_filter,
+    split_assign,
+)
+from mrsboraetl_spark.operators.decontam import contamination_counts
+from mrsboraetl_spark.operators.dedup import (
+    dedup_cluster_keepers,
+    lsh_verified_pairs,
+)
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for :func:`curate_corpus`, defaulting to the same values
+    the individually-registered query entries use."""
+
+    min_tokens: int = 10
+    langs: tuple[str, ...] | None = None
+    decontam_n: int = 4
+    dedup_threshold: float = 0.5
+    num_hashes: int = 8
+    rows_per_band: int = 4
+    shingle_k: int = 5
+    max_band_freq: int | None = 100
+    split_salt: str = "v1"
+    pack_budget: int = 256
+    pack_streams: int = 32
+    cc_kwargs: dict = field(default_factory=dict)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: CurationConfig | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (kept, audit, packed):
+
+    * ``kept``  — surviving documents with their ``split`` column;
+    * ``audit`` — (id, disposition) for EVERY input document, exactly
+      once: 'kept' | 'quality' | 'contaminated' | 'duplicate';
+    * ``packed`` — train-split packing assignment
+      (id, stream, seq_idx, tok_offset, n_tokens).
+
+    ``eval_df=None`` skips decontamination (no benchmark to protect).
+    """
+    cfg = cfg or CurationConfig()
+    ids = docs.select(F.col(id_col).alias("id"))
+
+    # 1. quality gate — verdict + reasons over the full corpus
+    q = quality_filter(
+        docs, id_col, text_col, min_tokens=cfg.min_tokens, langs=cfg.langs
+    )
+    q_keep_ids = q.filter(F.col("keep")).select("id")
+    survivors = docs.join(
+        q_keep_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+
+    # 2. decontamination — only quality survivors are probed
+    if eval_df is not None:
+        contaminated = contamination_counts(
+            survivors, eval_df, id_col, text_col, n=cfg.decontam_n
+        ).select(F.col(id_col).alias("id"))
+        survivors = survivors.join(
+            contaminated.withColumnRenamed("id", id_col),
+            id_col,
+            "left_anti",
+        )
+    else:
+        contaminated = ids.limit(0)
+
+    # 3. near-dup keepers on what's left
+    pairs = lsh_verified_pairs(
+        survivors,
+        id_col,
+        text_col,
+        num_hashes=cfg.num_hashes,
+        k=cfg.shingle_k,
+        rows_per_band=cfg.rows_per_band,
+        threshold=cfg.dedup_threshold,
+        max_band_freq=cfg.max_band_freq,
+    )
+    keepers = dedup_cluster_keepers(
+        survivors, pairs, id_col, **cfg.cc_kwargs
+    )
+    dup_ids = keepers.filter(~F.col("is_keeper")).select("id")
+    survivors = survivors.join(
+        dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+
+    # 4. split assignment on the final corpus
+    kept = split_assign(survivors, id_col, salt=cfg.split_salt)
+
+    # 5. pack the train split
+    packed = pack_sequences(
+        kept.filter(F.col("split") == "train"),
+        id_col,
+        text_col,
+        budget=cfg.pack_budget,
+        n_streams=cfg.pack_streams,
+    )
+
+    # audit: disposition per input doc, first matching stage wins
+    audit = (
+        ids.join(
+            q_keep_ids.select("id", F.lit(True).alias("_q")), "id", "left"
+        )
+        .join(
+            contaminated.select("id", F.lit(True).alias("_c")), "id", "left"
+        )
+        .join(dup_ids.select("id", F.lit(True).alias("_d")), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_q").isNull(), "quality")
+            .when(F.col("_c").isNotNull(), "contaminated")
+            .when(F.col("_d").isNotNull(), "duplicate")
+            .otherwise("kept")
+            .alias("disposition"),
+        )
+    )
+    return kept, audit, packed
