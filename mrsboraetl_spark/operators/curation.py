@@ -296,6 +296,59 @@ def pack_sequences(
     )
 
 
+def oov_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """(id, n_tokens, oov_frac) — fraction of each document's tokens
+    that fall outside the corpus's top-``vocab_size`` vocabulary (the
+    CCNet-style out-of-vocabulary quality signal: high OOV marks
+    boilerplate, codes, or wrong-language text relative to the corpus).
+
+    Shape: explode -> per-token counts (vocabulary-sized, not
+    corpus-sized) -> deterministic top-V via orderBy+limit, which
+    Catalyst plans as TakeOrderedAndProject (per-partition partial
+    top-V + a V-row merge — no global sort, no single-partition
+    window).  The per-doc OOV count is then a broadcast
+    left-anti-style aggregation: tokens probe the broadcast vocab and
+    non-matches are counted.  Tokenization mirrors
+    functions.text.tokens for oracle parity.
+    """
+    from mrsboraetl_spark.functions.text import tokens
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    counts = toks.groupBy("t").agg(F.count("*").alias("c"))
+    # deterministic top-V: count desc, token asc tiebreak
+    vocab = (
+        counts.orderBy(F.desc("c"), F.col("t"))
+        .limit(vocab_size)
+        .select("t")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(True))), "t", "left"
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_frac"),
+        )
+    )
+
+
 def repetition_metrics(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

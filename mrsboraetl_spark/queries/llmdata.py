@@ -908,6 +908,21 @@ def curation_pack_sequences(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+def curation_oov_fraction(spark, sf_dir):
+    """CCNet-style out-of-vocabulary quality signal: fraction of each
+    document's tokens outside the corpus top-20 vocabulary (the test
+    corpus has 31 distinct tokens, so the tail 11 carry real OOV mass
+    and the check is non-vacuous).  Top-V is TakeOrderedAndProject, the
+    probe a broadcast hash join.  Unregistered (driver cap);
+    oracle-checked via UNREGISTERED_ORACLES."""
+    from mrsboraetl_spark.operators.curation import oov_fraction
+
+    docs = table(spark, sf_dir, "documents")
+    return oov_fraction(docs, "doc_id", "text", vocab_size=20).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def profile_source_percentiles(spark, sf_dir):
     """Per-source corpus profiling with EXACT percentiles: doc counts,
     mean and p50/p90 document length.  Spark's sort-based exact
@@ -930,6 +945,21 @@ def profile_source_percentiles(spark, sf_dir):
 # (simhash_near_pairs graduated to the registry in r5; the curation layer
 # entries below were added in r5.)
 UNREGISTERED_ORACLES: dict[str, str] = {
+    "curation_oov_fraction": f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+    ), counts AS (
+      SELECT t, count(*) AS c FROM toks GROUP BY t
+    ), vocab AS (
+      SELECT t FROM counts ORDER BY c DESC, t LIMIT 20
+    ), flagged AS (
+      SELECT k.doc_id, CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks k LEFT JOIN vocab v USING (t)
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(oov) / count(*), 6) AS oov_frac
+    FROM flagged GROUP BY doc_id
+    """,
     "profile_source_percentiles": """
     SELECT source,
            count(*) AS n_docs,

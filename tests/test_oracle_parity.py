@@ -60,6 +60,7 @@ UNREGISTERED = [
     "sketch_kmv_distinct",
     "curation_pack_sequences",
     "profile_source_percentiles",
+    "curation_oov_fraction",
 ]
 
 

@@ -198,6 +198,19 @@ def test_kmv_k_must_be_at_least_two(spark):
         kmv_distinct(df, "g", "v", k=1)
 
 
+def test_oov_fraction_bounds_and_full_vocab_is_zero(spark, sf_dir):
+    from mrsboraetl_spark.operators.curation import oov_fraction
+
+    docs = table(spark, sf_dir, "documents")
+    out = oov_fraction(docs, "doc_id", "text", vocab_size=20).collect()
+    assert len(out) == docs.count()
+    assert all(0.0 <= r.oov_frac <= 1.0 for r in out)
+    assert any(r.oov_frac > 0 for r in out)  # tail tokens carry OOV mass
+    # a vocabulary covering every distinct token -> zero OOV everywhere
+    full = oov_fraction(docs, "doc_id", "text", vocab_size=100000).collect()
+    assert all(r.oov_frac == 0.0 for r in full)
+
+
 # ---------------------------------------------------------- pack_sequences
 
 def test_pack_sequences_contiguous_within_each_stream(spark, sf_dir):
