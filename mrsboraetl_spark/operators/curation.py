@@ -296,6 +296,68 @@ def pack_sequences(
     )
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    budgets: dict[str, int],
+    salt: str = "budget1",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic down-sampling of each source to a TOKEN budget:
+    "give me ~2M tokens of crawl, ~500k of forums" — the budget-driven
+    sibling of :func:`sample_by_source` (which takes rates).
+
+    Per source, the implied rate is budget / actual_tokens, but the
+    keep decision is made in INTEGER arithmetic —
+    ``bucket * actual_tokens < budget * buckets`` — so it is exact and
+    bit-identical in any engine (a floating-point rate * buckets
+    threshold can flip on an ulp at the boundary).  Sources missing
+    from ``budgets`` are dropped; a budget at or above the source's
+    actual token count keeps it whole.  Expected kept tokens per source
+    ≈ min(budget, actual): the hash is uniform over documents, so the
+    kept token count concentrates around the budget for corpora whose
+    doc lengths are not adversarially correlated with the hash (they
+    cannot be — the hash ignores the text).
+
+    Shape: one aggregate for per-source token totals (source-count
+    rows, broadcast), then a single codegen'd filter over the corpus —
+    the corpus itself never shuffles.
+    """
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+    n_tok = F.size(
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    )
+    with_tok = df.withColumn("_nt", n_tok)
+    totals = with_tok.groupBy(source_col).agg(
+        F.sum("_nt").alias("_actual")
+    )
+    bucket = _hash_bucket(id_col, salt, buckets)
+    budget_expr = F.lit(None).cast("long")
+    for s, b in sorted(budgets.items()):
+        budget_expr = F.when(F.col(source_col) == s, F.lit(b)).otherwise(
+            budget_expr
+        )
+    return (
+        with_tok.join(F.broadcast(totals), source_col)
+        .withColumn("_budget", budget_expr)
+        # integer-exact keep rule: bucket/buckets < budget/actual.
+        # decimal(38,0) keeps the cross-products exact past the ~9e12
+        # source-token count where bucket * actual would overflow a long.
+        .filter(
+            F.col("_budget").isNotNull()
+            & (
+                bucket.cast("decimal(38,0)") * F.col("_actual")
+                < F.col("_budget").cast("decimal(38,0)") * F.lit(buckets)
+            )
+        )
+        .drop("_nt", "_actual", "_budget")
+    )
+
+
 def oov_fraction(
     df: DataFrame,
     id_col: str,

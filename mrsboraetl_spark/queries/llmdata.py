@@ -923,6 +923,22 @@ def curation_oov_fraction(spark, sf_dir):
     )
 
 
+def curation_token_budget_mix(spark, sf_dir):
+    """Budget-driven corpus mixing: src0 sampled down to a 500-token
+    budget, src1 kept whole (budget above its actual count), every
+    other source dropped.  The keep rule is integer-exact
+    (bucket * actual < budget * buckets), so both engines agree
+    bit-for-bit with no float-boundary risk.  Unregistered (driver
+    cap); oracle-checked via UNREGISTERED_ORACLES."""
+    from mrsboraetl_spark.operators.curation import sample_to_token_budget
+
+    docs = table(spark, sf_dir, "documents")
+    return sample_to_token_budget(
+        docs, "doc_id", "text", "source",
+        budgets={"src0": 500, "src1": 10_000_000}, salt="budget1",
+    ).select("doc_id", "source")
+
+
 def profile_source_percentiles(spark, sf_dir):
     """Per-source corpus profiling with EXACT percentiles: doc counts,
     mean and p50/p90 document length.  Spark's sort-based exact
@@ -945,6 +961,26 @@ def profile_source_percentiles(spark, sf_dir):
 # (simhash_near_pairs graduated to the registry in r5; the curation layer
 # entries below were added in r5.)
 UNREGISTERED_ORACLES: dict[str, str] = {
+    "curation_token_budget_mix": """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                              ' ')) AS nt,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':budget1'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+      FROM documents
+    ), totals AS (
+      SELECT source, sum(nt) AS actual FROM t GROUP BY source
+    )
+    SELECT t.doc_id, t.source
+    FROM t JOIN totals USING (source)
+    WHERE CASE t.source WHEN 'src0' THEN 500
+                        WHEN 'src1' THEN 10000000 END IS NOT NULL
+      AND t.bucket * totals.actual
+          < CASE t.source WHEN 'src0' THEN 500::BIGINT
+                          WHEN 'src1' THEN 10000000::BIGINT END
+            * 1000000::BIGINT
+    """,
     "curation_oov_fraction": f"""
     WITH toks AS (
       SELECT doc_id, unnest({_TOKENS}) AS t FROM documents

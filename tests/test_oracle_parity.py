@@ -61,6 +61,7 @@ UNREGISTERED = [
     "curation_pack_sequences",
     "profile_source_percentiles",
     "curation_oov_fraction",
+    "curation_token_budget_mix",
 ]
 
 

@@ -181,6 +181,9 @@ def test_unregistered_scale_ops_plan_no_nested_loop(spark, sf_dir):
         "search_bm25_topk",
         "sketch_kmv_distinct",
         "curation_pack_sequences",
+        "curation_oov_fraction",
+        "curation_token_budget_mix",
+        "profile_source_percentiles",
     ):
         plans[name] = fmt(getattr(L, name)(spark, sf_dir))
     bad = {

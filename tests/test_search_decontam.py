@@ -198,6 +198,42 @@ def test_kmv_k_must_be_at_least_two(spark):
         kmv_distinct(df, "g", "v", k=1)
 
 
+def test_sample_to_token_budget_semantics(spark, sf_dir):
+    from mrsboraetl_spark.operators.curation import sample_to_token_budget
+
+    docs = table(spark, sf_dir, "documents")
+    nt = F.size(
+        F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    )
+    actual = {
+        r.source: r.t
+        for r in docs.groupBy("source").agg(F.sum(nt).alias("t")).collect()
+    }
+    out = sample_to_token_budget(
+        docs, "doc_id", "text", "source",
+        budgets={"src0": 500, "src1": 10_000_000, "src2": 0},
+    )
+    kept = {
+        r.source: r.t
+        for r in out.groupBy("source").agg(F.sum(nt).alias("t")).collect()
+    }
+    # unknown sources and zero budgets are dropped
+    assert set(kept) <= {"src0", "src1"}
+    # budget >= actual keeps the source whole
+    assert kept["src1"] == actual["src1"]
+    # sampled source lands near its budget (hash-uniform over docs)
+    assert 0 < kept["src0"] < actual["src0"]
+    assert kept["src0"] < 3 * 500
+    # deterministic
+    again = sample_to_token_budget(
+        docs, "doc_id", "text", "source",
+        budgets={"src0": 500, "src1": 10_000_000, "src2": 0},
+    )
+    assert {r.doc_id for r in out.collect()} == {
+        r.doc_id for r in again.collect()
+    }
+
+
 def test_oov_fraction_bounds_and_full_vocab_is_zero(spark, sf_dir):
     from mrsboraetl_spark.operators.curation import oov_fraction
 
