@@ -69,6 +69,55 @@ def token_ngrams(
     return _exploded_ngrams(df, id_col, text_col, n).distinct()
 
 
+_TOKEN_RE = r"[^a-z0-9]+"
+
+
+def ngram_docs_kernel(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id_col, gram) — one row per DISTINCT token n-gram per doc, from
+    an Arrow-batched kernel.  Set-equivalent to :func:`token_ngrams`
+    (the HOF spelling the DuckDB oracle encodes; pytest-pinned),
+    vectorized for the same reason as dedup's shingle kernels: Catalyst
+    evaluates the transform/array_join/filter lambdas interpreted per
+    element, so the corpus-side gram generation is the probe's CPU
+    cost.  The Python re.split of ``[^a-z0-9]+`` over lowercased text
+    is behavior-identical to the JVM split for this class-only pattern.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    import re
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    pat = re.compile(_TOKEN_RE)
+
+    def batches(it):
+        for pdf in it:
+            ids, gs = [], []
+            for doc, t in zip(pdf[id_col], pdf[text_col]):
+                toks = [x for x in pat.split(t.lower()) if x != ""]
+                m = len(toks) - (n - 1)
+                grams = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(max(m, 0))
+                )
+                for g in grams:
+                    ids.append(doc)
+                    gs.append(g)
+            yield pd.DataFrame({id_col: ids, "gram": gs})
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        # NULL text filtered JVM-side — explode-of-null emits no rows,
+        # matching the HOF spelling.
+        df.select(id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
+        .repartition(n_parts)
+        .mapInPandas(batches, f"{id_col} {id_type}, gram string")
+    )
+
+
 def contamination_counts(
     train: DataFrame,
     eval_df: DataFrame,
@@ -76,6 +125,7 @@ def contamination_counts(
     text_col: str = "text",
     n: int = 5,
     broadcast_eval: bool = True,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """(id_col, n_hits) for every train document sharing >= 1 token
     n-gram with the eval corpus; n_hits = number of distinct shared grams.
@@ -94,6 +144,12 @@ def contamination_counts(
     one corpus half against the other).  Same result set
     (pytest-pinned); the trade is one corpus-gram shuffle for not
     materializing the eval grams on every executor.
+
+    The corpus side runs through the Arrow-vectorized
+    :func:`ngram_docs_kernel` (already per-doc-distinct, so the probe's
+    matches need no further dedup); the HOF spelling remains the
+    oracle-parity reference.  ``use_kernel=False`` keeps the all-JVM
+    path for environments where Python workers are unavailable.
     """
     eval_grams = (
         token_ngrams(eval_df, id_col, text_col, n)
@@ -102,11 +158,15 @@ def contamination_counts(
     )
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
-    hits = (
-        _exploded_ngrams(train, id_col, text_col, n)
-        .join(eval_grams, "gram")
-        .distinct()  # a doc repeating a matched gram counts it once
-    )
+    if use_kernel:
+        train_grams = ngram_docs_kernel(train, id_col, text_col, n)
+        hits = train_grams.join(eval_grams, "gram")
+    else:
+        hits = (
+            _exploded_ngrams(train, id_col, text_col, n)
+            .join(eval_grams, "gram")
+            .distinct()  # a doc repeating a matched gram counts it once
+        )
     return hits.groupBy(id_col).agg(F.count("*").alias("n_hits"))
 
 

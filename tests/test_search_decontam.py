@@ -52,6 +52,45 @@ def test_token_ngrams_short_docs_yield_no_grams(spark):
     assert [r.gram for r in out] == ["one two three four five"]
 
 
+def test_ngram_kernel_matches_hof_spelling(spark, sf_dir):
+    """The Arrow gram kernel must emit exactly the HOF token_ngrams set
+    (the spelling the DuckDB oracle encodes), including dropping null
+    text and sub-n docs."""
+    from mrsboraetl_spark.operators.decontam import ngram_docs_kernel
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .union(_docs(spark, [(990001, None), (990002, "a b")]))
+    )
+    hof = {
+        (r.doc_id, r.gram)
+        for r in token_ngrams(docs, "doc_id", "text", 4).collect()
+    }
+    kern = {
+        (r.doc_id, r.gram)
+        for r in ngram_docs_kernel(docs, "doc_id", "text", 4).collect()
+    }
+    assert kern == hof
+
+
+def test_contamination_counts_kernel_and_hof_agree(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    a = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_counts(train, eval_df, n=4).collect()
+    }
+    b = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_counts(
+            train, eval_df, n=4, use_kernel=False
+        ).collect()
+    }
+    assert a == b and a
+
+
 def test_contamination_counts_counts_distinct_shared_grams(spark):
     train = _docs(spark, [(1, "a b c d e f"), (2, "x y z w v u")])
     eval_df = _docs(spark, [(10, "a b c d e"), (11, "b c d e f")])
