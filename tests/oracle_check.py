@@ -85,7 +85,18 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs, oracles = e.queries(), e.oracle_sql()
+    qs, oracles = dict(e.queries()), dict(e.oracle_sql())
+    # Also sweep the UNREGISTERED oracle-checked operators (kept out of
+    # the 50-entry driver cap but held to the same hash standard), so one
+    # command covers the whole oracle surface.
+    from mrsboraetl_spark.queries import llmdata, relational
+
+    for mod in (relational, llmdata):
+        for name, sql in mod.UNREGISTERED_ORACLES.items():
+            if name not in qs:
+                qs[name] = getattr(mod, name)
+                oracles[name] = sql
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
