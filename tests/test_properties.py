@@ -240,6 +240,81 @@ DOC_TEXT = st.lists(WORD, min_size=1, max_size=80).map(" ".join)
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
+    values=st.lists(
+        st.tuples(st.integers(0, 4), st.text("abcdef", min_size=1, max_size=6)),
+        min_size=1, max_size=300,
+    ),
+    n_shards=st.integers(1, 5),
+    k=st.integers(2, 16),
+)
+def test_kmv_merge_equals_direct_property(spark, values, n_shards, k):
+    """For ANY (group, value) multiset, ANY shard assignment, and ANY k:
+    per-shard KMV sketches merged give exactly the direct estimate —
+    the mergeability contract of the sketch."""
+    from mrsboraetl_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_merge_estimate,
+        kmv_sketch,
+    )
+
+    rows = [
+        (g, v, i % n_shards) for i, (g, v) in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, "g int, v string, shard int")
+    direct = {
+        r.g: r.est_distinct
+        for r in kmv_distinct(df, "g", "v", k=k).collect()
+    }
+    merged = {
+        r.g: r.est_distinct
+        for r in kmv_merge_estimate(
+            kmv_sketch(df, ["g", "shard"], "v", k=k), "g", k=k
+        ).collect()
+    }
+    assert merged == direct
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text("ab \n", min_size=1, max_size=40), min_size=1, max_size=60
+    ),
+    budget=st.integers(1, 20),
+    n_streams=st.integers(1, 4),
+)
+def test_pack_sequences_tiling_property(spark, texts, budget, n_streams):
+    """For ANY documents and ANY (budget, lanes): within each lane the
+    docs tile the token axis exactly (no gaps, no overlap) and offsets
+    stay inside the budget."""
+    from mrsboraetl_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    rows = pack_sequences(
+        df, "id", "t", budget=budget, n_streams=n_streams
+    ).collect()
+    assert len(rows) == len(texts)
+    lanes: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.tok_offset < budget
+        lanes.setdefault(r.stream, []).append(r)
+    for rs in lanes.values():
+        rs.sort(key=lambda r: r.seq_idx * budget + r.tok_offset)
+        pos = 0
+        for r in rs:
+            assert r.seq_idx * budget + r.tok_offset == pos
+            pos += r.n_tokens
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
     texts=st.lists(DOC_TEXT, min_size=1, max_size=20),
     geometry=st.tuples(
         st.integers(min_value=2, max_value=24),   # chunk_tokens
