@@ -16,10 +16,12 @@ and mergeable across partitions/days.  Two paths:
 
 KMV scale shape: the only wide operation is one distinct on
 (group, hash) followed by a key-partitioned window that keeps k rows
-per group.  The window sorts within group partitions only; no global
-sort, no collect.  (A custom bounded-heap aggregator would save the
-sort at the cost of leaving codegen; the sort-based spelling is the
-idiomatic Spark trade.)
+per group.  The distinct's shuffle volume is the map-side-deduplicated
+per-partition vocabulary, not the corpus (Spark plans distinct as a
+partial-then-final hash aggregate), and the window sorts within group
+partitions only; no global sort, no collect.  (A custom bounded-heap
+aggregator would save the sort at the cost of leaving codegen; the
+sort-based spelling is the idiomatic Spark trade.)
 
 Reference scope note: extension layer (SURVEY.md §8) — the reference
 ETL has no sketching.
