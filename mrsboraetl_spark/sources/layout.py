@@ -95,13 +95,7 @@ def write_zordered(
         ).collect()[0]
         for c in need:
             got[c] = (row[f"lo_{c}"], row[f"hi_{c}"])
-    z = zorder_key(
-        [
-            _normalize(F.col(c), got[c][0], got[c][1], bits)
-            for c in cols
-        ],
-        bits,
-    )
+    z = _build_zkey(df, cols, bits, got)
     (
         df.withColumn(_ZKEY, z)
         .repartitionByRange(n_files, _ZKEY)
@@ -110,3 +104,57 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _build_zkey(df, cols, bits, got):
+    return zorder_key(
+        [
+            _normalize(F.col(c), got[c][0], got[c][1], bits)
+            for c in cols
+        ],
+        bits,
+    )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into files of roughly
+    ``target_bytes`` each; returns the new file count.
+
+    The small-files problem is the classic 100 TB operational failure
+    mode (per-file open/footer/task overhead dominating the scan); this
+    is the stock compaction: size the output from the ACTUAL on-disk
+    bytes, one round-robin repartition, then promote via the engine's
+    rename-aside swap (write to `.tmp`, demote current to `.old`,
+    promote, drop `.old`) so readers never observe a partial directory
+    and a crash leaves the previous data recoverable at `.old`.
+    """
+    import math
+    import os
+    import shutil
+
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    tmp, old = path + ".tmp", path + ".old"
+    (
+        spark.read.parquet(path)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old)
+    return n_files

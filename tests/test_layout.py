@@ -95,6 +95,44 @@ def test_zorder_key_bit_budget_enforced(spark):
         zorder_key([F.lit(1).cast("long")] * 4, bits=16)
 
 
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    from mrsboraetl_spark.sources.layout import compact_parquet
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    path = str(tmp_path / "many")
+    ev.repartition(40).write.parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before == 40
+    # huge target -> one file
+    n = compact_parquet(spark, path, target_bytes=1 << 30)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert n == 1 and after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    assert {r.event_id for r in back.collect()} == {
+        r.event_id for r in ev.collect()
+    }
+    import os
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".tmp")
+
+
+def test_compact_parquet_respects_target_size(spark, sf_dir, tmp_path):
+    from mrsboraetl_spark.sources.layout import compact_parquet
+
+    ev = table(spark, sf_dir, "events")
+    path = str(tmp_path / "sized")
+    ev.repartition(20).write.parquet(path)
+    import glob as g
+    import os
+    total = sum(
+        os.path.getsize(p) for p in g.glob(f"{path}/*.parquet")
+    )
+    n = compact_parquet(spark, path, target_bytes=max(total // 4, 1))
+    assert 3 <= n <= 6  # ceil(total/target) with the pre-compaction bytes
+    assert len(g.glob(f"{path}/*.parquet")) == n
+
+
 def test_zorder_key_interleaves_correctly(spark):
     # x=0b11, y=0b01 with 2 bits -> key bits (y1 x1 y0 x0) = 0b0111
     df = spark.range(1).select(
