@@ -120,17 +120,26 @@ def compact_parquet(
     spark,
     path: str,
     target_bytes: int = 256 * 1024 * 1024,
+    zorder_cols: Sequence[str] | None = None,
+    bits: int = 16,
 ) -> int:
-    """Rewrite a parquet directory into files of roughly
+    """Rewrite a flat parquet directory into files of roughly
     ``target_bytes`` each; returns the new file count.
 
     The small-files problem is the classic 100 TB operational failure
     mode (per-file open/footer/task overhead dominating the scan); this
     is the stock compaction: size the output from the ACTUAL on-disk
-    bytes, one round-robin repartition, then promote via the engine's
-    rename-aside swap (write to `.tmp`, demote current to `.old`,
-    promote, drop `.old`) so readers never observe a partial directory
-    and a crash leaves the previous data recoverable at `.old`.
+    bytes, one repartition, then promote via the engine's rename-aside
+    swap (write to `.tmp`, demote current to `.old`, promote, drop
+    `.old`) so readers never observe a partial directory and a crash
+    leaves the previous data recoverable at `.old`.
+
+    ``zorder_cols`` re-clusters along the Morton curve while compacting
+    (the OPTIMIZE-ZORDER composition — plain round-robin compaction
+    would destroy an existing clustering); plain compaction otherwise.
+    Hive-partitioned directories are out of scope: compact each leaf
+    partition directory instead (the partition columns would otherwise
+    be folded into the data files).
     """
     import math
     import os
@@ -146,12 +155,11 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total / target_bytes))
     tmp, old = path + ".tmp", path + ".old"
-    (
-        spark.read.parquet(path)
-        .repartition(n_files)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    df = spark.read.parquet(path)
+    if zorder_cols:
+        write_zordered(df, tmp, zorder_cols, n_files=n_files, bits=bits)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     if os.path.exists(old):
         shutil.rmtree(old)
     os.replace(path, old)

@@ -133,6 +133,31 @@ def test_compact_parquet_respects_target_size(spark, sf_dir, tmp_path):
     assert len(g.glob(f"{path}/*.parquet")) == n
 
 
+def test_compact_with_zorder_restores_clustering(spark, sf_dir, tmp_path):
+    """Round-robin compaction destroys clustering; the zorder_cols mode
+    must restore the tight per-file envelopes while compacting."""
+    from mrsboraetl_spark.sources.layout import compact_parquet
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "zc")
+    ev.repartition(40).write.parquet(path)
+    n = compact_parquet(
+        spark, path, target_bytes=1, zorder_cols=["user_id", "value"]
+    )
+    # target_bytes=1 -> n_files = total bytes, clamped by repartitionByRange
+    # to the actual row spread; just require multiple clustered files
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) > 1 and n >= len(files)
+    stats = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    lo, hi = stats
+    span = hi - lo
+    frac = _hit_fraction(
+        _envelopes(path, "value"), lo + 0.45 * span, lo + 0.55 * span
+    )
+    assert frac < 0.5  # clustered: most files don't intersect a 10% range
+    assert spark.read.parquet(path).count() == ev.count()
+
+
 def test_zorder_key_interleaves_correctly(spark):
     # x=0b11, y=0b01 with 2 bits -> key bits (y1 x1 y0 x0) = 0b0111
     df = spark.range(1).select(
