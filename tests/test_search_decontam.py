@@ -91,6 +91,13 @@ def test_contamination_counts_kernel_and_hof_agree(spark, sf_dir):
     assert a == b and a
 
 
+def test_empty_eval_set_keeps_everything(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    empty = docs.filter(F.lit(False))
+    assert contamination_counts(docs, empty, n=4).count() == 0
+    assert decontaminate(docs, empty, n=4).count() == docs.count()
+
+
 def test_contamination_counts_counts_distinct_shared_grams(spark):
     train = _docs(spark, [(1, "a b c d e f"), (2, "x y z w v u")])
     eval_df = _docs(spark, [(10, "a b c d e"), (11, "b c d e f")])
