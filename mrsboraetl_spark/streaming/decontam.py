@@ -1,6 +1,7 @@
-"""Streaming decontamination: a document stream filtered against a
-fixed eval/benchmark gram set via foreachBatch — the continuous-ingest
-spelling of operators/decontam.decontaminate.
+"""Streaming corpus maintenance: decontamination and profiling drivers
+over a document stream via foreachBatch — the continuous-ingest
+spellings of operators/decontam.decontaminate and
+operators/stats_index.StatsIndex.
 
 Unlike the streaming LSH index, decontamination is STATELESS per batch:
 a document's verdict depends only on its own grams and the static eval
@@ -47,6 +48,39 @@ def materialize_eval_grams(
         .parquet(path)
     )
     return spark.read.parquet(path)
+
+
+def streaming_profile(
+    docs_stream: DataFrame,
+    index,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuously fold a document stream into a
+    ``operators/stats_index.StatsIndex`` via foreachBatch — because the
+    index's batch-split equivalence is exact, the state after the
+    stream drains equals a one-shot profile of everything ingested,
+    regardless of micro-batch boundaries (pytest-pinned).  Replay
+    idempotence via the same ``_done`` markers as the other streaming
+    drivers."""
+    markers = os.path.join(index.path, "_done")
+    os.makedirs(markers, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers, str(batch_id))
+        if os.path.exists(marker):
+            return
+        index.ingest(batch_df, id_col, text_col)
+        with open(marker, "w") as f:
+            f.write("done")
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 def streaming_decontaminate(

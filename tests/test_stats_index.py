@@ -66,6 +66,33 @@ def test_single_ingest_matches_direct(spark, sf_dir, tmp_path):
         assert got[s] == (*counts[s], ests[s]), s
 
 
+def test_streaming_profile_matches_one_shot(spark, sf_dir, tmp_path):
+    """Documents arriving as a file stream (one micro-batch per file)
+    through the stats index must leave exactly the one-shot profile."""
+    from mrsboraetl_spark.streaming.decontam import streaming_profile
+    from mrsboraetl_spark.streaming.dedup import stream_documents
+
+    docs = table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(src)
+
+    idx = StatsIndex(str(tmp_path / "sidx"), k=16)
+    q = streaming_profile(
+        stream_documents(spark, src), idx, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    one = StatsIndex(str(tmp_path / "one"), k=16)
+    one.ingest(docs)
+    a = sorted(tuple(r) for r in idx.stats(spark).collect())
+    b = sorted(tuple(r) for r in one.stats(spark).collect())
+    assert a == b
+    assert len(os.listdir(os.path.join(idx.path, "_done"))) == 3
+
+
 def test_param_mismatch_rejected(spark, tmp_path):
     StatsIndex(str(tmp_path / "p"), k=16)
     with pytest.raises(ValueError):
