@@ -1,0 +1,89 @@
+"""PII / secret redaction for training-data curation.
+
+Emails, bare IPv4 addresses, and ``key=value`` credential assignments are
+the classic leak classes scrubbed from web corpora before training.  The
+operator is a SEQUENTIAL fold of (count, replace) steps — each pattern is
+counted on, then replaced in, the text as left by the previous pattern —
+so the semantics are order-defined and exactly reproducible in the ANSI
+oracle spelling (nested ``regexp_replace`` with the same intermediate
+stages).
+
+Scale shape: pure ``regexp_extract_all`` / ``regexp_replace`` column
+expressions — single scan, whole-stage codegen, zero shuffles, zero
+Python workers.  At 100 TB this is embarrassingly parallel map work whose
+cost is the regex engine itself; patterns are anchored/char-class based
+(no catastrophic backtracking constructs), and every pattern is written
+in the common Java-regex / RE2 dialect subset so Spark and the oracle
+match byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) applied IN ORDER.  Patterns deliberately use
+# only syntax with identical semantics in java.util.regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, alternation, \b ASCII
+# word boundaries — no backreferences, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("secret", r"(api_key|apikey|secret|token|password)=[^\s]+", "<SECRET>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """(id, clean_text, n_<name>...): text with each pattern class
+    replaced by its placeholder, plus per-class match counts (counted on
+    the text as seen at that step of the fold)."""
+    text = F.col(text_col)
+    counts = []
+    for name, pat, repl in patterns:
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        text = F.regexp_replace(text, pat, repl)
+    return df.select(
+        F.col(id_col).alias("id"), text.alias("clean_text"), *counts
+    )
+
+
+def redact_pii_oracle_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> str:
+    """DuckDB spelling of redact_pii over ``source_sql`` (a FROM-able
+    relation).  Builds the same sequential fold as chained CTEs; DuckDB's
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all default.  Single-quoted (non-E) literals keep backslashes
+    raw, so the exact pattern strings are shared with the Spark side."""
+    ctes = [
+        f"s0 AS (SELECT {id_col} AS id, {text_expr} AS s FROM {source_sql})"
+    ]
+    count_cols: list[str] = []
+    for i, (name, pat, repl) in enumerate(patterns, start=1):
+        lit = pat.replace("'", "''")
+        carried = "".join(f", {c}" for c in count_cols)
+        ctes.append(
+            f"s{i} AS (SELECT id, "
+            f"regexp_replace(s, '{lit}', '{repl}', 'g') AS s, "
+            f"CAST(len(regexp_extract_all(s, '{lit}')) AS BIGINT)"
+            f" AS n_{name}{carried} FROM s{i - 1})"
+        )
+        count_cols.append(f"n_{name}")
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT id, s AS clean_text, {', '.join(count_cols)}"
+        + f" FROM s{len(patterns)}"
+    )

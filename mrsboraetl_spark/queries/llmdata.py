@@ -1233,3 +1233,87 @@ UNREGISTERED_ORACLES["sketch_kmv_distinct"] = kmv_oracle_sql(
     "tok",
     64,
 )
+
+
+def dedup_repeated_spans(spark, sf_dir):
+    """Sub-document boilerplate removal (C4/RefinedWeb-style): delete
+    10-token spans occurring > 2 times corpus-wide, reassemble documents
+    in order.  Non-vacuous at every test SF (~15-18 distinct over-frequent
+    spans, ~55-65 occurrences cut).  One span-key agg + broadcast
+    anti-join + one doc-key ordered reassembly — see operators/spans.py
+    for the 100 TB rationale.  Unregistered (driver cap); oracle-checked."""
+    from mrsboraetl_spark.operators.spans import remove_repeated_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return remove_repeated_spans(
+        docs, "doc_id", "text", span_tokens=10, max_freq=2
+    ).withColumnRenamed("id", "doc_id")
+
+
+def curation_redact_pii(spark, sf_dir):
+    """PII/secret redaction parity probe.  The corpus itself is clean, so
+    the query deterministically injects one email, one IPv4, and one
+    token=... secret derived from doc_id on BOTH engines before
+    redacting — the parity check therefore proves the three pattern
+    classes match and replace identically (500 of each at every SF),
+    never passing vacuously.  Unregistered (driver cap); oracle-checked."""
+    from mrsboraetl_spark.operators.redact import redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org srv 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 token=t"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(injected, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def curation_epoch_shuffle(spark, sf_dir):
+    """Deterministic seeded epoch permutation for training export:
+    every document's 0-based position under md5('epoch1:' || doc_id)
+    order, computed with the two-phase range-partition + offset spelling
+    (operators/order.py) instead of the single-partition global window
+    the oracle uses — same result, scalable plan.  Unregistered (driver
+    cap); oracle-checked."""
+    from mrsboraetl_spark.operators.order import epoch_shuffle
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", "epoch1").select("doc_id", "pos")
+
+
+from mrsboraetl_spark.operators.redact import redact_pii_oracle_sql  # noqa: E402
+from mrsboraetl_spark.operators.spans import repeated_spans_oracle_sql  # noqa: E402
+
+UNREGISTERED_ORACLES["dedup_repeated_spans"] = (
+    "SELECT id AS doc_id, clean_text, n_kept FROM ("
+    + repeated_spans_oracle_sql("documents", "doc_id", 10, 2)
+    + ") q"
+)
+
+UNREGISTERED_ORACLES["curation_redact_pii"] = (
+    "SELECT id AS doc_id, clean_text, n_email, n_ipv4, n_secret FROM ("
+    + redact_pii_oracle_sql(
+        "(SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)"
+        " || '@ex.org srv 10.0.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.7 token=t' || CAST(doc_id AS VARCHAR) AS text"
+        " FROM documents) src"
+    )
+    + ") q"
+)
+
+UNREGISTERED_ORACLES["curation_epoch_shuffle"] = """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR))) - 1
+             AS BIGINT) AS pos
+    FROM documents
+"""

@@ -62,6 +62,11 @@ UNREGISTERED = [
     "profile_source_percentiles",
     "curation_oov_fraction",
     "curation_token_budget_mix",
+    # Round-5 session 4: sub-document boilerplate removal, PII redaction,
+    # deterministic epoch shuffle
+    "dedup_repeated_spans",
+    "curation_redact_pii",
+    "curation_epoch_shuffle",
 ]
 
 
