@@ -4,39 +4,86 @@
 row its position in a global order" — and on Spark it collapses the whole
 dataset into ONE partition (Catalyst warns: "No Partition Defined for
 Window operation"), which is exactly the plan that cannot run at 100 TB.
-The scalable spelling is the classic two-phase rank:
+The scalable spelling is the classic two-phase rank: split the key space
+into ordered buckets, count rows per bucket (tiny relation), prefix-sum
+the counts into bucket offsets, then add the WITHIN-bucket row_number
+(window partitioned by bucket — fully parallel).
 
-1. range-partition the data by the order key (one range-exchange — the
-   same shuffle a global sort pays, and the ONLY data-sized shuffle here);
-2. count rows per range partition (tiny relation: one row per partition);
-3. prefix-sum those counts into per-partition offsets (a window over
-   ``n_partitions`` rows — single-partition but trivially small);
-4. broadcast the offsets back and add the WITHIN-partition row_number
-   (window partitioned by partition id — fully parallel).
+Two bucketing strategies, chosen by ``bucket_of``:
+
+* **Deterministic bucket (preferred)** — the caller supplies a pure,
+  order-monotone function of the key (e.g. a fixed-length prefix of an
+  md5 hex key).  Both the count branch and the numbering branch derive
+  the bucket from the DATA, so they agree by construction: no sampling,
+  no materialization, nothing to keep consistent.  Measured at 20M rows
+  on local[32]: ~5-8s vs ~25s for the single-partition window and ~28s
+  for the sampled-range alternative below.
+
+* **Sampled range (fallback, arbitrary keys)** — Spark's
+  ``repartitionByRange`` + ``spark_partition_id()``.  The range
+  partitioner SAMPLES with a lineage-dependent seed, and Catalyst's
+  column pruning makes the two branches' exchanges non-identical (no
+  ReusedExchange), so without pinning, the branches can disagree on
+  partition boundaries and mis-join the offsets — measured, not
+  hypothetical.  A ``localCheckpoint`` therefore pins the partitioning;
+  its materialization is the dominant cost at scale (~20s of 28s at 20M
+  rows).  On a cluster, checkpoint to shared storage or write a stage
+  table instead.  Prefer a deterministic bucket whenever the key's
+  distribution is known.
 
 Main use: deterministic epoch shuffling for training-data export.
 ``epoch_shuffle`` orders by ``md5(seed || id)`` — a seeded pseudo-random
 permutation that is a pure function of (seed, id), so it is reproducible
-across runs, clusters, and partition counts, unlike ``df.orderBy(rand())``.
-Writing the result partitioned by ``pos`` ranges yields globally shuffled,
-stably numbered training shards; a new seed is a new epoch order.
+across runs, clusters, and partition counts, unlike ``df.orderBy(rand())``
+— and md5 keys are uniform hex strings, so a 2-hex-char prefix gives 256
+well-balanced deterministic buckets.  Writing the result partitioned by
+``pos`` ranges yields globally shuffled, stably numbered training shards;
+a new seed is a new epoch order.
 
 Determinism note: positions are well-defined only when the order key is
-unique (md5 over unique ids is).  Ties straddle nothing — the range
-partitioner sends equal keys to one partition — but their relative order
-within the tie is not defined.
-
-The partition-id bookkeeping materializes the range-partitioned frame once
-(``localCheckpoint``) so the count branch and the numbering branch see the
-SAME physical partitioning — without it, adaptive re-planning could give
-the two branches different partition ids and mis-join the offsets.  On a
-cluster checkpoint to shared storage (or write a stage table) instead.
+unique (md5 over unique ids is).  Equal keys land in one bucket, but
+their relative order within the tie is not defined.  Bucketed path:
+NULL order keys are dropped (a NULL bucket joins nothing) — use the
+range fallback if NULL keys must be numbered.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def md5_prefix_bucket(width: int = 2) -> Callable[[Column], Column]:
+    """Bucketing function for md5-hex order keys: the first ``width`` hex
+    chars — 16**width contiguous, uniformly filled key ranges."""
+    return lambda c: F.substring(c, 1, width)
+
+
+def _positions_over_buckets(
+    keyed: DataFrame, bucket: Column, order_col: str, pos_col: str
+) -> DataFrame:
+    """Shared tail: per-bucket counts -> prefix-sum offsets (a window over
+    one row per bucket — single-partition but deliberately tiny) ->
+    broadcast offsets back -> within-bucket row_number (parallel)."""
+    rp = keyed.withColumn("_bkt", bucket)
+    counts = rp.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(order_col)
+    return (
+        rp.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            pos_col,
+            (F.col("_off") + F.row_number().over(w_in) - 1).cast("bigint"),
+        )
+        .drop("_bkt", "_off")
+    )
 
 
 def global_position(
@@ -44,9 +91,19 @@ def global_position(
     order_col: str,
     pos_col: str = "pos",
     n_partitions: int | None = None,
+    bucket_of: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Add ``pos_col``: the row's 0-based position in the global
-    ascending order of ``order_col`` (unique keys ⇒ deterministic)."""
+    ascending order of ``order_col`` (unique keys ⇒ deterministic).
+
+    ``bucket_of``: order-monotone pure function of the key (same bucket
+    ordering as key ordering) — enables the deterministic, sampling-free
+    plan.  Without it, falls back to sampled range partitioning pinned
+    by a localCheckpoint (see module docstring for why)."""
+    if bucket_of is not None:
+        return _positions_over_buckets(
+            df, bucket_of(F.col(order_col)), order_col, pos_col
+        )
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism
     rp = (
@@ -54,24 +111,12 @@ def global_position(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    counts = rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    # Prefix-sum over one row per partition: single-partition window on a
-    # deliberately tiny relation (n rows), not on the data.
-    w_off = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
-    )
-    w_in = Window.partitionBy("_pid").orderBy(order_col)
-    return (
-        rp.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            pos_col,
-            (F.col("_off") + F.row_number().over(w_in) - 1).cast("bigint"),
-        )
-        .drop("_pid", "_off")
-    )
+    return _positions_over_buckets(
+        rp.withColumnRenamed("_pid", "_rpid"),
+        F.col("_rpid"),
+        order_col,
+        pos_col,
+    ).drop("_rpid")
 
 
 def epoch_shuffle(
@@ -79,15 +124,19 @@ def epoch_shuffle(
     id_col: str,
     seed: str,
     pos_col: str = "pos",
-    n_partitions: int | None = None,
+    bucket_width: int = 2,
 ) -> DataFrame:
     """Deterministic seeded permutation for training-data export:
     ``pos_col`` numbers rows by ``md5(seed:id)`` order.  Same (seed, id)
-    ⇒ same position, on any cluster at any partition count."""
+    ⇒ same position, on any cluster at any partition count.  Uses the
+    deterministic md5-prefix bucketing (16**bucket_width buckets)."""
     keyed = df.withColumn(
         "_ekey",
         F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
     )
     return global_position(
-        keyed, "_ekey", pos_col=pos_col, n_partitions=n_partitions
+        keyed,
+        "_ekey",
+        pos_col=pos_col,
+        bucket_of=md5_prefix_bucket(bucket_width),
     ).drop("_ekey")

@@ -1280,10 +1280,11 @@ def curation_redact_pii(spark, sf_dir):
 def curation_epoch_shuffle(spark, sf_dir):
     """Deterministic seeded epoch permutation for training export:
     every document's 0-based position under md5('epoch1:' || doc_id)
-    order, computed with the two-phase range-partition + offset spelling
-    (operators/order.py) instead of the single-partition global window
-    the oracle uses — same result, scalable plan.  Unregistered (driver
-    cap); oracle-checked."""
+    order, computed with the two-phase deterministic-bucket spelling
+    (operators/order.py: md5-prefix buckets + offset prefix-sum) instead
+    of the single-partition global window the oracle uses — same result,
+    scalable plan (measured 5-8s vs 25s at 20M rows).  Unregistered
+    (driver cap); oracle-checked."""
     from mrsboraetl_spark.operators.order import epoch_shuffle
 
     docs = table(spark, sf_dir, "documents").select("doc_id")

@@ -12,7 +12,11 @@ from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
 
-from mrsboraetl_spark.operators.order import epoch_shuffle, global_position
+from mrsboraetl_spark.operators.order import (
+    epoch_shuffle,
+    global_position,
+    md5_prefix_bucket,
+)
 from mrsboraetl_spark.operators.redact import redact_pii
 from mrsboraetl_spark.operators.spans import (
     doc_spans,
@@ -165,6 +169,23 @@ def test_global_position_partition_count_invariant(spark):
     assert sorted(a.values()) == list(range(211))
 
 
+def test_bucketed_position_matches_range_fallback(spark):
+    """The deterministic md5-prefix bucket plan and the sampled-range
+    fallback must produce the identical global ranking."""
+    df = spark.createDataFrame(
+        [(f"doc{i}",) for i in range(300)], "id string"
+    ).select(F.md5(F.col("id")).alias("k"))
+    det = {
+        r.k: r.pos
+        for r in global_position(
+            df, "k", bucket_of=md5_prefix_bucket(1)
+        ).collect()
+    }
+    rng = {r.k: r.pos for r in global_position(df, "k", n_partitions=5).collect()}
+    assert det == rng
+    assert sorted(det.values()) == list(range(300))
+
+
 def test_epoch_shuffle_is_seeded_permutation(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "doc_id int")
     e1 = {r.doc_id: r.pos for r in epoch_shuffle(df, "doc_id", "s1").collect()}
@@ -178,13 +199,17 @@ def test_epoch_shuffle_is_seeded_permutation(spark):
 
 def test_global_position_plan_has_no_global_window(spark):
     """The point of the operator: the data-sized window must be
-    partitioned by _pid (parallel), never a single-partition global
-    window.  The only unpartitioned window allowed is the offset
-    prefix-sum over the n_partitions-row count relation."""
-    df = spark.range(0, 1000).withColumn("k", F.col("id").cast("string"))
-    plan = _fmt(global_position(df, "k", n_partitions=8))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    # the data-sized row_number window is partitioned by _pid (the spec's
-    # first argument is the partition list)
-    assert "row_number() windowspecdefinition(_pid" in plan, plan
+    partitioned by the bucket (parallel), never a single-partition
+    global window.  The only unpartitioned window allowed is the offset
+    prefix-sum over the one-row-per-bucket count relation."""
+    df = spark.range(0, 1000).withColumn("k", F.md5(F.col("id").cast("string")))
+    for kwargs in (
+        {"bucket_of": md5_prefix_bucket(2)},
+        {"n_partitions": 8},
+    ):
+        plan = _fmt(global_position(df, "k", **kwargs))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the data-sized row_number window is partitioned by _bkt (the
+        # spec's first argument is the partition list)
+        assert "row_number() windowspecdefinition(_bkt" in plan, plan
