@@ -4,8 +4,16 @@ table to a training-ready corpus with a per-document audit trail.
 Stage order (each stage only sees the previous stage's survivors, so
 the expensive near-dup pass runs on the smallest possible corpus):
 
+0. REDACT    — operators/redact.redacted_text (opt-in,
+               ``redact=True``): PII/secret scrubbing as a pure
+               in-place projection — transforms text, drops nothing
+0b. SPANS    — operators/spans.remove_repeated_spans (opt-in,
+               ``span_tokens=N``): corpus-wide boilerplate span
+               removal; documents that were PURE boilerplate drop
+               with disposition 'boilerplate'
 1. QUALITY   — operators/curation.quality_filter (length, repetition,
-               language rules; monotone thresholds)
+               language rules; monotone thresholds) — judged on the
+               redacted/de-boilerplated text
 2. DECONTAM  — operators/decontam (eval-set token-n-gram overlap,
                broadcast gram probe)
 3. DEDUP     — LSH + exact-Jaccard-verified near-dup pairs ->
@@ -63,6 +71,11 @@ class CurationConfig:
     pack_budget: int = 256
     pack_streams: int = 32
     cc_kwargs: dict = field(default_factory=dict)
+    # Opt-in text-transform stages (defaults preserve the registered
+    # entries' behavior exactly):
+    redact: bool = False
+    span_tokens: int | None = None
+    span_max_freq: int = 2
 
 
 def curate_corpus(
@@ -76,7 +89,8 @@ def curate_corpus(
 
     * ``kept``  — surviving documents with their ``split`` column;
     * ``audit`` — (id, disposition) for EVERY input document, exactly
-      once: 'kept' | 'quality' | 'contaminated' | 'duplicate';
+      once: 'kept' | 'boilerplate' | 'quality' | 'contaminated' |
+      'duplicate';
     * ``packed`` — train-split packing assignment
       (id, stream, seq_idx, tok_offset, n_tokens).
 
@@ -84,6 +98,32 @@ def curate_corpus(
     """
     cfg = cfg or CurationConfig()
     ids = docs.select(F.col(id_col).alias("id"))
+
+    # 0. PII redaction — in-place projection, transforms text only
+    if cfg.redact:
+        from mrsboraetl_spark.operators.redact import redacted_text
+
+        docs = docs.withColumn(text_col, redacted_text(text_col))
+
+    # 0b. boilerplate-span removal — pure-boilerplate docs drop here
+    if cfg.span_tokens:
+        from mrsboraetl_spark.operators.spans import remove_repeated_spans
+
+        cleaned = remove_repeated_spans(
+            docs, id_col, text_col, cfg.span_tokens, cfg.span_max_freq
+        ).select(
+            F.col("id").alias(id_col), F.col("clean_text").alias("_ctext")
+        )
+        docs = (
+            docs.join(cleaned, id_col)  # inner: pure boilerplate drops
+            .withColumn(text_col, F.col("_ctext"))
+            .drop("_ctext")
+        )
+        boilerplate = ids.join(
+            docs.select(F.col(id_col).alias("id")), "id", "left_anti"
+        )
+    else:
+        boilerplate = ids.limit(0)
 
     # 1. quality gate — verdict + reasons over the full corpus
     q = quality_filter(
@@ -141,6 +181,9 @@ def curate_corpus(
     # audit: disposition per input doc, first matching stage wins
     audit = (
         ids.join(
+            boilerplate.select("id", F.lit(True).alias("_b")), "id", "left"
+        )
+        .join(
             q_keep_ids.select("id", F.lit(True).alias("_q")), "id", "left"
         )
         .join(
@@ -149,7 +192,8 @@ def curate_corpus(
         .join(dup_ids.select("id", F.lit(True).alias("_d")), "id", "left")
         .select(
             "id",
-            F.when(F.col("_q").isNull(), "quality")
+            F.when(F.col("_b").isNotNull(), "boilerplate")
+            .when(F.col("_q").isNull(), "quality")
             .when(F.col("_c").isNotNull(), "contaminated")
             .when(F.col("_d").isNotNull(), "duplicate")
             .otherwise("kept")

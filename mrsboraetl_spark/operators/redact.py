@@ -33,6 +33,19 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def redacted_text(
+    text_col: str,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+):
+    """Column: ``text_col`` with every pattern class replaced, as a pure
+    expression — composable in place (no join, no shuffle) by pipeline
+    stages that keep the rest of the row."""
+    text = F.col(text_col)
+    for _name, pat, repl in patterns:
+        text = F.regexp_replace(text, pat, repl)
+    return text
+
+
 def redact_pii(
     df: DataFrame,
     id_col: str,

@@ -30,6 +30,13 @@ Spark-first shape (and why it holds at 100 TB):
 
 Documents whose spans are ALL over-frequent vanish from the output (pure
 boilerplate) — by design, and identically in the oracle spelling.
+
+Tokenization is WHITESPACE splitting (not the gram layer's lowercase
+alnum rule): the operator rewrites documents from their spans, so the
+tokens must preserve the original token forms — casing, punctuation,
+redaction placeholders like ``<EMAIL>`` — and whitespace splitting is
+lossless up to whitespace normalization.  Boilerplate recurs verbatim,
+so the frequency key is simply the exact span text.
 """
 
 from __future__ import annotations
@@ -37,16 +44,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Same tokenization as operators/decontam.py: lowercase, split on runs of
-# non-alphanumerics, drop empties.  Keeping one rule across the text layer
-# means span boundaries agree with gram/token counts everywhere.
-_TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+_WS_RE = r"\s+"
 
 
 def _tokens(text_col: str):
     return F.filter(
-        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT_RE),
-        lambda t: t != F.lit(""),
+        F.split(F.col(text_col), _WS_RE), lambda t: t != F.lit("")
     )
 
 
@@ -126,13 +129,13 @@ def repeated_spans_oracle_sql(
     max_freq: int = 2,
 ) -> str:
     """DuckDB spelling of remove_repeated_spans — identical tokenization
-    (the shared ``[^a-z0-9]+`` split), window math, frequency rule, and
+    (whitespace split, empties dropped), window math, frequency rule, and
     ordered reassembly, so the driver's value-hash comparison is exact."""
     s = span_tokens
     return f"""
     WITH toks AS (
       SELECT {id_col} AS id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             list_filter(string_split_regex(text, '\\s+'),
                          t -> t <> '') AS ts
       FROM {table}
     ), span_lists AS (

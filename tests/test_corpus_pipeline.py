@@ -101,3 +101,56 @@ def test_no_eval_set_skips_decontamination(spark, sf_dir):
     assert kept.count() == audit.filter(
         F.col("disposition") == "kept"
     ).count()
+
+
+def test_optin_redact_and_span_stages(spark):
+    """Opt-in stage 0/0b: PII is scrubbed in place, boilerplate spans are
+    cut, pure-boilerplate documents get their own disposition, and the
+    audit still partitions every input exactly once."""
+    base = [
+        # 4 pure-boilerplate docs (same 2-token span everywhere)
+        *[(i, "copy right copy right") for i in range(1, 5)],
+        # normal docs, long enough to pass quality, with PII in two
+        (10, "alpha beta gamma delta epsilon zeta eta theta mail bob@x.io"),
+        (11, "one two three four five six seven eight from 10.0.0.9 ok"),
+        (12, "red orange yellow green blue indigo violet black white grey"),
+        # short doc -> quality drop
+        (20, "tiny"),
+    ]
+    docs = spark.createDataFrame(base, "doc_id int, text string")
+    cfg = CurationConfig(
+        min_tokens=5,
+        redact=True,
+        span_tokens=2,
+        span_max_freq=3,
+        pack_budget=32,
+        pack_streams=2,
+    )
+    kept, audit, _ = curate_corpus(docs, None, cfg=cfg)
+
+    n = docs.count()
+    assert audit.count() == n
+    assert audit.select("id").distinct().count() == n
+    dispo = {r.id: r.disposition for r in audit.collect()}
+    for i in range(1, 5):
+        assert dispo[i] == "boilerplate", dispo
+    assert dispo[20] == "quality"
+    assert dispo[10] == dispo[11] == dispo[12] == "kept"
+
+    texts = {r.doc_id: r.text for r in kept.collect()}
+    assert "<EMAIL>" in texts[10] and "bob@x.io" not in texts[10]
+    assert "<IP>" in texts[11] and "10.0.0.9" not in texts[11]
+    # redaction happened BEFORE quality: token counts judged on clean text
+    assert "copy right" not in texts[12]
+
+
+def test_optin_stages_default_off_matches_previous_behavior(spark, sf_dir):
+    train, kept, audit, _ = _run(spark, sf_dir)
+    cfg = CurationConfig(min_tokens=15, redact=False, span_tokens=None)
+    docs = table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 23 == 0)
+    kept2, audit2, _ = curate_corpus(train, eval_df, cfg=cfg)
+    a = {(r.id, r.disposition) for r in audit.collect()}
+    b = {(r.id, r.disposition) for r in audit2.collect()}
+    assert a == b
+    assert "boilerplate" not in {d for _, d in a}
