@@ -94,20 +94,15 @@ def over_frequent_spans(
     )
 
 
-def remove_repeated_spans(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    span_tokens: int = 10,
-    max_freq: int = 2,
-    broadcast_bad: bool = True,
+def clean_spans(
+    spans: DataFrame, bad: DataFrame, broadcast_bad: bool = True
 ) -> DataFrame:
-    """(id, clean_text, n_kept): documents with over-frequent spans
-    deleted.  ``broadcast_bad`` broadcasts the over-frequent-span set
-    into a left-anti join (default; boilerplate sets are small); set it
-    False to shuffle the anti-join when the bad set is itself huge."""
-    spans = doc_spans(df, id_col, text_col, span_tokens)
-    bad = over_frequent_spans(spans, max_freq).select("span")
+    """(id, clean_text, n_kept): reassemble documents from their (id,
+    pos, span) rows after anti-joining away the ``bad`` (span) set.
+    ``broadcast_bad`` broadcasts it (default; boilerplate sets are
+    small); set False to shuffle the anti-join when the bad set is
+    itself huge."""
+    bad = bad.select("span")
     bad = F.broadcast(bad) if broadcast_bad else bad
     kept = spans.join(bad, "span", "left_anti")
     return kept.groupBy("id").agg(
@@ -120,6 +115,22 @@ def remove_repeated_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+    max_freq: int = 2,
+    broadcast_bad: bool = True,
+) -> DataFrame:
+    """(id, clean_text, n_kept): documents with over-frequent spans
+    deleted (one-shot batch spelling; see operators/span_index.py for
+    the continuously-ingesting equivalent)."""
+    spans = doc_spans(df, id_col, text_col, span_tokens)
+    bad = over_frequent_spans(spans, max_freq)
+    return clean_spans(spans, bad, broadcast_bad)
 
 
 def repeated_spans_oracle_sql(
