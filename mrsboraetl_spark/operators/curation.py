@@ -411,6 +411,60 @@ def oov_fraction(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """(id, n_tokens, nll) — each document's mean negative log-likelihood
+    under the corpus's OWN unigram language model (p(t) = corpus count /
+    corpus total).  The CCNet-family quality signal one step up from
+    ``oov_fraction``: instead of a hard in/out-of-vocabulary cut, every
+    token contributes its corpus surprisal, so documents full of rare or
+    off-distribution tokens score high and templated mainstream text
+    scores low — with no external model needed.
+
+    Shape: explode -> one token-keyed count aggregation (vocabulary-
+    sized after map-side combine) -> tokens re-join their count on the
+    token key.  The corpus total S never joins at all: since
+    -ln(c/S) = ln(S) - ln(c), the per-doc score is
+    ``ln(S) - avg(ln c)`` with ln(S) a scalar — fetched with one
+    bounded 1-row action (the watermark-store precedent) instead of a
+    1-row nested-loop cross join, keeping the package NLJ-free.  The
+    count join is a plain shuffle equi-join by default — the full
+    vocabulary at 100 TB is far past broadcast range; per-key work is
+    1:1 with token occurrences, so the worst partition is bounded by the
+    hottest token's occurrence count, which AQE's skew splitting handles
+    (the count side is one row per token, never skewed).
+    ``broadcast_vocab=True`` broadcasts the count table for small
+    corpora.  ``nll`` is rounded to 4 decimals so double summation order
+    can't flip the oracle hash (the same rule the BM25 oracle uses)."""
+    import math
+
+    from mrsboraetl_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    row = counts.agg(F.sum("c").alias("s")).first()
+    if row is None or row["s"] is None:
+        raise ValueError("empty corpus: no tokens to model")
+    ln_s = math.log(row["s"])
+    if broadcast_vocab:
+        counts = F.broadcast(counts)
+    return (
+        toks.join(counts, "t")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.lit(ln_s) - F.avg(F.log("c")), 4).alias("nll"),
+        )
+    )
+
+
 def repetition_metrics(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -1318,3 +1318,34 @@ UNREGISTERED_ORACLES["curation_epoch_shuffle"] = """
              AS BIGINT) AS pos
     FROM documents
 """
+
+
+def curation_unigram_logprob(spark, sf_dir):
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram LM (CCNet-style quality signal one step past OOV): rare /
+    off-distribution tokens raise the score.  One token-keyed count agg
+    + one token equi-join; the corpus total enters as ln(S) via the
+    algebraic split -ln(c/S) = ln(S) - ln(c) (bounded 1-row action, no
+    nested-loop scalar join).  Unregistered (driver cap);
+    oracle-checked."""
+    from mrsboraetl_spark.operators.curation import unigram_logprob
+
+    docs = table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+UNREGISTERED_ORACLES["curation_unigram_logprob"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+    ), cnt AS (
+      SELECT t, count(*) AS c FROM toks GROUP BY t
+    ), tot AS (
+      SELECT sum(c) AS s FROM cnt
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(ln(tot.s) - avg(ln(cnt.c)), 4) AS nll
+    FROM toks JOIN cnt USING (t) CROSS JOIN tot
+    GROUP BY doc_id, tot.s
+"""

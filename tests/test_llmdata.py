@@ -585,3 +585,19 @@ def test_exact_then_near_simhash_matches_direct(spark, sf_dir):
     for r in composed_rows:
         assert r.copies_a == copies[r.doc_a]
         assert r.copies_b == copies[r.doc_b]
+
+
+def test_unigram_logprob_orders_rare_above_common(spark):
+    """A document of corpus-rare tokens must score a higher mean
+    surprisal than one of corpus-common tokens; scores are finite and
+    n_tokens is exact."""
+    from mrsboraetl_spark.operators.curation import unigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "zyx qwv jkl pqr"))  # each token occurs once
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.id: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[100].nll > out[0].nll
+    assert out[0].n_tokens == 6 and out[100].n_tokens == 4
+    common = out[0].nll
+    assert all(out[i].nll == common for i in range(10))

@@ -67,6 +67,7 @@ UNREGISTERED = [
     "dedup_repeated_spans",
     "curation_redact_pii",
     "curation_epoch_shuffle",
+    "curation_unigram_logprob",
 ]
 
 
