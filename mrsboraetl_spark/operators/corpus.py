@@ -119,6 +119,13 @@ def curate_corpus(
             .withColumn(text_col, F.col("_ctext"))
             .drop("_ctext")
         )
+        # Materialize the cleaned corpus ONCE: every downstream stage
+        # (quality, decontam, dedup, audit) re-reads the document table,
+        # and without this pin each re-read would recompute the span
+        # count + anti-join + reassembly subtree — measured 2.3x on the
+        # 5k worst-case probe.  Same single-machine stand-in for a stage
+        # table as the LSH materializations (see README cluster notes).
+        docs = docs.localCheckpoint()
         boilerplate = ids.join(
             docs.select(F.col(id_col).alias("id")), "id", "left_anti"
         )

@@ -1,7 +1,12 @@
 """Manual scale probe for the composed curate_corpus pipeline
 (manual tool, results land in PERF.md by hand):
 
-    python tests/corpus_probe.py [n_docs] [copies]
+    python tests/corpus_probe.py [n_docs] [copies] [--full]
+
+``--full`` additionally switches on the opt-in text-transform stages
+(PII redaction + repeated-span removal with span_tokens=10) and
+injects a synthetic email into every 7th document so redaction does
+real work.
 
 Builds the same worst-case corpus shape as the dedup probes — n_docs
 synthetic documents where every UNIQUE text appears in a `copies`-sized
@@ -55,17 +60,34 @@ def make_corpus(spark, n_docs: int, copies: int):
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    full = "--full" in sys.argv
+    n_docs = int(args[0]) if args else 50_000
+    copies = int(args[1]) if len(args) > 1 else 10
     spark = get_spark(app_name="corpus_probe")
-    docs = make_corpus(spark, n_docs, copies).localCheckpoint()
+    docs = make_corpus(spark, n_docs, copies)
+    if full:
+        docs = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@ex.org"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+    docs = docs.localCheckpoint()
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
 
+    cfg = CurationConfig(min_tokens=5)
+    if full:
+        cfg = CurationConfig(min_tokens=5, redact=True, span_tokens=10)
     t0 = time.time()
-    kept, audit, packed = curate_corpus(
-        train, eval_df, cfg=CurationConfig(min_tokens=5)
-    )
+    kept, audit, packed = curate_corpus(train, eval_df, cfg=cfg)
     import tempfile
 
     d = tempfile.mkdtemp(prefix="corpus_probe_")
