@@ -62,28 +62,55 @@ def md5_prefix_bucket(width: int = 2) -> Callable[[Column], Column]:
 
 
 def _positions_over_buckets(
-    keyed: DataFrame, bucket: Column, order_col: str, pos_col: str
+    keyed: DataFrame,
+    bucket: Column,
+    order_col: str,
+    pos_col: str,
+    weight_col: str | None = None,
+    prefix_col: str = "prefix",
 ) -> DataFrame:
     """Shared tail: per-bucket counts -> prefix-sum offsets (a window over
     one row per bucket — single-partition but deliberately tiny) ->
-    broadcast offsets back -> within-bucket row_number (parallel)."""
+    broadcast offsets back -> within-bucket row_number (parallel).
+
+    With ``weight_col``, additionally emits ``prefix_col``: the total
+    weight of all rows STRICTLY BEFORE this row in the global order —
+    the same two-phase trick run on the weight sums (bucket weight
+    offsets + a within-bucket running sum sharing the row_number
+    window's sort), which is how you compute a 100 TB weighted prefix
+    sum without a single-partition window."""
     rp = keyed.withColumn("_bkt", bucket)
-    counts = rp.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("_wsum"))
+    counts = rp.groupBy("_bkt").agg(*aggs)
     w_off = Window.orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = counts.select(
-        "_bkt", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
-    )
-    w_in = Window.partitionBy("_bkt").orderBy(order_col)
-    return (
-        rp.join(F.broadcast(offsets), "_bkt")
-        .withColumn(
-            pos_col,
-            (F.col("_off") + F.row_number().over(w_in) - 1).cast("bigint"),
+    off_cols = [
+        "_bkt",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    ]
+    if weight_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum("_wsum").over(w_off), F.lit(0)).alias("_woff")
         )
-        .drop("_bkt", "_off")
+    offsets = counts.select(*off_cols)
+    w_in = Window.partitionBy("_bkt").orderBy(order_col)
+    out = rp.join(F.broadcast(offsets), "_bkt").withColumn(
+        pos_col,
+        (F.col("_off") + F.row_number().over(w_in) - 1).cast("bigint"),
     )
+    if weight_col is not None:
+        w_run = w_in.rowsBetween(Window.unboundedPreceding, -1)
+        out = out.withColumn(
+            prefix_col,
+            (
+                F.col("_woff")
+                + F.coalesce(F.sum(weight_col).over(w_run), F.lit(0))
+            ).cast("bigint"),
+        ).drop("_woff")
+    return out.drop("_bkt", "_off")
 
 
 def global_position(
@@ -92,9 +119,13 @@ def global_position(
     pos_col: str = "pos",
     n_partitions: int | None = None,
     bucket_of: Callable[[Column], Column] | None = None,
+    weight_col: str | None = None,
+    prefix_col: str = "prefix",
 ) -> DataFrame:
     """Add ``pos_col``: the row's 0-based position in the global
     ascending order of ``order_col`` (unique keys ⇒ deterministic).
+    With ``weight_col``, also add ``prefix_col``: the exclusive global
+    running total of that weight in the same order.
 
     ``bucket_of``: order-monotone pure function of the key (same bucket
     ordering as key ordering) — enables the deterministic, sampling-free
@@ -102,7 +133,12 @@ def global_position(
     by a localCheckpoint (see module docstring for why)."""
     if bucket_of is not None:
         return _positions_over_buckets(
-            df, bucket_of(F.col(order_col)), order_col, pos_col
+            df,
+            bucket_of(F.col(order_col)),
+            order_col,
+            pos_col,
+            weight_col,
+            prefix_col,
         )
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism
@@ -116,6 +152,8 @@ def global_position(
         F.col("_rpid"),
         order_col,
         pos_col,
+        weight_col,
+        prefix_col,
     ).drop("_rpid")
 
 
@@ -125,11 +163,16 @@ def epoch_shuffle(
     seed: str,
     pos_col: str = "pos",
     bucket_width: int = 2,
+    weight_col: str | None = None,
+    prefix_col: str = "prefix",
 ) -> DataFrame:
     """Deterministic seeded permutation for training-data export:
     ``pos_col`` numbers rows by ``md5(seed:id)`` order.  Same (seed, id)
     ⇒ same position, on any cluster at any partition count.  Uses the
-    deterministic md5-prefix bucketing (16**bucket_width buckets)."""
+    deterministic md5-prefix bucketing (16**bucket_width buckets).
+    ``weight_col`` adds the exclusive running weight total in epoch
+    order (see global_position) — the hook token-balanced sharding
+    hangs off."""
     keyed = df.withColumn(
         "_ekey",
         F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
@@ -139,4 +182,6 @@ def epoch_shuffle(
         "_ekey",
         pos_col=pos_col,
         bucket_of=md5_prefix_bucket(bucket_width),
+        weight_col=weight_col,
+        prefix_col=prefix_col,
     ).drop("_ekey")

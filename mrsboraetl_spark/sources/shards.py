@@ -19,10 +19,18 @@ writes exactly one shard directory, rows inside a shard are pos-ascending
 so a trainer interleaving shards round-robin reconstructs the exact
 global permutation.
 
+``weight_col`` switches to WEIGHT-balanced sharding (e.g. tokens):
+shards become contiguous ranges of the permutation cut at equal
+cumulative weight via the two-phase global prefix sum — balanced to
+within one document's weight, still uniform subsamples (contiguous
+ranges of a random permutation), though no longer round-robin
+interleavable (concatenating shards in order reconstructs the
+permutation instead).
+
 The manifest (one tiny JSON, written last) records seed, shard count and
-per-shard row counts — the commit marker the reader checks, mirroring the
-atomic-swap protocol of engine.py (a crashed export leaves no manifest
-and is invisible).
+per-shard row counts (plus per-shard weight when weighted) — the commit
+marker the reader checks, mirroring the atomic-swap protocol of
+engine.py (a crashed export leaves no manifest and is invisible).
 """
 
 from __future__ import annotations
@@ -44,16 +52,37 @@ def write_training_shards(
     path: str,
     n_shards: int,
     seed: str,
+    weight_col: str | None = None,
 ) -> dict:
     """Export ``df`` as ``n_shards`` deterministic shard directories under
     ``path`` (``shard=K/``), globally shuffled by ``md5(seed:id)``.
-    Returns the manifest dict."""
+    Returns the manifest dict.
+
+    Default sharding is ``pos % n_shards`` round-robin (row balance ±1).
+    With ``weight_col`` (e.g. a token count), shards are instead
+    contiguous WEIGHT-balanced ranges of the permutation:
+    ``shard = floor(prefix_weight * n / total_weight)`` using the
+    exclusive global running weight — each shard carries total/n weight
+    to within one document, and because the order is a seeded random
+    permutation, contiguous ranges are still unbiased uniform
+    subsamples.  The total enters as a literal from one bounded 1-row
+    aggregate (the watermark-store precedent)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    ordered = epoch_shuffle(df, id_col, seed)
-    sharded = ordered.withColumn(
-        "shard", (F.col("pos") % n_shards).cast("int")
-    )
+    if weight_col is None:
+        ordered = epoch_shuffle(df, id_col, seed)
+        shard = (F.col("pos") % n_shards).cast("int")
+    else:
+        ordered = epoch_shuffle(df, id_col, seed, weight_col=weight_col)
+        row = df.agg(F.sum(weight_col).alias("s")).first()
+        total = row["s"] if row else None
+        if not total or total <= 0:
+            raise ValueError(f"total {weight_col} must be positive: {total}")
+        shard = F.least(
+            F.floor(F.col("prefix") * n_shards / F.lit(int(total))),
+            F.lit(n_shards - 1),
+        ).cast("int")
+    sharded = ordered.withColumn("shard", shard)
     (
         sharded.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("pos")
@@ -62,18 +91,25 @@ def write_training_shards(
         .parquet(path)
     )
     # Bounded driver action: n_shards rows.
-    counts = {
-        int(r["shard"]): int(r["n"])
-        for r in sharded.groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("w"))
+    stats = {
+        int(r["shard"]): r
+        for r in sharded.groupBy("shard").agg(*aggs).collect()
     }
+    counts = {k: int(r["n"]) for k, r in stats.items()}
     manifest = {
         "seed": seed,
         "n_shards": n_shards,
         "rows": sum(counts.values()),
         "shard_rows": [counts.get(i, 0) for i in range(n_shards)],
     }
+    if weight_col is not None:
+        manifest["weight_col"] = weight_col
+        manifest["shard_weight"] = [
+            int(stats[i]["w"]) if i in stats else 0 for i in range(n_shards)
+        ]
     tmp = os.path.join(path, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)

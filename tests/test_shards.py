@@ -88,3 +88,48 @@ def test_one_file_per_shard(spark, outdir):
             if f.endswith(".parquet")
         ]
         assert len(files) == 1, files
+
+
+def test_weighted_shards_balance_tokens_not_rows(spark, outdir):
+    """Doc i carries weight i+1 (heavily skewed); weighted sharding must
+    cut shards at equal cumulative weight (within one document), while
+    row counts differ widely — and concatenating shards in order
+    reconstructs the permutation."""
+    docs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_id int, n_tok int"
+    )
+    m = write_training_shards(
+        docs, "doc_id", outdir, 4, "w1", weight_col="n_tok"
+    )
+    total = sum(m["shard_weight"])
+    assert total == sum(range(1, 201))
+    ideal = total / 4
+    max_doc = 200
+    for w in m["shard_weight"]:
+        assert abs(w - ideal) <= max_doc, m["shard_weight"]
+    # row counts are NOT balanced (weights are skewed) — that's the point
+    assert max(m["shard_rows"]) - min(m["shard_rows"]) > 1
+    back = read_training_shards(spark, outdir).orderBy("pos").collect()
+    assert [r.pos for r in back] == list(range(200))
+    # shards are contiguous pos ranges in shard order
+    boundaries = [r.shard for r in back]
+    assert boundaries == sorted(boundaries)
+
+
+def test_global_prefix_sum_is_exact(spark):
+    from mrsboraetl_spark.operators.order import (
+        global_position,
+        md5_prefix_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i:03d}", i % 7 + 1) for i in range(150)], "k string, w int"
+    )
+    rows = global_position(
+        df, "k", bucket_of=md5_prefix_bucket(1), weight_col="w"
+    ).collect()
+    ordered = sorted(rows, key=lambda r: r.pos)
+    running = 0
+    for r in ordered:
+        assert r.prefix == running, (r.k, r.prefix, running)
+        running += r.w
