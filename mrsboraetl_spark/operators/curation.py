@@ -112,6 +112,85 @@ def sample_by_source(
     return df.filter(bucket < thresh)
 
 
+def oversample_by_source(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    salt: str = "epoch-mix1",
+    default_rate: float = 1.0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic temperature/epoch mixing with rates ABOVE 1: each
+    row is emitted ``floor(rate)`` times plus one more when
+    ``hash(id, salt)`` falls under the fractional part — the
+    distributed spelling of "2 epochs of books, 0.3 epochs of crawl"
+    (the published high-quality-source upweighting recipe).  Output is
+    (input columns..., copy) with copy = 1..n_copies; a rate of 0 drops
+    the source.
+
+    The copy count is a pure function of (id, salt), so re-runs
+    reproduce the exact multiset, and the fractional threshold is an
+    integer bucket compare (the token-budget-mix rule) so Spark and the
+    SQL oracle can never disagree on a float boundary.  One codegen'd
+    projection + explode — no shuffle; the explode's row growth IS the
+    requested epoch multiple.  Downstream ``epoch_shuffle`` of
+    (id, copy) spreads the copies uniformly through the training order.
+    """
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for {s!r} must be >= 0, got {r}")
+    if default_rate < 0:
+        raise ValueError(f"default_rate must be >= 0, got {default_rate}")
+    bucket = _hash_bucket(id_col, salt, buckets)
+
+    def n_copies(rate: float):
+        base = int(rate)
+        frac_ppm = round((rate - base) * buckets)
+        return F.lit(base) + (bucket < F.lit(frac_ppm)).cast("int")
+
+    n = n_copies(default_rate)
+    for s, r in sorted(rates.items()):
+        n = F.when(F.col(source_col) == s, n_copies(r)).otherwise(n)
+    copies = F.when(
+        n > 0, F.sequence(F.lit(1), n)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("copy", F.explode(copies))
+
+
+def oversample_oracle_sql(
+    source_sql: str,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    salt: str = "epoch-mix1",
+    default_rate: float = 1.0,
+    buckets: int = 1_000_000,
+) -> str:
+    """DuckDB spelling of oversample_by_source over ``source_sql`` —
+    same md5 bucket, same integer fractional threshold, same 1-based
+    copy index."""
+    bucket = (
+        f"(('0x' || substr(md5({id_col}::VARCHAR || ':{salt}'), 1, 8))"
+        f"::BIGINT % {buckets})"
+    )
+
+    def n_copies(rate: float) -> str:
+        base = int(rate)
+        frac_ppm = round((rate - base) * buckets)
+        return f"({base} + CASE WHEN {bucket} < {frac_ppm} THEN 1 ELSE 0 END)"
+
+    branches = "".join(
+        f" WHEN {source_col} = '{s}' THEN {n_copies(r)}"
+        for s, r in sorted(rates.items())
+    )
+    n = f"(CASE{branches} ELSE {n_copies(default_rate)} END)"
+    return f"""
+    SELECT {id_col}, {source_col}, CAST(u.copy AS INT) AS copy
+    FROM {source_sql}, unnest(range(1, {n} + 1)) u(copy)
+    """
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

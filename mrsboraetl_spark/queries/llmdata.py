@@ -1349,3 +1349,26 @@ UNREGISTERED_ORACLES["curation_unigram_logprob"] = f"""
     FROM toks JOIN cnt USING (t) CROSS JOIN tot
     GROUP BY doc_id, tot.s
 """
+
+
+def curation_oversample_mix(spark, sf_dir):
+    """Deterministic epoch/temperature mixing with rates above 1
+    (2.5 epochs of src0, 1 of src1, 0.25 of src2): each document emits
+    floor(rate) copies plus a fractional-hash extra, as (doc_id, source,
+    copy) rows.  Pure projection + explode, integer-exact fractional
+    threshold.  Unregistered (driver cap); oracle-checked."""
+    from mrsboraetl_spark.operators.curation import oversample_by_source
+
+    docs = table(spark, sf_dir, "documents")
+    return oversample_by_source(
+        docs, "doc_id", "source", {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+    ).select("doc_id", "source", "copy")
+
+
+from mrsboraetl_spark.operators.curation import (  # noqa: E402
+    oversample_oracle_sql,
+)
+
+UNREGISTERED_ORACLES["curation_oversample_mix"] = oversample_oracle_sql(
+    "documents", "doc_id", "source", {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+)

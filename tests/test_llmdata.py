@@ -601,3 +601,34 @@ def test_unigram_logprob_orders_rare_above_common(spark):
     assert out[0].n_tokens == 6 and out[100].n_tokens == 4
     common = out[0].nll
     assert all(out[i].nll == common for i in range(10))
+
+
+def test_oversample_rates_and_determinism(spark):
+    """rate 2.5 -> every doc emits 2 or 3 copies with the fraction
+    deterministic in (id, salt); rate 0 drops the source entirely;
+    copies are 1..n."""
+    from mrsboraetl_spark.operators.curation import oversample_by_source
+
+    rows = [(i, "s_hi") for i in range(200)] + [
+        (1000 + i, "s_zero") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = oversample_by_source(
+        df, "doc_id", "source", {"s_hi": 2.5, "s_zero": 0.0}
+    )
+    per_doc = {
+        r.doc_id: r.n
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(per_doc[i] in (2, 3) for i in range(200))
+    n_extra = sum(1 for i in range(200) if per_doc[i] == 3)
+    assert 60 <= n_extra <= 140  # ~50% of 200, hash-fraction tolerance
+    assert not any(d >= 1000 for d in per_doc)  # rate 0 drops
+    copies = {(r.doc_id, r.copy) for r in out.collect()}
+    for i in range(200):
+        for c in range(1, per_doc[i] + 1):
+            assert (i, c) in copies
+    out2 = oversample_by_source(
+        df.repartition(7), "doc_id", "source", {"s_hi": 2.5, "s_zero": 0.0}
+    )
+    assert {(r.doc_id, r.copy) for r in out2.collect()} == copies

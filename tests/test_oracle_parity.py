@@ -68,6 +68,7 @@ UNREGISTERED = [
     "curation_redact_pii",
     "curation_epoch_shuffle",
     "curation_unigram_logprob",
+    "curation_oversample_mix",
 ]
 
 
