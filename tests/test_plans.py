@@ -184,6 +184,15 @@ def test_unregistered_scale_ops_plan_no_nested_loop(spark, sf_dir):
         "curation_oov_fraction",
         "curation_token_budget_mix",
         "profile_source_percentiles",
+        # r5 session 4: spans / redaction / epoch order / unigram LM /
+        # oversampling — unigram_logprob in particular must keep its
+        # scalar total OUT of the plan (ln(S) enters as a literal; a
+        # 1-row scalar join would plan a BroadcastNestedLoopJoin).
+        "dedup_repeated_spans",
+        "curation_redact_pii",
+        "curation_epoch_shuffle",
+        "curation_unigram_logprob",
+        "curation_oversample_mix",
     ):
         plans[name] = fmt(getattr(L, name)(spark, sf_dir))
     bad = {
