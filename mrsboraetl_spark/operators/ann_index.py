@@ -1,0 +1,194 @@
+"""Persistent incremental IVF index: ANN search over a CONTINUOUSLY-
+INGESTING embedding corpus.
+
+The fourth member of the engine's incremental-index family (LSH bands
+for near-dup, StatsIndex for profiling, SpanFrequencyIndex for
+boilerplate): the batch operator (operators/similarity.ivf_topk)
+re-assigns every vector to its coarse cell per run; at 100 TB the
+corpus assignment pass is the avoidable cost, because cell assignment
+is a pure function of (vector, centroids) once the quantizer is pinned.
+
+* The CENTROIDS are fixed at index creation and stored next to the data
+  (``_centroids.json``).  That makes the incremental contract EXACT:
+  ingesting a corpus in any batch split yields the identical cell table
+  as one-shot assignment, so ``topk`` equals the batch operator on the
+  same centroids bit-for-bit (pytest-pinned) — the same
+  "pin the nondeterminism, then everything merges" move as the span
+  index (exact counts) vs the LSH index (ingest-ordered caps).
+  The trade-off is drift: a pinned quantizer slowly mismatches a
+  shifting embedding distribution.  That is the standard IVF operating
+  model (FAISS-style: retrain offline, re-assign, swap) — ``retrain``
+  is deliberately a NEW index + bulk re-ingest, never an in-place
+  mutation.
+
+* ``ingest`` appends (id, cell, vec) with the assignment done by the
+  same broadcast-centroid expression as the batch operator — one
+  codegen'd pass over the new batch only, no shuffle.
+
+* ``topk`` probes: queries explode to their nprobe nearest cells, the
+  stored table is hit with a cell equi-join (never a full scan of the
+  index), candidates rank by exact cosine per query.
+
+* ``compact`` folds the per-ingest files AND clusters the layout by
+  cell (repartition on the cell key behind the rename-aside swap), so
+  post-compaction probes read ~nprobe/n_centroids of the files — the
+  file-layout half of the IVF bargain.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.operators.similarity import (
+    _nearest_cells_expr,
+    cosine,
+)
+
+
+class IvfIndex:
+    def __init__(
+        self,
+        path: str,
+        centroids: list[tuple[int, list[float]]] | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        """Open (or create) an IVF index at ``path``.  ``centroids`` is
+        required when creating; when opening an existing index it may be
+        omitted (loaded from disk) — passing a DIFFERENT set raises."""
+        self.path = path
+        self.cells_path = os.path.join(path, "cells")
+        self.cent_path = os.path.join(path, "_centroids.json")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        if os.path.exists(self.cent_path):
+            with open(self.cent_path) as f:
+                stored = [
+                    (int(c), [float(x) for x in v]) for c, v in json.load(f)
+                ]
+            if centroids is not None:
+                given = [
+                    (int(c), [float(x) for x in v]) for c, v in centroids
+                ]
+                if given != stored:
+                    raise ValueError(
+                        f"index at {path} has pinned centroids; "
+                        "retrain = build a new index and re-ingest"
+                    )
+            self.centroids = stored
+        else:
+            if centroids is None:
+                raise ValueError("creating an index requires centroids")
+            self.centroids = [
+                (int(c), [float(x) for x in v]) for c, v in centroids
+            ]
+
+    def _commit_centroids(self) -> None:
+        if not os.path.exists(self.cent_path):
+            os.makedirs(self.path, exist_ok=True)
+            with open(self.cent_path, "w") as f:
+                json.dump(self.centroids, f)
+
+    def is_empty(self) -> bool:
+        return not os.path.exists(self.cells_path)
+
+    def assign_cells(self, vectors: DataFrame) -> DataFrame:
+        """(id, cell, vec) — the pure-function assignment every ingest
+        and every batch comparison shares."""
+        return vectors.select(
+            F.col(self.id_col),
+            _nearest_cells_expr(self.centroids, self.vec_col, 1)
+            .getItem(0)
+            .alias("cell"),
+            F.col(self.vec_col),
+        )
+
+    def ingest(self, new_vectors: DataFrame) -> None:
+        """Assign the batch to cells and append — O(|batch|), the index
+        is never re-read."""
+        self._commit_centroids()
+        self.assign_cells(new_vectors).write.mode("append").parquet(
+            self.cells_path
+        )
+
+    def cells(self, spark: SparkSession) -> DataFrame | None:
+        if self.is_empty():
+            return None
+        return spark.read.parquet(self.cells_path)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 3,
+        nprobe: int = 2,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+    ) -> DataFrame:
+        """(query_id, neighbor, cosine, rk): per query, the top-k stored
+        vectors among its nprobe nearest cells, ranked by exact cosine —
+        the probe half of operators/similarity.ivf_topk against the
+        persisted assignment."""
+        spark = queries.sparkSession
+        stored = self.cells(spark)
+        if stored is None:
+            raise ValueError(f"index at {self.path} is empty")
+        probes = queries.withColumn(
+            "cell",
+            F.explode(
+                _nearest_cells_expr(self.centroids, query_vec, nprobe)
+            ),
+        )
+        sim = F.round(
+            cosine(F.col(query_vec), F.col(self.vec_col)), 4
+        )
+        scored = (
+            stored.join(F.broadcast(probes), "cell")
+            .filter(F.col(query_id) != F.col(self.id_col))
+            .select(
+                query_id,
+                F.col(self.id_col).alias("neighbor"),
+                sim.alias("cosine"),
+            )
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("cosine").desc(), F.col("neighbor")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(query_id, "neighbor", "cosine", "rk")
+        )
+
+    def compact(
+        self, spark: SparkSession, n_files: int | None = None
+    ) -> None:
+        """Fold per-ingest files into a cell-clustered layout (one hash
+        shuffle on the cell key) behind the rename-aside atomic swap.
+        Cells are disjoint across output files, so a probe of nprobe
+        cells opens ~nprobe/n_centroids of them."""
+        if self.is_empty():
+            return
+        n = n_files or max(len(self.centroids) // 4, 1)
+        tmp = self.cells_path + f".compact-{uuid.uuid4().hex[:8]}"
+        (
+            self.cells(spark)
+            .repartition(n, F.col("cell"))
+            .sortWithinPartitions("cell")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        old = self.cells_path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.cells_path, old)
+        try:
+            os.replace(tmp, self.cells_path)
+        except OSError:
+            os.replace(old, self.cells_path)
+            raise
+        shutil.rmtree(old, ignore_errors=True)

@@ -1,0 +1,124 @@
+"""Persistent incremental IVF index (operators/ann_index.py): exact
+batch-split equivalence under pinned centroids, topk parity with the
+batch operator, centroid pinning, and cell-clustered compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.operators.ann_index import IvfIndex
+from mrsboraetl_spark.queries import table
+
+
+def _centroids(spark, sf_dir, n=16):
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < n)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(r.vec_id, list(r.embedding)) for r in seeds]
+
+
+def _queries(spark, sf_dir, n=3):
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def test_batch_split_assignment_is_exact(spark, sf_dir, tmp_path):
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    idx = IvfIndex(str(tmp_path / "ivf"), cents)
+    for part in range(3):
+        idx.ingest(emb.filter(F.col("vec_id") % 3 == part))
+    got = {
+        r.vec_id: r.cell for r in idx.cells(spark).collect()
+    }
+    want = {
+        r.vec_id: r.cell for r in idx.assign_cells(emb).collect()
+    }
+    assert got == want
+    assert len(got) == emb.count()
+
+
+def test_topk_matches_batch_ivf_on_same_centroids(spark, sf_dir, tmp_path):
+    from mrsboraetl_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    idx = IvfIndex(str(tmp_path / "ivf"), cents)
+    for part in range(3):
+        idx.ingest(emb.filter(F.col("vec_id") % 3 == part))
+    q = _queries(spark, sf_dir)
+    got = {
+        (r.query_id, r.rk): (r.neighbor, r.cosine)
+        for r in idx.topk(q, k=3, nprobe=4).collect()
+    }
+    want = {
+        (r.query_id, r.rk): (r.neighbor, r.cosine)
+        for r in ivf_topk(
+            emb, q, k=3, nprobe=4, centroids=cents
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_centroids_are_pinned(spark, sf_dir, tmp_path):
+    cents = _centroids(spark, sf_dir)
+    idx = IvfIndex(str(tmp_path / "ivf"), cents)
+    idx.ingest(table(spark, sf_dir, "embeddings").limit(10))
+    # reopening without centroids loads the pinned set
+    again = IvfIndex(str(tmp_path / "ivf"))
+    assert again.centroids == idx.centroids
+    # a different quantizer is refused
+    other = [(c, [v + 1.0 for v in vec]) for c, vec in cents]
+    with pytest.raises(ValueError, match="pinned centroids"):
+        IvfIndex(str(tmp_path / "ivf"), other)
+
+
+def test_compact_preserves_results_and_clusters_cells(
+    spark, sf_dir, tmp_path
+):
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    idx = IvfIndex(str(tmp_path / "ivf"), cents)
+    for part in range(4):
+        idx.ingest(emb.filter(F.col("vec_id") % 4 == part))
+    q = _queries(spark, sf_dir)
+    before = {
+        (r.query_id, r.rk, r.neighbor)
+        for r in idx.topk(q, k=3, nprobe=4).collect()
+    }
+    n_files_before = sum(
+        f.endswith(".parquet") for f in os.listdir(idx.cells_path)
+    )
+    idx.compact(spark, n_files=2)
+    after = {
+        (r.query_id, r.rk, r.neighbor)
+        for r in idx.topk(q, k=3, nprobe=4).collect()
+    }
+    files = [
+        f for f in os.listdir(idx.cells_path) if f.endswith(".parquet")
+    ]
+    assert after == before
+    assert len(files) < n_files_before
+    assert not os.path.exists(idx.cells_path + ".old")
+    # cell-clustered: no cell spans two files
+    cell_sets = [
+        {
+            r.cell
+            for r in spark.read.parquet(
+                os.path.join(idx.cells_path, f)
+            ).collect()
+        }
+        for f in files
+    ]
+    for i in range(len(cell_sets)):
+        for j in range(i + 1, len(cell_sets)):
+            assert not (cell_sets[i] & cell_sets[j])
