@@ -1,0 +1,51 @@
+"""Streaming embedding ingestion into the persistent IVF index
+(operators/ann_index.py) via foreachBatch — the Structured-Streaming
+spelling of a continuously-growing ANN corpus.
+
+Because the quantizer is pinned at index creation, each micro-batch's
+cell assignment is a pure function of its vectors: the drained index is
+IDENTICAL to one-shot ingestion regardless of batch boundaries (the
+exact end of the incremental-contract spectrum; pytest-pinned via the
+index tests).  Queries served between micro-batches simply see the
+corpus as of the last completed append.
+
+Delivery is at-least-once with the same best-effort ``_done`` markers
+as the other streaming drains; a replayed batch whose marker is missing
+duplicates its (id, cell, vec) rows — harmless for top-k (duplicate
+neighbors collapse under the rank's id tiebreak only if ids are unique;
+dedup the sink or use the versioned writer for exactly-once, the
+documented upgrade path)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from mrsboraetl_spark.operators.ann_index import IvfIndex
+
+
+def streaming_ingest_vectors(
+    vec_stream: DataFrame,
+    index: IvfIndex,
+    checkpoint_dir: str,
+):
+    """Start (and return) the streaming query: assign + append each
+    micro-batch of vectors into ``index``."""
+    markers = os.path.join(index.path, "_done")
+    os.makedirs(markers, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers, str(batch_id))
+        if os.path.exists(marker):
+            return
+        index.ingest(batch_df)
+        with open(marker, "w") as f:
+            f.write("done")
+
+    return (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

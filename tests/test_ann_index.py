@@ -122,3 +122,36 @@ def test_compact_preserves_results_and_clusters_cells(
     for i in range(len(cell_sets)):
         for j in range(i + 1, len(cell_sets)):
             assert not (cell_sets[i] & cell_sets[j])
+
+
+def test_streaming_ingest_equals_batch(spark, sf_dir, tmp_path):
+    """Vectors arriving as a file stream drain into the index; the
+    resulting cell table and top-k equal one-shot ingestion exactly
+    (pinned centroids make assignment order-independent)."""
+    from mrsboraetl_spark.streaming.ann import streaming_ingest_vectors
+    from mrsboraetl_spark.streaming.dedup import stream_documents
+
+    emb = table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "vec_stream")
+    emb.repartition(3).write.parquet(src)
+
+    cents = _centroids(spark, sf_dir)
+    idx = IvfIndex(str(tmp_path / "ivf_s"), cents)
+    q = streaming_ingest_vectors(
+        stream_documents(spark, src), idx, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    one_shot = IvfIndex(str(tmp_path / "ivf_b"), cents)
+    one_shot.ingest(emb)
+    got = {(r.vec_id, r.cell) for r in idx.cells(spark).collect()}
+    want = {(r.vec_id, r.cell) for r in one_shot.cells(spark).collect()}
+    assert got == want
+    qs = _queries(spark, sf_dir)
+    assert {
+        tuple(r) for r in idx.topk(qs, k=3, nprobe=4).collect()
+    } == {tuple(r) for r in one_shot.topk(qs, k=3, nprobe=4).collect()}
+    assert len(os.listdir(os.path.join(idx.path, "_done"))) == 3
