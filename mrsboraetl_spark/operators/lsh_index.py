@@ -143,3 +143,37 @@ class LshBandIndex:
             )
             .distinct()
         )
+
+    def compact(
+        self, spark: SparkSession, n_files: int | None = None
+    ) -> None:
+        """Fold the per-ingest band files into a band-key-clustered
+        layout (one hash shuffle on (band, bk), bk-sorted within files
+        so parquet row-group stats prune probe reads) behind the same
+        rename-aside atomic swap as the other persistent indexes.  Pair
+        semantics are untouched — compaction only moves rows."""
+        import shutil
+        import uuid
+
+        if self.is_empty():
+            return
+        n = n_files or max(
+            spark.sparkContext.defaultParallelism // 2, 1
+        )
+        tmp = self.bands_path + f".compact-{uuid.uuid4().hex[:8]}"
+        (
+            spark.read.parquet(self.bands_path)
+            .repartition(n, F.col("band"), F.col("bk"))
+            .sortWithinPartitions("band", "bk")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        old = self.bands_path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.bands_path, old)
+        try:
+            os.replace(tmp, self.bands_path)
+        except OSError:
+            os.replace(old, self.bands_path)
+            raise
+        shutil.rmtree(old, ignore_errors=True)

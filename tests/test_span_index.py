@@ -154,3 +154,32 @@ def test_streaming_clean_matches_ingest_semantics(spark, sf_dir, tmp_path):
     want = _clean_map(remove_repeated_spans(docs, "doc_id", "text", 10, 2))
     assert got == want
     assert len(os.listdir(os.path.join(idx.path, "_done"))) == 3
+
+
+def test_lsh_index_compact_preserves_pairs(spark, sf_dir, tmp_path):
+    """Compacting the LSH band index moves rows into a band-clustered
+    layout without changing future probe results."""
+    from mrsboraetl_spark.operators.lsh_index import LshBandIndex
+
+    docs = table(spark, sf_dir, "documents")
+    idx = LshBandIndex(str(tmp_path / "lsh"))
+    idx.ingest(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text").count()
+    n_before = idx.bands(spark).count()
+    idx.compact(spark, n_files=2)
+    assert idx.bands(spark).count() == n_before
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in idx.ingest(
+            docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text"
+        ).collect()
+    }
+    # fresh uncompacted index over the same split order agrees exactly
+    idx2 = LshBandIndex(str(tmp_path / "lsh2"))
+    idx2.ingest(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text").count()
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in idx2.ingest(
+            docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text"
+        ).collect()
+    }
+    assert got == want and got
