@@ -208,3 +208,73 @@ def curate_corpus(
         )
     )
     return kept, audit, packed
+
+
+def curate_and_export(
+    docs: DataFrame,
+    eval_df: DataFrame | None,
+    out_dir: str,
+    n_shards: int = 8,
+    shard_seed: str = "epoch0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: CurationConfig | None = None,
+) -> dict:
+    """The whole last mile in one call: curate -> materialize the packed
+    train sequences (exact budget cut) -> export them as deterministic
+    globally-shuffled shards -> write val/test at document grain and the
+    audit beside them.
+
+    Layout under ``out_dir``::
+
+        train_shards/   shard=K/ parquet of (id, seq_text, seq_tokens,
+                        pos, shard) — write_training_shards manifest
+                        included (the commit marker)
+        val/ test/      document-grained parquet of the held-out splits
+        audit/          (id, disposition) for every input document
+
+    Returns {'manifest': ..., 'dispositions': {...}} — both from
+    bounded driver actions (the shard manifest's n_shards rows and one
+    disposition groupBy).
+    """
+    import os
+
+    from mrsboraetl_spark.operators.curation import materialize_sequences
+    from mrsboraetl_spark.sources.shards import write_training_shards
+
+    cfg = cfg or CurationConfig()
+    kept, audit, packed = curate_corpus(
+        docs, eval_df, id_col=id_col, text_col=text_col, cfg=cfg
+    )
+    kept = kept.localCheckpoint()  # consumed three times below
+    seqs = materialize_sequences(
+        packed,
+        kept.withColumnRenamed("id", id_col)
+        if id_col not in kept.columns
+        else kept,
+        id_col,
+        text_col,
+        cfg.pack_budget,
+    ).withColumn(
+        "id", F.concat_ws(":", F.col("stream"), F.col("seq_idx"))
+    )
+    manifest = write_training_shards(
+        seqs.select("id", "seq_text", "seq_tokens"),
+        "id",
+        os.path.join(out_dir, "train_shards"),
+        n_shards,
+        shard_seed,
+        weight_col="seq_tokens",
+    )
+    for split in ("val", "test"):
+        kept.filter(F.col("split") == split).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, split))
+    audit.write.mode("overwrite").parquet(os.path.join(out_dir, "audit"))
+    dispositions = {
+        r.disposition: r.c
+        for r in audit.groupBy("disposition")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    return {"manifest": manifest, "dispositions": dispositions}

@@ -375,6 +375,80 @@ def pack_sequences(
     )
 
 
+def materialize_sequences(
+    packed: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+) -> DataFrame:
+    """(stream, seq_idx, seq_text, seq_tokens): the ACTUAL training
+    sequences for a :func:`pack_sequences` assignment — every sequence
+    exactly ``budget`` tokens except each lane's final partial one.
+
+    The packing model is concatenate-then-cut, so a document can span
+    sequences; this materializer reconstructs the exact cut from the
+    assignment alone (``before = seq_idx * budget + tok_offset``),
+    explodes each document into its per-sequence token fragments (a
+    codegen'd sequence/slice — a doc touches ceil(n/budget)+1 sequences
+    at most), and reassembles each sequence with the engine's standard
+    ordered-collect.  One shuffle on (stream, seq_idx); fragment order
+    inside a sequence is (before, id) — the same total order packing
+    used, so reassembly is deterministic."""
+    # The SAME token rule pack_sequences counted with (unfiltered split
+    # after whitespace normalization) — the slice arithmetic depends on
+    # size(_ts) == the assignment's n_tokens.
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
+    joined = packed.join(
+        docs.select(F.col(id_col).alias("id"), toks.alias("_ts")), "id"
+    ).withColumn(
+        "_before",
+        F.col("seq_idx") * budget + F.col("tok_offset"),
+    )
+    last_seq = F.expr(f"(_before + n_tokens - 1) div {budget}")
+    frags = joined.select(
+        "id",
+        "stream",
+        "_before",
+        "_ts",
+        F.explode(F.sequence(F.col("seq_idx"), last_seq)).alias("s"),
+    ).select(
+        "id",
+        "stream",
+        "_before",
+        F.col("s").alias("seq_idx"),
+        F.slice(
+            "_ts",
+            (F.greatest(F.col("s") * budget, F.col("_before"))
+             - F.col("_before") + 1).cast("int"),
+            (F.least((F.col("s") + 1) * budget,
+                     F.col("_before") + F.size("_ts"))
+             - F.greatest(F.col("s") * budget, F.col("_before"))).cast("int"),
+        ).alias("_frag"),
+    )
+    return (
+        frags.groupBy("stream", "seq_idx")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("_before", "id", "_frag")
+                            )
+                        ),
+                        lambda x: x["_frag"],
+                    )
+                ),
+                " ",
+            ).alias("seq_text"),
+            F.sum(F.size("_frag")).alias("seq_tokens"),
+        )
+    )
+
+
 def sample_to_token_budget(
     df: DataFrame,
     id_col: str,

@@ -154,3 +154,58 @@ def test_optin_stages_default_off_matches_previous_behavior(spark, sf_dir):
     b = {(r.id, r.disposition) for r in audit2.collect()}
     assert a == b
     assert "boilerplate" not in {d for _, d in a}
+
+
+def test_curate_and_export_end_to_end(spark, tmp_path):
+    """Raw docs -> curate -> exact-cut sequences -> token-balanced
+    shards + val/test + audit, all on disk with a committed manifest."""
+    import os
+
+    from mrsboraetl_spark.operators.corpus import curate_and_export
+    from mrsboraetl_spark.sources.shards import read_manifest
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(12 + i % 9)), "src0")
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    eval_df = docs.filter(F.col("doc_id") % 31 == 0)
+    train = docs.filter(F.col("doc_id") % 31 != 0)
+    out = str(tmp_path / "export")
+    res = curate_and_export(
+        train,
+        eval_df,
+        out,
+        n_shards=3,
+        cfg=CurationConfig(min_tokens=5, pack_budget=32, pack_streams=4),
+    )
+    assert sum(res["dispositions"].values()) == train.count()
+    man = read_manifest(os.path.join(out, "train_shards"))
+    assert man["n_shards"] == 3 and man["weight_col"] == "seq_tokens"
+    shards = spark.read.parquet(os.path.join(out, "train_shards"))
+    # conservation: exported sequence tokens == kept-train doc tokens
+    n_seq_tokens = shards.agg(F.sum("seq_tokens")).first()[0]
+    audit = spark.read.parquet(os.path.join(out, "audit"))
+    kept_ids = {
+        r.id for r in audit.filter(F.col("disposition") == "kept").collect()
+    }
+    splits = {
+        r.doc_id: r.split
+        for r in spark.read.parquet(os.path.join(out, "val"))
+        .select("doc_id", "split")
+        .union(
+            spark.read.parquet(os.path.join(out, "test")).select(
+                "doc_id", "split"
+            )
+        )
+        .collect()
+    }
+    train_kept_tokens = sum(
+        len(r.text.split(" "))
+        for r in train.collect()
+        if r.doc_id in kept_ids and r.doc_id not in splits
+    )
+    assert n_seq_tokens == train_kept_tokens
+    # weighted shards: balanced within one sequence's budget
+    ideal = sum(man["shard_weight"]) / 3
+    assert all(abs(w - ideal) <= 32 for w in man["shard_weight"])

@@ -632,3 +632,53 @@ def test_oversample_rates_and_determinism(spark):
         df.repartition(7), "doc_id", "source", {"s_hi": 2.5, "s_zero": 0.0}
     )
     assert {(r.doc_id, r.copy) for r in out2.collect()} == copies
+
+
+def test_materialize_sequences_exact_budget_cut(spark):
+    """Every materialized sequence except each lane's last carries
+    exactly `budget` tokens, documents spanning a cut contribute the
+    right fragments in order, and the concatenation of a lane's
+    sequences equals the lane's packed document stream."""
+    from mrsboraetl_spark.operators.curation import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}t{j}" for j in range(5 + i % 7)))
+         for i in range(60)],
+        "doc_id int, text string",
+    )
+    budget = 16
+    packed = pack_sequences(docs, "doc_id", "text", budget=budget, n_streams=4)
+    seqs = materialize_sequences(packed, docs, "doc_id", "text", budget)
+    rows = seqs.collect()
+    last_per_stream = {}
+    for r in rows:
+        last_per_stream[r.stream] = max(
+            last_per_stream.get(r.stream, -1), r.seq_idx
+        )
+    for r in rows:
+        n = len(r.seq_text.split(" "))
+        assert n == r.seq_tokens
+        if r.seq_idx < last_per_stream[r.stream]:
+            assert n == budget, (r.stream, r.seq_idx, n)
+        else:
+            assert 1 <= n <= budget
+    # lane reconstruction: concatenating a stream's sequences in order
+    # yields each of its docs' tokens contiguously, in packing order
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_stream = {}
+    for r in sorted(rows, key=lambda r: (r.stream, r.seq_idx)):
+        by_stream.setdefault(r.stream, []).append(r.seq_text)
+    assignment = {
+        (r.id): (r.stream, r.seq_idx, r.tok_offset)
+        for r in packed.collect()
+    }
+    for doc_id, (stream, _, _) in assignment.items():
+        lane = " ".join(by_stream[stream])
+        assert texts[doc_id] in lane, (doc_id, stream)
+    # totals conserved
+    assert sum(r.seq_tokens for r in rows) == sum(
+        len(t.split(" ")) for t in texts.values()
+    )
