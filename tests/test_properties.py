@@ -352,3 +352,47 @@ def test_chunk_documents_reconstruction_property(spark, texts, geometry):
         assert toks == want, (i, chunk_tokens, overlap)
         assert (g[g["chunk_idx"] != g["chunk_idx"].max()]["n_chunk_tokens"]
                 == chunk_tokens).all()
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text("xy z\t", min_size=0, max_size=60), min_size=1, max_size=30
+    ),
+    span_tokens=st.integers(1, 8),
+)
+def test_span_reassembly_identity_property(spark, texts, span_tokens):
+    """For ANY documents and ANY span size: with an unreachable
+    frequency threshold nothing is deleted, so remove_repeated_spans
+    must reproduce each document's whitespace-normalized self — the
+    carve/reassemble round-trip is lossless, including short docs,
+    empty docs, and trailing partial windows."""
+    import re
+
+    from mrsboraetl_spark.operators.spans import (
+        doc_spans,
+        remove_repeated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    out = {
+        r.id: r.clean_text
+        for r in remove_repeated_spans(
+            df, "id", "t", span_tokens=span_tokens, max_freq=10**9
+        ).collect()
+    }
+    assert len(out) == len(texts)
+    for i, t in enumerate(texts):
+        assert out[i] == " ".join(re.split(r"\s+", t.strip())).strip()
+    # and the span rows themselves tile each doc: pos dense from 0
+    spans = doc_spans(df, "id", "t", span_tokens).collect()
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        per_doc.setdefault(r.id, []).append(r.pos)
+    for i in per_doc:
+        assert sorted(per_doc[i]) == list(range(len(per_doc[i])))
