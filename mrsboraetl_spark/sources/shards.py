@@ -53,6 +53,7 @@ def write_training_shards(
     n_shards: int,
     seed: str,
     weight_col: str | None = None,
+    data_format: str = "parquet",
 ) -> dict:
     """Export ``df`` as ``n_shards`` deterministic shard directories under
     ``path`` (``shard=K/``), globally shuffled by ``md5(seed:id)``.
@@ -66,7 +67,13 @@ def write_training_shards(
     to within one document, and because the order is a seeded random
     permutation, contiguous ranges are still unbiased uniform
     subsamples.  The total enters as a literal from one bounded 1-row
-    aggregate (the watermark-store precedent)."""
+    aggregate (the watermark-store precedent).
+
+    ``data_format``: "parquet" (default) or any Spark sink format —
+    "json" gives trainer-facing JSONL shards (one JSON object per
+    line; schema is inferred on read-back, so keep shard columns to
+    plain scalars).  The format is recorded in the manifest and
+    honored by read_training_shards."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if weight_col is None:
@@ -88,7 +95,8 @@ def write_training_shards(
         .sortWithinPartitions("pos")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
+        .format(data_format)
+        .save(path)
     )
     # Bounded driver action: n_shards rows.
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -102,6 +110,7 @@ def write_training_shards(
     manifest = {
         "seed": seed,
         "n_shards": n_shards,
+        "format": data_format,
         "rows": sum(counts.values()),
         "shard_rows": [counts.get(i, 0) for i in range(n_shards)],
     }
@@ -130,7 +139,7 @@ def read_training_shards(
     Rows carry (pos, shard); ordering by pos reproduces the global
     permutation."""
     manifest = read_manifest(path)
-    df = spark.read.parquet(path)
+    df = spark.read.format(manifest.get("format", "parquet")).load(path)
     if shards is not None:
         bad = [s for s in shards if not 0 <= s < manifest["n_shards"]]
         if bad:

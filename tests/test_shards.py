@@ -133,3 +133,22 @@ def test_global_prefix_sum_is_exact(spark):
     for r in ordered:
         assert r.prefix == running, (r.k, r.prefix, running)
         running += r.w
+
+
+def test_jsonl_shards_round_trip(spark, outdir):
+    m = write_training_shards(
+        _corpus(spark), "doc_id", outdir, 3, "s1", data_format="json"
+    )
+    assert m["format"] == "json"
+    files = os.listdir(os.path.join(outdir, "shard=0"))
+    assert any(f.endswith(".json") for f in files), files
+    back = read_training_shards(spark, outdir).orderBy("pos").collect()
+    assert [r.pos for r in back] == list(range(103))
+    # same permutation as a parquet export with the same seed
+    p2 = os.path.join(outdir, "pq")
+    write_training_shards(_corpus(spark), "doc_id", p2, 3, "s1")
+    want = {
+        (r.doc_id, r.pos)
+        for r in read_training_shards(spark, p2).collect()
+    }
+    assert {(r.doc_id, r.pos) for r in back} == want
