@@ -375,6 +375,48 @@ def pack_sequences(
     )
 
 
+def doc_features(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One wide per-document feature row for training a quality
+    classifier (the fastText-classifier-features step of the published
+    curation recipes): every signal this package computes, joined on id.
+
+    Columns: the one-pass scalars (n_chars, n_tokens, punct_ratio,
+    stop_ratio, mean_word_len, quality_score, lang, fingerprint) from
+    functions/text — a single codegen'd projection — plus the three
+    shuffle-borne corpus-relative signals: repetition fractions
+    (dup_token_frac, top_token_frac, top_bigram_frac), oov_frac, and
+    the unigram nll.  Each contributor is oracle-checked on its own;
+    the composition is pinned by an agreement test.  Plan shape: one
+    scan feeds four branches, each a key-partitioned agg, re-joined on
+    the id key — at 100 TB the joins co-locate if the corpus is
+    bucketed by id (sources/bucketing.py)."""
+    from mrsboraetl_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_features,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[
+            c.alias(name)
+            for name, c in quality_features(F.col(text_col)).items()
+        ],
+        lang_id(F.col(text_col)).alias("lang"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    rep = repetition_metrics(df, id_col, text_col).select(
+        "id", "dup_token_frac", "top_token_frac", "top_bigram_frac"
+    )
+    oov = oov_fraction(df, id_col, text_col).select("id", "oov_frac")
+    nll = unigram_logprob(df, id_col, text_col).select("id", "nll")
+    return base.join(rep, "id", "left").join(oov, "id", "left").join(
+        nll, "id", "left"
+    )
+
+
 def materialize_sequences(
     packed: DataFrame,
     docs: DataFrame,

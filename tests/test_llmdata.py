@@ -682,3 +682,36 @@ def test_materialize_sequences_exact_budget_cut(spark):
     assert sum(r.seq_tokens for r in rows) == sum(
         len(t.split(" ")) for t in texts.values()
     )
+
+
+def test_doc_features_agrees_with_contributors(spark):
+    from mrsboraetl_spark.operators.curation import (
+        doc_features,
+        oov_fraction,
+        repetition_metrics,
+        unigram_logprob,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat again"),
+        (2, "uno dos tres cuatro cinco seis siete ocho"),
+        (3, "zz zz zz zz zz zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    feats = {r.id: r for r in doc_features(df, "doc_id", "text").collect()}
+    assert set(feats) == {1, 2, 3}
+    cols = set(doc_features(df, "doc_id", "text").columns)
+    assert {
+        "id", "n_chars", "n_tokens", "punct_ratio", "stop_ratio",
+        "mean_word_len", "quality_score", "lang", "fingerprint",
+        "dup_token_frac", "top_token_frac", "top_bigram_frac",
+        "oov_frac", "nll",
+    } <= cols
+    rep = {r.id: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+    oov = {r.id: r for r in oov_fraction(df, "doc_id", "text").collect()}
+    nll = {r.id: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    for i in (1, 2, 3):
+        assert feats[i].dup_token_frac == rep[i].dup_token_frac
+        assert feats[i].oov_frac == oov[i].oov_frac
+        assert feats[i].nll == nll[i].nll
+    assert feats[3].dup_token_frac == rep[3].dup_token_frac > 0.8
