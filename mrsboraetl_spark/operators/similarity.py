@@ -593,3 +593,53 @@ def lsh_bucketed_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor", "cosine", "rk")
     )
+
+
+def ivf_cell_join(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    threshold: float = 0.8,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine): all cross-corpus pairs with cosine >=
+    threshold found through the IVF coarse quantizer — the SET-TO-SET
+    similarity join (cross-dataset embedding dedup, retrieval pairing,
+    hard-negative mining), where neither side is small enough to
+    broadcast as queries.
+
+    Shape: the right side assigns to its single nearest cell; the left
+    side explodes to its ``nprobe`` nearest cells; they meet on a cell
+    equi-join — shuffle keyed by cell id on both sides, never a
+    cartesian.  Because the right side holds exactly ONE cell per
+    vector, each (left, right) pair can meet at most once: no distinct
+    pass is needed.  Recall is governed by nprobe exactly as in
+    ``ivf_topk``; nprobe = n_centroids degrades gracefully to the exact
+    cross join of every same-space pair (the pytest equality bound).
+    At scale, pre-assign the bigger side once (IvfIndex in
+    operators/ann_index.py persists exactly this table) and bucket the
+    stored layout by cell so the join co-locates.
+    """
+    centers = [(int(c), [float(x) for x in v]) for c, v in centroids]
+    la = left.select(
+        F.col(left_id).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("vec_a"),
+    ).withColumn(
+        "cell",
+        F.explode(_nearest_cells_expr(centers, "vec_a", nprobe)),
+    )
+    rb = right.select(
+        F.col(right_id).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vec_b"),
+    ).withColumn(
+        "cell", _nearest_cells_expr(centers, "vec_b", 1).getItem(0)
+    )
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
+    return (
+        la.join(rb, "cell")
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -155,3 +155,54 @@ def test_streaming_ingest_equals_batch(spark, sf_dir, tmp_path):
         tuple(r) for r in idx.topk(qs, k=3, nprobe=4).collect()
     } == {tuple(r) for r in one_shot.topk(qs, k=3, nprobe=4).collect()}
     assert len(os.listdir(os.path.join(idx.path, "_done"))) == 3
+
+
+def test_ivf_cell_join_subset_and_limit_recall(spark, sf_dir):
+    """The cell join's pairs are a subset of brute force at low nprobe
+    and EQUAL brute force at nprobe=n_centroids (every left vector
+    probes every cell); no nested-loop node in the plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mrsboraetl_spark.operators.similarity import ivf_cell_join
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir, n=8)
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+
+    def pairs(nprobe):
+        return {
+            (r.id_a, r.id_b, r.cosine)
+            for r in ivf_cell_join(
+                left, right, cents, nprobe=nprobe, threshold=0.3
+            ).collect()
+        }
+
+    # brute force over the cross product (small here)
+    lc = [(r.vec_id, list(r.embedding)) for r in left.collect()]
+    rc = [(r.vec_id, list(r.embedding)) for r in right.collect()]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(num / (na * nb), 4)
+
+    brute = {
+        (i, j, cos(a, b))
+        for i, a in lc
+        for j, b in rc
+        if cos(a, b) >= 0.3
+    }
+    low = pairs(nprobe=2)
+    assert low <= brute
+    full = pairs(nprobe=8)
+    assert full == brute and brute
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ivf_cell_join(left, right, cents, nprobe=2).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
