@@ -186,3 +186,46 @@ def decontaminate(
         id_col
     )
     return train.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+    broadcast_eval: bool = True,
+    use_kernel: bool = True,
+) -> DataFrame:
+    """(train_id, eval_id, n_shared) — the ATTRIBUTION view of
+    contamination: which eval document leaked into which train document,
+    by count of distinct shared token n-grams.  What leak forensics
+    needs after :func:`contamination_counts` flags a document ("which
+    benchmark item is this, and how much of it").
+
+    Same plan family as the counts: the eval side keeps (eval_id, gram)
+    — still benchmark-sized, broadcast by default — and the corpus side
+    streams through one probe join; the pair aggregation keys on
+    (train gram-match rows x their eval owners), so the shuffled volume
+    is matches-only.  A gram shared by several eval docs attributes to
+    each (the honest fan-out — suppress with min_shared).  Set
+    ``broadcast_eval=False`` for the gram-keyed shuffle fallback."""
+    eval_grams = token_ngrams(eval_df, id_col, text_col, n).select(
+        F.col(id_col).alias("eval_id"), "gram"
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    if use_kernel:
+        train_grams = ngram_docs_kernel(train, id_col, text_col, n)
+    else:
+        train_grams = _exploded_ngrams(
+            train, id_col, text_col, n
+        ).distinct()
+    return (
+        train_grams.select(F.col(id_col).alias("train_id"), "gram")
+        .join(eval_grams, "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1372,3 +1372,42 @@ from mrsboraetl_spark.operators.curation import (  # noqa: E402
 UNREGISTERED_ORACLES["curation_oversample_mix"] = oversample_oracle_sql(
     "documents", "doc_id", "source", {"src0": 2.5, "src1": 1.0, "src2": 0.25}
 )
+
+
+def decontam_attribution_pairs(spark, sf_dir):
+    """Contamination attribution: (train_id, eval_id, n_shared) for
+    every train/eval document pair sharing >= 2 distinct token 4-grams
+    (same eval slice as the registered decontam entry) — the "which
+    benchmark item leaked, and how much" forensics view.  Matches-only
+    shuffle, broadcast eval side.  Unregistered (driver cap);
+    oracle-checked."""
+    from mrsboraetl_spark.operators.decontam import contamination_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    return contamination_pairs(
+        train, eval_df, "doc_id", "text", n=4, min_shared=2
+    )
+
+
+UNREGISTERED_ORACLES["decontam_attribution_pairs"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS ts FROM documents
+    ), gram_lists AS (
+      SELECT doc_id,
+             [array_to_string(
+                list_slice(ts, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')
+              FOR i IN range(1, greatest(len(ts) - 3, 0) + 1)] AS gs
+      FROM toks
+    ), grams AS (
+      SELECT DISTINCT doc_id, unnest(gs) AS gram FROM gram_lists
+    )
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           count(*) AS n_shared
+    FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 23 <> 0) t
+    JOIN (SELECT doc_id, gram FROM grams WHERE doc_id % 23 = 0) e
+      USING (gram)
+    GROUP BY t.doc_id, e.doc_id
+    HAVING count(*) >= 2
+"""

@@ -69,6 +69,7 @@ UNREGISTERED = [
     "curation_epoch_shuffle",
     "curation_unigram_logprob",
     "curation_oversample_mix",
+    "decontam_attribution_pairs",
 ]
 
 
