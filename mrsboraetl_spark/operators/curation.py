@@ -112,6 +112,42 @@ def sample_by_source(
     return df.filter(bucket < thresh)
 
 
+def temperature_rates(
+    df: DataFrame,
+    source_col: str,
+    weight_col: str | None = None,
+    alpha: float = 0.7,
+) -> dict[str, float]:
+    """Per-source epoch rates from temperature sampling: source s gets
+    probability p_s ∝ n_s^alpha (n_s = rows, or summed ``weight_col``
+    e.g. tokens), and the rate that realizes p_s over one pass of the
+    data is r_s = p_s * N / n_s — the published recipe for upweighting
+    small high-quality sources (alpha < 1 flattens the distribution;
+    alpha = 1 is proportional, i.e. every rate 1.0).
+
+    Rates are returned normalized so max(r) == 1.0 (no source repeats
+    within a single epoch; multiply by target epochs and feed
+    :func:`oversample_by_source` to realize them).  One bounded
+    aggregate action (n_sources rows, the watermark precedent)."""
+    if not 0 < alpha:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    agg = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).alias("n")
+    sizes = {
+        r[source_col]: float(r["n"])
+        for r in df.groupBy(source_col).agg(agg).collect()
+    }
+    if not sizes:
+        return {}
+    total = sum(sizes.values())
+    probs = {s: n**alpha for s, n in sizes.items()}
+    z = sum(probs.values())
+    rates = {s: (probs[s] / z) * total / sizes[s] for s in sizes}
+    peak = max(rates.values())
+    return {s: r / peak for s, r in rates.items()}
+
+
 def oversample_by_source(
     df: DataFrame,
     id_col: str,

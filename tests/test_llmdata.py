@@ -715,3 +715,26 @@ def test_doc_features_agrees_with_contributors(spark):
         assert feats[i].oov_frac == oov[i].oov_frac
         assert feats[i].nll == nll[i].nll
     assert feats[3].dup_token_frac == rep[3].dup_token_frac > 0.8
+
+
+def test_temperature_rates_flatten_distribution(spark):
+    from mrsboraetl_spark.operators.curation import temperature_rates
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(1000 + i, "small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "id int, source string")
+    # alpha=1: proportional -> all rates 1.0 (no reweighting)
+    r1 = temperature_rates(df, "source", alpha=1.0)
+    assert r1 == {"big": 1.0, "small": 1.0}
+    # alpha<1 flattens: the small source is upweighted relative to big,
+    # so it holds the normalized peak rate of 1.0
+    r = temperature_rates(df, "source", alpha=0.5)
+    assert r["small"] == 1.0
+    assert 0 < r["big"] < 1.0
+    assert r["small"] / r["big"] == pytest.approx((900 / 100) ** 0.5)
+    # realized token share under the rates matches p ∝ n^alpha
+    share_small = (100 * r["small"]) / (100 * r["small"] + 900 * r["big"])
+    p_small = 100**0.5 / (100**0.5 + 900**0.5)
+    assert share_small == pytest.approx(p_small)

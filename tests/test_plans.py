@@ -193,6 +193,7 @@ def test_unregistered_scale_ops_plan_no_nested_loop(spark, sf_dir):
         "curation_epoch_shuffle",
         "curation_unigram_logprob",
         "curation_oversample_mix",
+        "decontam_attribution_pairs",
     ):
         plans[name] = fmt(getattr(L, name)(spark, sf_dir))
     bad = {
