@@ -213,3 +213,47 @@ def test_global_position_plan_has_no_global_window(spark):
         # the data-sized row_number window is partitioned by _bkt (the
         # spec's first argument is the partition list)
         assert "row_number() windowspecdefinition(_bkt" in plan, plan
+
+
+def test_redaction_is_streamable(spark, tmp_path):
+    """redacted_text is a stateless projection, so it runs unchanged in
+    Structured Streaming — batch and stream outputs match row-for-row."""
+    from mrsboraetl_spark.operators.redact import redacted_text
+
+    rows = [
+        (1, "mail a@b.io now"),
+        (2, "from 10.0.0.1 ok"),
+        (3, "token=zzz done"),
+        (4, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    src = str(tmp_path / "src")
+    df.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("id", redacted_text("text").alias("clean_text"))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.id: r.clean_text for r in spark.read.parquet(out).collect()}
+    want = {
+        r.id: r.clean_text
+        for r in df.select(
+            "id", redacted_text("text").alias("clean_text")
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == "mail <EMAIL> now" and got[3] == "<SECRET> done"
