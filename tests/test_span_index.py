@@ -183,3 +183,36 @@ def test_lsh_index_compact_preserves_pairs(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_simhash_index_batch_split_equals_batch_operator(
+    spark, sf_dir, tmp_path
+):
+    """Union of per-ingest pair sets over a 3-way split == the batch
+    simhash_near_pairs on the full corpus (uncapped), hammings
+    included; meta pins the band geometry."""
+    from mrsboraetl_spark.operators.dedup import simhash_near_pairs
+    from mrsboraetl_spark.operators.simhash_index import SimhashIndex
+
+    docs = table(spark, sf_dir, "documents")
+    idx = SimhashIndex(str(tmp_path / "sh"), num_bits=32, n_bands=4)
+    got = set()
+    for part in range(3):
+        got |= {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in idx.ingest(
+                docs.filter(F.col("doc_id") % 3 == part),
+                "doc_id",
+                "text",
+                max_hamming=3,
+            ).collect()
+        }
+    want = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(
+            docs, "doc_id", "text", num_bits=32, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == want and got
+    with pytest.raises(ValueError, match="built with"):
+        SimhashIndex(str(tmp_path / "sh"), num_bits=32, n_bands=2)
