@@ -216,3 +216,38 @@ def test_simhash_index_batch_split_equals_batch_operator(
     assert got == want and got
     with pytest.raises(ValueError, match="built with"):
         SimhashIndex(str(tmp_path / "sh"), num_bits=32, n_bands=2)
+
+
+def test_streaming_driver_is_index_generic(spark, sf_dir, tmp_path):
+    """streaming_dedup_pairs only needs .ingest(df, id, text) and .path —
+    it drives the SimhashIndex unmodified, and the drained pair union
+    still equals the batch operator."""
+    from mrsboraetl_spark.operators.dedup import simhash_near_pairs
+    from mrsboraetl_spark.operators.simhash_index import SimhashIndex
+    from mrsboraetl_spark.streaming.dedup import (
+        stream_documents,
+        streaming_dedup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(src)
+    idx = SimhashIndex(str(tmp_path / "sh"))
+    pairs_path = str(tmp_path / "pairs")
+    q = streaming_dedup_pairs(
+        stream_documents(spark, src), idx, "doc_id", "text",
+        pairs_path, str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(pairs_path).distinct().collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == want and got
