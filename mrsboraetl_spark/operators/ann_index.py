@@ -192,3 +192,45 @@ class IvfIndex:
             os.replace(old, self.cells_path)
             raise
         shutil.rmtree(old, ignore_errors=True)
+
+
+    def pairs_above(
+        self,
+        new_vectors: DataFrame,
+        threshold: float,
+        nprobe: int = 2,
+    ) -> DataFrame:
+        """(id_a, id_b, cosine): stored vectors within cosine >=
+        threshold of each batch vector — embedding near-dup screening of
+        a new batch against the accumulated corpus (call BEFORE ingest
+        so a batch vector doesn't match its own stored row; batch-vs-
+        batch pairs come from ivf_cell_join(left=batch, right=batch)).
+        The batch side explodes to nprobe cells and meets the stored
+        single-cell table on a cell equi-join — the ivf_cell_join shape
+        with the persisted assignment as the right side."""
+        spark = new_vectors.sparkSession
+        stored = self.cells(spark)
+        if stored is None:
+            raise ValueError(f"index at {self.path} is empty")
+        from mrsboraetl_spark.operators.similarity import cosine
+
+        probes = new_vectors.select(
+            F.col(self.id_col).alias("id_a"),
+            F.col(self.vec_col).cast("array<double>").alias("vec_a"),
+        ).withColumn(
+            "cell",
+            F.explode(
+                _nearest_cells_expr(self.centroids, "vec_a", nprobe)
+            ),
+        )
+        sim = F.round(cosine(F.col("vec_a"), F.col(self.vec_col)), 4)
+        return (
+            stored.join(probes, "cell")
+            .filter(F.col("id_a") != F.col(self.id_col))
+            .select(
+                "id_a",
+                F.col(self.id_col).alias("id_b"),
+                sim.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )

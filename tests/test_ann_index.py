@@ -206,3 +206,37 @@ def test_ivf_cell_join_subset_and_limit_recall(spark, sf_dir):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pairs_above_screens_batch_against_corpus(spark, sf_dir, tmp_path):
+    """Near-dup screening of a new batch against the stored corpus:
+    subset of brute force at low nprobe, equal at nprobe=n_centroids."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir, n=8)
+    stored_side = emb.filter(F.col("vec_id") % 2 == 1)
+    batch = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = IvfIndex(str(tmp_path / "ivf"), cents)
+    idx.ingest(stored_side)
+
+    def pairs(nprobe):
+        return {
+            (r.id_a, r.id_b, r.cosine)
+            for r in idx.pairs_above(batch, 0.3, nprobe=nprobe).collect()
+        }
+
+    bc = [(r.vec_id, list(r.embedding)) for r in batch.collect()]
+    sc = [(r.vec_id, list(r.embedding)) for r in stored_side.collect()]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num
+            / (sum(x * x for x in a) ** 0.5 * sum(x * x for x in b) ** 0.5),
+            4,
+        )
+
+    brute = {
+        (i, j, cos(a, b)) for i, a in bc for j, b in sc if cos(a, b) >= 0.3
+    }
+    assert pairs(2) <= brute
+    assert pairs(8) == brute and brute
