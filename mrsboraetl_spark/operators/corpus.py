@@ -259,7 +259,7 @@ def curate_and_export(
         "id", F.concat_ws(":", F.col("stream"), F.col("seq_idx"))
     )
     manifest = write_training_shards(
-        seqs.select("id", "seq_text", "seq_tokens"),
+        seqs.select("id", "seq_text", "seq_tokens", "boundaries"),
         "id",
         os.path.join(out_dir, "train_shards"),
         n_shards,

@@ -460,9 +460,12 @@ def materialize_sequences(
     text_col: str,
     budget: int,
 ) -> DataFrame:
-    """(stream, seq_idx, seq_text, seq_tokens): the ACTUAL training
-    sequences for a :func:`pack_sequences` assignment — every sequence
-    exactly ``budget`` tokens except each lane's final partial one.
+    """(stream, seq_idx, seq_text, seq_tokens, boundaries): the ACTUAL
+    training sequences for a :func:`pack_sequences` assignment — every
+    sequence exactly ``budget`` tokens except each lane's final partial
+    one, with ``boundaries`` the ordered (id, start, len) document
+    fragments inside the sequence (the mask a trainer uses to stop
+    attention crossing document joints).
 
     The packing model is concatenate-then-cut, so a document can span
     sequences; this materializer reconstructs the exact cut from the
@@ -506,23 +509,42 @@ def materialize_sequences(
              - F.greatest(F.col("s") * budget, F.col("_before"))).cast("int"),
         ).alias("_frag"),
     )
+    sorted_frags = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "_before",
+                "id",
+                "_frag",
+                (
+                    F.greatest(
+                        F.col("seq_idx") * budget, F.col("_before")
+                    )
+                    - F.col("seq_idx") * budget
+                ).cast("int").alias("_start"),
+            )
+        )
+    )
     return (
         frags.groupBy("stream", "seq_idx")
         .agg(
             F.array_join(
                 F.flatten(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct("_before", "id", "_frag")
-                            )
-                        ),
-                        lambda x: x["_frag"],
-                    )
+                    F.transform(sorted_frags, lambda x: x["_frag"])
                 ),
                 " ",
             ).alias("seq_text"),
             F.sum(F.size("_frag")).alias("seq_tokens"),
+            # per-document boundaries inside the sequence — the mask a
+            # trainer needs to stop attention crossing document joints:
+            # (id, start token offset, fragment token length)
+            F.transform(
+                sorted_frags,
+                lambda x: F.struct(
+                    x["id"].alias("id"),
+                    x["_start"].alias("start"),
+                    F.size(x["_frag"]).alias("len"),
+                ),
+            ).alias("boundaries"),
         )
     )
 

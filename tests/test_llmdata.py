@@ -738,3 +738,33 @@ def test_temperature_rates_flatten_distribution(spark):
     share_small = (100 * r["small"]) / (100 * r["small"] + 900 * r["big"])
     p_small = 100**0.5 / (100**0.5 + 900**0.5)
     assert share_small == pytest.approx(p_small)
+
+
+def test_sequence_boundaries_tile_and_attribute(spark):
+    """boundaries: ordered (id, start, len) fragments tile each sequence
+    exactly (start runs 0..seq_tokens with no gaps) and reattach every
+    token to its source document."""
+    from mrsboraetl_spark.operators.curation import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}t{j}" for j in range(5 + i % 7)))
+         for i in range(40)],
+        "doc_id int, text string",
+    )
+    budget = 16
+    packed = pack_sequences(docs, "doc_id", "text", budget=budget, n_streams=3)
+    for r in materialize_sequences(
+        packed, docs, "doc_id", "text", budget
+    ).collect():
+        pos = 0
+        toks = r.seq_text.split(" ")
+        for b in r.boundaries:
+            assert b.start == pos
+            # every token in the fragment belongs to the boundary's doc
+            for t in toks[b.start : b.start + b.len]:
+                assert t.startswith(f"d{b.id}t"), (t, b)
+            pos += b.len
+        assert pos == r.seq_tokens == len(toks)
