@@ -13,8 +13,8 @@ Delivery is at-least-once with the same best-effort ``_done`` markers
 as the other streaming drains; a replayed batch whose marker is missing
 duplicates its (id, cell, vec) rows — harmless for top-k (duplicate
 neighbors collapse under the rank's id tiebreak only if ids are unique;
-dedup the sink or use the versioned writer for exactly-once, the
-documented upgrade path)."""
+dedup the sink, or use the exactly-once versioned sink implemented in
+streaming/versioned_sink.py for state tables)."""
 
 from __future__ import annotations
 

@@ -16,7 +16,7 @@ which ``eval_grams_path`` supports).
 Delivery: the parquet append in the sink replays with the micro-batch
 on failure; ``_done`` batch markers give the same best-effort
 idempotence as streaming/dedup.py (and the same documented
-versioned-writer upgrade path for exactly-once).
+exactly-once alternative: streaming/versioned_sink.py).
 """
 
 from __future__ import annotations

@@ -17,9 +17,10 @@ whose marker exists is skipped on replay; a crash BETWEEN the band
 append and the marker write still duplicates that one batch's bands, so
 downstream consumers should treat the pair sink as at-least-once and
 ``distinct()`` it (dedup_cluster_keepers is insensitive to duplicate
-edges anyway).  Exactly-once would need the band append and the marker
-in one atomic commit — i.e. the versioned-table writer, which is the
-documented upgrade path.
+edges anyway).  Exactly-once needs the data append and the marker
+in one atomic commit — implemented in streaming/versioned_sink.py
+(manifest-swap commit carries the batch id); use it for state tables,
+keep the marker drain + downstream distinct for unbounded appends.
 """
 
 from __future__ import annotations

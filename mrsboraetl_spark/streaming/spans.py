@@ -11,8 +11,8 @@ best-effort ``_done`` markers as streaming/dedup.py — a replayed batch
 whose marker exists is skipped; a crash between the counts append and
 the marker duplicates that batch's counts (making cleaning strictly
 MORE aggressive, never less — a safe failure direction for boilerplate
-removal; exactly-once needs the versioned-table writer, the documented
-upgrade path)."""
+removal; exactly-once alternative for state tables:
+streaming/versioned_sink.py)."""
 
 from __future__ import annotations
 

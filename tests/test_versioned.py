@@ -122,3 +122,51 @@ def test_merge_schema_evolution(spark, vt):
     assert latest == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.0)}
     assert "score" not in vt.read(spark, version=0).columns
     assert vt.version() == v == 1
+
+
+def test_streaming_exactly_once_merge(spark, tmp_path):
+    """Drain a 3-file stream through the versioned sink: one commit per
+    batch, final table equals the batch merge of all rows, and replaying
+    a committed batch is a version-count no-op (the exactly-once
+    property the marker drains only approximate)."""
+    from mrsboraetl_spark.sources.versioned import VersionedTable
+    from mrsboraetl_spark.streaming.versioned_sink import (
+        exactly_once_merge_sink,
+        streaming_exactly_once_merge,
+    )
+
+    rows = [(i, f"v{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, val string")
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    table = VersionedTable(str(tmp_path / "vt"))
+    q = streaming_exactly_once_merge(
+        stream, table, ["id"], str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert table.version() == 2  # three batches -> v0, v1, v2
+    got = {
+        (r.id, r.val) for r in table.read(spark).collect()
+    }
+    assert got == set(rows)
+    # replay of an already-committed batch: no new version
+    sink = exactly_once_merge_sink(table, ["id"])
+    sink(df.limit(5), 0)
+    assert table.version() == 2
+    # a genuinely new batch upserts rather than duplicates
+    sink(spark.createDataFrame([(3, "v3b"), (99, "new")], "id int, val string"), 77)
+    assert table.version() == 3
+    final = {(r.id, r.val) for r in table.read(spark).collect()}
+    assert (3, "v3b") in final and (99, "new") in final
+    assert (3, "v3") not in final
+    assert len(final) == 31
