@@ -855,3 +855,79 @@ def dedup_cluster_keepers(
         )
         .withColumn("is_keeper", (F.col("id") == F.col("cluster")))
     )
+
+
+def fuzzy_text_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    k: int = 5,
+    rows_per_band: int = 2,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard): fuzzy JOIN of two DIFFERENT tables on text
+    similarity — record linkage / entity resolution, the join Spark has
+    no native operator for (the naive spelling is a cartesian product
+    with a similarity predicate, i.e. a nested-loop join that cannot run
+    at scale).
+
+    Same candidates+verify shape as lsh_verified_pairs, but the band
+    equi-join is BETWEEN the two relations: each side is shingled and
+    minhash-signed once (the Arrow kernel), band keys meet on a
+    shuffle keyed by (band, bk), and only candidate pairs ever
+    materialize for the exact in-row Jaccard verification.  A pair's
+    shared band exists regardless of which table each row sits in, so
+    recall matches the self-join operator at the same geometry.
+    ``max_band_freq`` caps hot bands by the COMBINED frequency across
+    both sides (a band degenerate in either table floods the join the
+    same way)."""
+    sl = hashed_sig_docs(
+        left, left_id, left_text, k, num_hashes
+    ).localCheckpoint()
+    sr = hashed_sig_docs(
+        right, right_id, right_text, k, num_hashes
+    ).localCheckpoint()
+    bl = bands_from_sig(sl, num_hashes, rows_per_band)
+    br = bands_from_sig(sr, num_hashes, rows_per_band)
+    if max_band_freq is not None:
+        freqs = (
+            bl.select("band", "bk")
+            .unionAll(br.select("band", "bk"))
+            .groupBy("band", "bk")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") <= max_band_freq)
+            .select("band", "bk")
+        )
+        bl = bl.join(freqs, ["band", "bk"])
+        br = br.join(freqs, ["band", "bk"])
+    cands = (
+        bl.select(F.col("doc").alias("id_a"), "band", "bk")
+        .join(
+            br.select(F.col("doc").alias("id_b"), "band", "bk"),
+            ["band", "bk"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    joined = cands.join(
+        sl.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a")),
+        "id_a",
+    ).join(
+        sr.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = F.round(
+        inter
+        / (F.size("hs_a") + F.size("hs_b") - inter).cast("double"),
+        4,
+    )
+    scored = joined.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).localCheckpoint()
+    return scored.filter(F.col("jaccard") >= threshold)

@@ -1411,3 +1411,44 @@ UNREGISTERED_ORACLES["decontam_attribution_pairs"] = f"""
     GROUP BY t.doc_id, e.doc_id
     HAVING count(*) >= 2
 """
+
+
+def fuzzy_join_docs(spark, sf_dir):
+    """Fuzzy text JOIN between two DIFFERENT relations (record linkage):
+    the eval slice (doc_id % 23 == 0) joined against the train slice on
+    textual similarity, banded-minhash candidates + exact in-row Jaccard
+    >= 0.5.  The naive spelling is a similarity-predicate cartesian; this
+    one is two band equi-joins.  Non-vacuous on the self-similar corpus
+    (cross-slice near-dup cluster pairs).  Unregistered (driver cap);
+    oracle-checked."""
+    from mrsboraetl_spark.operators.dedup import fuzzy_text_join
+
+    docs = table(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") % 23 != 0)
+    right = docs.filter(F.col("doc_id") % 23 == 0)
+    return fuzzy_text_join(
+        left, right, "doc_id", "text", "doc_id", "text",
+        threshold=0.5, num_hashes=8, k=5, rows_per_band=4,
+    )
+
+
+UNREGISTERED_ORACLES["fuzzy_join_docs"] = f"""
+    WITH {_MINHASH_BANDS.format(shingles=_SHINGLES, shingle_hashes=_SHINGLE_HASHES, mh_a=_MH_A, mh_b=_MH_B)}
+    , cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM (SELECT * FROM bands WHERE doc_id % 23 <> 0) a
+      JOIN (SELECT * FROM bands WHERE doc_id % 23 = 0) b
+        ON a.band = b.band AND a.bk = b.bk
+    ), verified AS (
+      SELECT id_a, id_b,
+             len(list_intersect(x.hs, y.hs)) AS n_common,
+             len(x.hs) AS sz_a, len(y.hs) AS sz_b
+      FROM cands
+      JOIN hashed x ON x.doc_id = id_a
+      JOIN hashed y ON y.doc_id = id_b
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sz_a + sz_b - n_common), 4) AS jaccard
+    FROM verified
+    WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.5
+"""

@@ -70,6 +70,7 @@ UNREGISTERED = [
     "curation_unigram_logprob",
     "curation_oversample_mix",
     "decontam_attribution_pairs",
+    "fuzzy_join_docs",
 ]
 
 

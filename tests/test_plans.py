@@ -194,6 +194,7 @@ def test_unregistered_scale_ops_plan_no_nested_loop(spark, sf_dir):
         "curation_unigram_logprob",
         "curation_oversample_mix",
         "decontam_attribution_pairs",
+        "fuzzy_join_docs",
     ):
         plans[name] = fmt(getattr(L, name)(spark, sf_dir))
     bad = {
