@@ -155,25 +155,15 @@ def winnowing_fingerprint_rows(
     out_schema = f"doc_id {id_type}, fp bigint"
 
     def batches(it):
-        import hashlib
-
         import numpy as np
 
         # Distinct-k-gram memo, capped like dedup's kernels: templated
         # corpora repeat k-grams (the win); high-entropy corpora would
-        # otherwise grow the dict unboundedly over a task's batches.
-        from mrsboraetl_spark.operators.dedup import _KERNEL_CACHE_MAX
+        # otherwise grow the dict unboundedly over a task's batches —
+        # two-generation eviction keeps hot keys flat across the cap.
+        from mrsboraetl_spark.operators.dedup import _memo_md5
 
-        cache: dict[str, int] = {}
-
-        def gram_hash(s: str) -> int:
-            v = cache.get(s)
-            if v is None:
-                if len(cache) > _KERNEL_CACHE_MAX:
-                    cache.clear()
-                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
-                cache[s] = v
-            return v
+        gram_hash = _memo_md5()
 
         for pdf in it:
             ids, fps = [], []

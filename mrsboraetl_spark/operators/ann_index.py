@@ -45,6 +45,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mrsboraetl_spark.operators._swap import rescue_orphan
 from mrsboraetl_spark.operators.similarity import (
     _nearest_cells_expr,
     cosine,
@@ -64,6 +65,8 @@ class IvfIndex:
         omitted (loaded from disk) — passing a DIFFERENT set raises."""
         self.path = path
         self.cells_path = os.path.join(path, "cells")
+        # Restore a compact() crash's '.old' before is_empty can lie.
+        rescue_orphan(self.cells_path)
         self.cent_path = os.path.join(path, "_centroids.json")
         self.id_col = id_col
         self.vec_col = vec_col

@@ -228,8 +228,8 @@ def curate_and_export(
     Layout under ``out_dir``::
 
         train_shards/   shard=K/ parquet of (id, seq_text, seq_tokens,
-                        pos, shard) — write_training_shards manifest
-                        included (the commit marker)
+                        boundaries, pos, shard) — write_training_shards
+                        manifest included (the commit marker)
         val/ test/      document-grained parquet of the held-out splits
         audit/          (id, disposition) for every input document
 

@@ -701,7 +701,15 @@ def unigram_logprob(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("t"),
     )
-    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # Pin the vocabulary counts BEFORE taking the scalar total: the
+    # 1-row action below and the token re-join both consume this
+    # subtree, and without the pin the full explode+groupBy corpus scan
+    # runs twice (the span/LSH stages' established pattern).
+    counts = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     row = counts.agg(F.sum("c").alias("s")).first()
     if row is None or row["s"] is None:
         raise ValueError("empty corpus: no tokens to model")

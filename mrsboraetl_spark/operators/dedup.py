@@ -54,6 +54,43 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 MINHASH_MOD = 4294967311
 # Per-task cap on the kernels' distinct-shingle md5 memo dicts (entries).
 _KERNEL_CACHE_MAX = 4_000_000
+
+
+def _memo_md5(cap: int = _KERNEL_CACHE_MAX):
+    """Bounded md5-memo: returns a ``str -> int32`` lookup callable with
+    TWO-GENERATION (segmented) eviction.
+
+    A full ``clear()`` at the cap is pathological when the distinct-key
+    population sits just above it: every wraparound throws away the whole
+    working set and re-hashes it (rehash storm); a FIFO half-evict is no
+    better, because under any scan-like access order the oldest-inserted
+    keys are exactly the ones coming back next (measured: both collapse
+    ~7x at 1.05x cap, tests/kernel_cache_probe.py).  The segmented scheme
+    is the O(1)-per-op fix: lookups hit the ``hot`` dict, then the
+    ``cold`` (previous generation, re-promoted on hit); when ``hot``
+    reaches cap/2 it BECOMES the new cold and a fresh hot starts.  A key
+    is only ever re-hashed after going untouched for a full generation,
+    so hot-set throughput stays flat across the cap boundary while total
+    memory stays <= cap entries."""
+    import hashlib
+
+    half = max(cap // 2, 1)
+    hot: dict[str, int] = {}
+    cold: dict[str, int] = {}
+
+    def lookup(s: str) -> int:
+        nonlocal hot, cold
+        v = hot.get(s)
+        if v is None:
+            v = cold.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+            if len(hot) >= half:
+                cold, hot = hot, {}
+            hot[s] = v
+        return v
+
+    return lookup
 # Fixed odd 30-bit multipliers/offsets for the Carter-Wegman family
 # h_s = (A[s]*h + B[s]) mod MINHASH_MOD.  They MUST be large and unrelated:
 # a first cut used a_s = 2s+1, making seed 0 the identity map — every pair
@@ -162,27 +199,17 @@ def hashed_sig_docs(
     b = list(MINHASH_B[:num_hashes])
 
     def batches(it):
-        import hashlib
-
         import numpy as np
 
         av = np.array(a, dtype=np.int64)[:, None]
         bv = np.array(b, dtype=np.int64)[:, None]
         # Per-task memo over DISTINCT shingles.  Bounded: templated corpora
-        # repeat shingles heavily (the win), but a high-entropy corpus grows
-        # the dict with every new shingle, so clear past ~4M entries
-        # (~400 MB) — Arrow batches bound the ROW memory, the cap bounds
-        # the CACHE memory, and a clear only costs re-hashing.
-        cache: dict[str, int] = {}
-
-        def shingle_hash(s: str) -> int:
-            v = cache.get(s)
-            if v is None:
-                if len(cache) > _KERNEL_CACHE_MAX:
-                    cache.clear()
-                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
-                cache[s] = v
-            return v
+        # repeat shingles heavily (the win), but a high-entropy corpus
+        # grows the memo with every new shingle, so it's capped at ~4M
+        # entries (~400 MB) with two-generation eviction (_memo_md5) —
+        # Arrow batches bound the ROW memory, the cap bounds the CACHE
+        # memory, and hot keys survive the cap boundary.
+        shingle_hash = _memo_md5()
 
         for pdf in it:
             ids = pdf[id_col]

@@ -46,6 +46,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mrsboraetl_spark.operators._swap import rescue_orphan
 from mrsboraetl_spark.operators.dedup import bands_from_sig, hashed_sig_docs
 
 
@@ -59,6 +60,8 @@ class LshBandIndex:
     ):
         self.path = path
         self.bands_path = os.path.join(path, "bands")
+        # Restore a compact() crash's '.old' before is_empty can lie.
+        rescue_orphan(self.bands_path)
         self.meta_path = os.path.join(path, "_meta.json")
         self.params = {
             "num_hashes": num_hashes,

@@ -25,11 +25,18 @@ from pyspark.sql import functions as F
 # (name, pattern, replacement) applied IN ORDER.  Patterns deliberately use
 # only syntax with identical semantics in java.util.regex (Spark) and RE2
 # (DuckDB): character classes, bounded repetition, alternation, \b ASCII
-# word boundaries — no backreferences, no lookaround.
+# word boundaries, the (?i) case-insensitivity flag — no backreferences,
+# no lookaround.  (?i) because PII does not respect case:
+# 'John.Doe@Example.COM' and 'Token=abc' must scrub the same as their
+# lower-case forms.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("email", r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("secret", r"(api_key|apikey|secret|token|password)=[^\s]+", "<SECRET>"),
+    (
+        "secret",
+        r"(?i)(api_key|apikey|secret|token|password)=[^\s]+",
+        "<SECRET>",
+    ),
 )
 
 

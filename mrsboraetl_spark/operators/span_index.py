@@ -41,6 +41,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mrsboraetl_spark.operators._swap import rescue_orphan
 from mrsboraetl_spark.operators.spans import clean_spans, doc_spans
 
 
@@ -48,6 +49,10 @@ class SpanFrequencyIndex:
     def __init__(self, path: str, span_tokens: int = 10):
         self.path = path
         self.counts_path = os.path.join(path, "counts")
+        # A compact() crash between its two os.replace calls leaves the
+        # committed counts only at '.old' — restore BEFORE anything can
+        # observe is_empty() and silently restart the index.
+        rescue_orphan(self.counts_path)
         self.meta_path = os.path.join(path, "_meta.json")
         self.params = {"span_tokens": span_tokens}
         if os.path.exists(self.meta_path):

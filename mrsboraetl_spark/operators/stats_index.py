@@ -32,6 +32,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mrsboraetl_spark.operators._swap import rescue_orphan
 from mrsboraetl_spark.operators.sketch import _hash_frac
 
 _STATE = "state.parquet"
@@ -46,6 +47,10 @@ class StatsIndex:
         self.group_col = group_col
         self.k = k
         os.makedirs(path, exist_ok=True)
+        # An ingest() crash between its two os.replace calls leaves the
+        # committed state only at '.old' — restore it (the in-flight
+        # batch was never committed; its '.tmp' is overwritten next run).
+        rescue_orphan(self._state_path())
         meta_path = os.path.join(path, _META)
         if os.path.exists(meta_path):
             with open(meta_path) as f:

@@ -90,6 +90,10 @@ def write_training_shards(
             F.lit(n_shards - 1),
         ).cast("int")
     sharded = ordered.withColumn("shard", shard)
+    if weight_col is not None:
+        # The running-weight prefix is an internal artifact of the shard
+        # assignment; trainers read back (input columns + pos, shard).
+        sharded = sharded.drop("prefix")
     (
         sharded.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("pos")

@@ -209,3 +209,8 @@ def test_curate_and_export_end_to_end(spark, tmp_path):
     # weighted shards: balanced within one sequence's budget
     ideal = sum(man["shard_weight"]) / 3
     assert all(abs(w - ideal) <= 32 for w in man["shard_weight"])
+    # The shard schema trainers read back is exactly the documented one:
+    # no internal artifacts (e.g. the running-weight 'prefix') leak out.
+    assert set(shards.columns) == {
+        "id", "seq_text", "seq_tokens", "boundaries", "pos", "shard"
+    }

@@ -251,3 +251,45 @@ def test_streaming_driver_is_index_generic(spark, sf_dir, tmp_path):
         for r in simhash_near_pairs(docs, "doc_id", "text").collect()
     }
     assert got == want and got
+
+
+def test_compact_crash_orphan_is_rescued_on_reopen(spark, tmp_path):
+    """A compact() crash between its two os.replace calls leaves the
+    committed counts only at '.old'.  Reopening the index must restore
+    them — NOT report empty and let the next ingest/compact silently
+    destroy the corpus state (ADVICE r5 item 2)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(6)],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "idx")
+    idx = SpanFrequencyIndex(path)
+    idx.ingest_and_clean(docs, "doc_id", "text").count()
+    want = {r.span: r.freq for r in idx.frequencies(spark).collect()}
+
+    # Simulate the crash window: data moved aside, replacement never
+    # promoted (plus an orphan staging dir from the dying compact).
+    os.replace(idx.counts_path, idx.counts_path + ".old")
+    os.makedirs(idx.counts_path + ".compact-deadbeef")
+
+    reopened = SpanFrequencyIndex(path)
+    assert not reopened.is_empty()
+    got = {r.span: r.freq for r in reopened.frequencies(spark).collect()}
+    assert got == want
+
+
+def test_lsh_index_compact_crash_orphan_is_rescued(spark, tmp_path):
+    from mrsboraetl_spark.operators.lsh_index import LshBandIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body number {i % 2}") for i in range(6)],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "lsh")
+    idx = LshBandIndex(path)
+    idx.ingest(docs, "doc_id", "text").count()
+    want = idx.bands(spark).count()
+    os.replace(idx.bands_path, idx.bands_path + ".old")
+    reopened = LshBandIndex(path)
+    assert not reopened.is_empty()
+    assert reopened.bands(spark).count() == want

@@ -126,6 +126,23 @@ def test_redact_classes_and_counts(spark):
     assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_secret) == (0, 0, 0)
 
 
+def test_redact_is_case_insensitive(spark):
+    # PII does not respect case: mixed/upper-case emails and credential
+    # assignments must scrub exactly like their lower-case forms.
+    df = spark.createDataFrame(
+        [
+            (1, "John.Doe@Example.COM wrote API_KEY=x then Token=abc"),
+            (2, "PASSWORD=Hunter2 from SECRET=s"),
+        ],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in redact_pii(df, "id", "text").collect()}
+    assert rows[1].clean_text == "<EMAIL> wrote <SECRET> then <SECRET>"
+    assert (rows[1].n_email, rows[1].n_secret) == (1, 2)
+    assert rows[2].clean_text == "<SECRET> from <SECRET>"
+    assert rows[2].n_secret == 2
+
+
 def test_redact_sequential_fold_no_double_count(spark):
     # The email's host ("10.0.0.1.dev") would ALSO match the ipv4 pattern,
     # but the fold replaces the email first, so ipv4 sees <EMAIL> and
