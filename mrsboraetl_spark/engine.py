@@ -7,11 +7,15 @@ loop: for each stage, resolve the watermark (I1), build the incremental (or
 full-rebuild) plan, write the target atomically, log the run.
 
 Storage is format-agnostic parquet-by-default: each target lives at
-``<root>/<table>.parquet`` and is rewritten whole (the upsert algebra in
-operators/upsert.py computes the merged state; a Delta MERGE writer can
-slot in without touching the plans).  Writes go to a temp dir then move —
-the source parquet is re-read lazily, so writing over the path being read
-would corrupt it.
+``<root>/<table>.parquet``.  The default layout rewrites the target whole
+behind one atomic swap; under ``partitioned=True`` a sync rewrites ONLY
+the ``p_month`` directories its delta touches (the plans report an
+affected-month superset via their ``out`` side-channel), so write I/O
+scales with the delta, not the target — the reference's ``REPLACE INTO``
+cost model.  The upsert algebra in operators/upsert.py computes the
+merged state; a Delta MERGE writer can slot in without touching the
+plans.  Writes go to a temp dir then move — the source parquet is
+re-read lazily, so writing over the path being read would corrupt it.
 
 Modes (flat_visit_summary_v1.0.sql:6 @query_type):
 * ``rebuild`` — recompute every target from the sources;
@@ -114,6 +118,24 @@ class PipelineRunner:
             os.replace(old, path)
         if not os.path.exists(path):
             return None
+        if self.partitioned and os.path.exists(path):
+            # Rescue months orphaned by a _write_months crash: the swap
+            # demotes p_month=M to _old.M (underscore prefix => invisible
+            # to Spark's partition discovery) before promoting the new
+            # directory.  A crash in that window leaves the month only at
+            # _old.M — restore it.  The watermark is logged strictly
+            # after a fully-successful write, so a restored-then-stale
+            # month is simply re-synced by the next run (idempotent
+            # delete+reaggregate), never silently lost.
+            for entry in os.listdir(path):
+                if entry.startswith(self._OLD_PREFIX):
+                    dst = os.path.join(
+                        path,
+                        f"{self.PARTITION_COL}="
+                        + entry[len(self._OLD_PREFIX):],
+                    )
+                    if not os.path.exists(dst):
+                        os.replace(os.path.join(path, entry), dst)
         df = self.spark.read.parquet(path)
         if self.partitioned and self.PARTITION_COL in df.columns:
             # Incremental plans expect the exact stage schema; the
@@ -148,17 +170,68 @@ class PipelineRunner:
         "flat_visit_summary": "encounter_datetime",
     }
     PARTITION_COL = "p_month"
+    # Demoted month directories during a partial swap: the underscore
+    # prefix keeps them invisible to Spark's partition discovery (hidden
+    # path rule), unlike a 'p_month=M.old' name, which discovery would
+    # read back as a phantom partition VALUE 'M.old'.
+    _OLD_PREFIX = "_old."
+    # Delta-scoped writes stop paying off when the delta touches most of
+    # the target anyway: past this fraction of month directories the
+    # single-pass full rewrite (one job, one atomic swap) wins over
+    # per-directory swaps, so fall back.
+    _DELTA_WRITE_MAX_FRACTION = 0.5
 
-    def _write(self, df: DataFrame, table: str) -> None:
+    def _write(
+        self,
+        df: DataFrame,
+        table: str,
+        affected_months: DataFrame | None = None,
+    ) -> None:
+        """``affected_months``: the incremental plans' 1-column superset
+        of storage months whose content can differ from the previous
+        target state (see incremental_flat_obs).  When given under the
+        partitioned layout, only those ``p_month`` directories are
+        rewritten — write I/O scales with the DELTA, not the target
+        (the reference's ``REPLACE INTO`` cost model,
+        flat_obs_v1.0.sql:115) — at the price of per-directory (not
+        whole-table) swap atomicity: a crash mid-sequence leaves a mix
+        of old and new months, which the un-advanced watermark converges
+        on the next sync (same contract as Spark's dynamic
+        partition-overwrite on HDFS).  Readers needing snapshot
+        isolation use the versioned layout instead."""
         pk = self._CLUSTER_BY.get(table)
         part_src = self._PARTITION_SRC.get(table) if self.partitioned else None
         if part_src:
-            df = df.withColumn(
-                self.PARTITION_COL,
-                F.coalesce(
-                    F.date_format(F.col(part_src), "yyyy-MM"), F.lit("unknown")
-                ),
-            )
+            from mrsboraetl_spark.schemas import p_month_of
+
+            df = df.withColumn(self.PARTITION_COL, p_month_of(part_src))
+            if affected_months is not None and os.path.exists(
+                self._path(table)
+            ):
+                # Bounded driver action: distinct storage months (tens of
+                # rows for years of data — the watermark-store precedent).
+                months = sorted(
+                    r["p_month"] for r in affected_months.collect()
+                )
+                existing = {
+                    d.split("=", 1)[1]
+                    for d in os.listdir(self._path(table))
+                    if d.startswith(self.PARTITION_COL + "=")
+                }
+                universe = existing | set(months)
+                if not universe or len(months) <= (
+                    self._DELTA_WRITE_MAX_FRACTION * len(universe)
+                ):
+                    # The month filter sits BELOW the clustering shuffle:
+                    # unaffected months' rows are never shuffled, sorted,
+                    # or serialized — the write job is O(delta).
+                    delta = (
+                        df.filter(F.col(self.PARTITION_COL).isin(months))
+                        .repartition(self.PARTITION_COL, *pk)
+                        .sortWithinPartitions(*pk)
+                    )
+                    self._write_months(delta, self._path(table), months)
+                    return
             # Shuffle on (month, pk): every task's rows land in a single
             # month directory (no file fan-out across partitions) and stay
             # sorted on the PK inside it for row-group stats.
@@ -187,6 +260,45 @@ class PipelineRunner:
         if os.path.exists(old):
             shutil.rmtree(old)
 
+    def _write_months(
+        self, df: DataFrame, path: str, months: list[str]
+    ) -> None:
+        """Rewrite ONLY the given ``p_month`` directories of an existing
+        partitioned target from ``df`` (already filtered to those months,
+        month-partitioned and PK-sorted by _write).
+
+        An empty ``months`` list means the sync changed nothing: skip
+        the write entirely (zero write I/O for a no-op sync).  Months
+        staged with no surviving rows have their directory deleted.
+        Each directory swap is individually crash-safe (demote to
+        _old.M -> promote staged -> drop _old.M; read_target restores
+        an orphaned _old.M); the sequence as a whole is converged by
+        the next sync, since the watermark only advances after every
+        swap completed."""
+        if not months:
+            return
+        tmp = path + ".delta-tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            df.write.mode("overwrite")
+            .partitionBy(self.PARTITION_COL)
+            .parquet(tmp)
+        )
+        for m in months:
+            src = os.path.join(tmp, f"{self.PARTITION_COL}={m}")
+            dst = os.path.join(path, f"{self.PARTITION_COL}={m}")
+            old = os.path.join(path, self._OLD_PREFIX + m)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(dst):
+                os.replace(dst, old)
+            if os.path.exists(src):
+                os.replace(src, dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        shutil.rmtree(tmp)
+
     # -------------------------------------------------------------- runs
 
     @staticmethod
@@ -211,23 +323,28 @@ class PipelineRunner:
 
         self._stage(
             "flat_obs",
-            lambda target, wm: build_flat_obs(obs, enc, person)
+            lambda target, wm, out: build_flat_obs(obs, enc, person)
             if mode == "rebuild" or target is None
-            else incremental_flat_obs(target, obs, enc, person, wm),
-            data_wm=max_obs,
+            else incremental_flat_obs(target, obs, enc, person, wm, out=out),
+            # greatest of encounter/obs max date_created — the reference's
+            # @last_date_created (flat_obs_v1.0.sql:26-28); obs-only would
+            # perpetually re-queue encounters edited after the last obs.
+            data_wm=max(filter(None, [max_obs, max_enc]), default=None),
         )
         self._stage(
             "flat_orders",
-            lambda target, wm: build_flat_orders(orders, enc, person)
+            lambda target, wm, out: build_flat_orders(orders, enc, person)
             if mode == "rebuild" or target is None
-            else incremental_flat_orders(target, orders, enc, person, wm),
+            else incremental_flat_orders(
+                target, orders, enc, person, wm, out=out
+            ),
             data_wm=max_orders,
         )
         self._stage(
             "flat_lab_obs",
-            lambda target, wm: build_flat_lab_obs(obs)
+            lambda target, wm, out: build_flat_lab_obs(obs)
             if mode == "rebuild" or target is None
-            else incremental_flat_lab_obs(target, obs, wm),
+            else incremental_flat_lab_obs(target, obs, wm, out=out),
             # greatest of encounter/obs max (flat_lab_obs_v1.0.sql:37-39)
             data_wm=max(filter(None, [max_obs, max_enc]), default=None),
         )
@@ -237,11 +354,13 @@ class PipelineRunner:
         vs_wm_snapshot = self._max_ts(flat_obs, "max_date_created")
         self._stage(
             "flat_visit_summary",
-            lambda target, wm: build_flat_visit_summary(flat_obs, flat_lab, person)
+            lambda target, wm, out: build_flat_visit_summary(
+                flat_obs, flat_lab, person
+            )
             if mode == "rebuild" or target is None
             else incremental_flat_visit_summary(
                 target, flat_obs, flat_lab, person, enc, wm,
-                obs_for_retractions=obs,
+                obs_for_retractions=obs, out=out,
             ),
             # cascade (I4): keyed off upstream flat_obs.max_date_created
             # (flat_visit_summary_v1.0.sql:16,93-99)
@@ -263,5 +382,12 @@ class PipelineRunner:
         version = TABLE_VERSIONS[table]
         target = self.read_target(table)
         wm = self.watermarks.last_update(version, fallback=target)
-        self._write(plan(target, wm), table)
+        # Incremental plans stash their affected-month superset here so
+        # the partitioned writer can scope the rewrite to the delta;
+        # rebuild/cold-start plans leave it unset (full write).
+        out: dict = {}
+        self._write(
+            plan(target, wm, out), table,
+            affected_months=out.get("affected_months"),
+        )
         self.watermarks.log_run(version, started, data_wm)

@@ -125,6 +125,18 @@ class IvfIndex:
             return None
         return spark.read.parquet(self.cells_path)
 
+    def cell_occupancy(self, spark: SparkSession) -> DataFrame:
+        """(cell, n) over the persisted assignment — the quantizer-skew
+        accounting (similarity.cell_occupancy on the stored table): a
+        cell holding a large corpus fraction makes every cell-keyed
+        probe/join quadratic there.  Bounded output (<= n_centroids
+        rows); consult it before picking max_cell_freq or deciding the
+        centroids need retraining."""
+        stored = self.cells(spark)
+        if stored is None:
+            raise ValueError(f"index at {self.path} is empty")
+        return stored.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
     def topk(
         self,
         queries: DataFrame,
@@ -202,6 +214,7 @@ class IvfIndex:
         new_vectors: DataFrame,
         threshold: float,
         nprobe: int = 2,
+        max_cell_freq: int | None = None,
     ) -> DataFrame:
         """(id_a, id_b, cosine): stored vectors within cosine >=
         threshold of each batch vector — embedding near-dup screening of
@@ -210,7 +223,12 @@ class IvfIndex:
         batch pairs come from ivf_cell_join(left=batch, right=batch)).
         The batch side explodes to nprobe cells and meets the stored
         single-cell table on a cell equi-join — the ivf_cell_join shape
-        with the persisted assignment as the right side."""
+        with the persisted assignment as the right side.
+
+        ``max_cell_freq``: combined stored+probe occupancy cap per cell
+        (ivf_cell_join semantics) — bounds the worst partition at cap^2
+        when the quantizer is unbalanced, at a recall cost on dropped
+        cells; ``cell_occupancy`` is the probe for choosing it."""
         spark = new_vectors.sparkSession
         stored = self.cells(spark)
         if stored is None:
@@ -226,6 +244,17 @@ class IvfIndex:
                 _nearest_cells_expr(self.centroids, "vec_a", nprobe)
             ),
         )
+        if max_cell_freq is not None:
+            keep = (
+                stored.select("cell")
+                .unionAll(probes.select("cell"))
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("f"))
+                .filter(F.col("f") <= max_cell_freq)
+                .select("cell")
+            )
+            stored = stored.join(F.broadcast(keep), "cell")
+            probes = probes.join(F.broadcast(keep), "cell")
         sim = F.round(cosine(F.col("vec_a"), F.col(self.vec_col)), 4)
         return (
             stored.join(probes, "cell")

@@ -604,6 +604,7 @@ def ivf_cell_join(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_freq: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine): all cross-corpus pairs with cosine >=
     threshold found through the IVF coarse quantizer — the SET-TO-SET
@@ -622,7 +623,18 @@ def ivf_cell_join(
     At scale, pre-assign the bigger side once (IvfIndex in
     operators/ann_index.py persists exactly this table) and bucket the
     stored layout by cell so the join co-locates.
-    """
+
+    ``max_cell_freq`` caps hot cells by the COMBINED occupancy across
+    both sides (counting the left's nprobe replicas), mirroring
+    fuzzy_text_join's band cap: an unbalanced coarse quantizer — e.g.
+    seed-row centroids over a corpus with a dense mode, or many
+    zero/near-identical vectors — can put a large fraction of BOTH
+    corpora in one cell, whose join cost is |left cell| x |right cell|
+    (the quadratic the cell join exists to avoid).  Cells past the cap
+    are dropped entirely (bounded worst partition = cap^2 forever, at a
+    recall cost on dropped cells); the right fix for a skewed quantizer
+    is retraining centroids on a corpus sample — ``cell_occupancy``
+    is the probe that tells you."""
     centers = [(int(c), [float(x) for x in v]) for c, v in centroids]
     la = left.select(
         F.col(left_id).alias("id_a"),
@@ -637,9 +649,43 @@ def ivf_cell_join(
     ).withColumn(
         "cell", _nearest_cells_expr(centers, "vec_b", 1).getItem(0)
     )
+    if max_cell_freq is not None:
+        keep = (
+            la.select("cell")
+            .unionAll(rb.select("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") <= max_cell_freq)
+            .select("cell")
+        )
+        la = la.join(F.broadcast(keep), "cell")
+        rb = rb.join(F.broadcast(keep), "cell")
     sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
     return (
         la.join(rb, "cell")
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cell_occupancy(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, n) — the coarse quantizer's occupancy histogram over
+    ``vectors``, the accounting behind ``max_cell_freq``: a cell
+    carrying a large fraction of the corpus means the quantizer is
+    unbalanced and every cell-keyed join has a quadratic hot partition.
+    Bounded output (one row per centroid); run it before choosing
+    nprobe/cap or deciding to retrain."""
+    centers = [(int(c), [float(x) for x in v]) for c, v in centroids]
+    return (
+        vectors.select(
+            _nearest_cells_expr(centers, vec_col, 1)
+            .getItem(0)
+            .alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

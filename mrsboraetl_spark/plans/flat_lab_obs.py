@@ -111,10 +111,15 @@ def build_flat_lab_obs(obs: DataFrame) -> DataFrame:
 
 
 def incremental_flat_lab_obs(
-    target: DataFrame | None, obs: DataFrame, watermark
+    target: DataFrame | None, obs: DataFrame, watermark,
+    out: dict | None = None,
 ) -> DataFrame:
     """Delete+reaggregate on (person, day) keys touched by voided or new lab
-    obs since the watermark (:84-133 plus the intended new-rows pass)."""
+    obs since the watermark (:84-133 plus the intended new-rows pass).
+
+    ``out``: see incremental_flat_obs.  The (person, day) key CONTAINS
+    the partition datetime (test_datetime == day), so the affected-month
+    set comes straight from the key set — no target probe at all."""
     wm = F.lit(watermark).cast("timestamp")
     lab = obs.filter(F.col("concept_id").isin(LAB_CONCEPTS))
 
@@ -127,6 +132,12 @@ def incremental_flat_lab_obs(
         .select("person_id", F.to_date("obs_datetime").alias("day"))
     )
     affected = voided_days.unionByName(new_days).distinct()
+    if out is not None:
+        from mrsboraetl_spark.schemas import p_month_of
+
+        out["affected_months"] = (
+            affected.select(p_month_of("day").alias("p_month")).distinct()
+        )
 
     base = _lab_rows(obs).withColumn("day", F.to_date("obs_datetime"))
     recomputed = build_flat_lab_obs(

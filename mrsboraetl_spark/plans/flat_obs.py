@@ -133,12 +133,23 @@ def incremental_flat_obs(
     encounter: DataFrame,
     person: DataFrame,
     watermark,
+    out: dict | None = None,
 ) -> DataFrame:
     """Incremental sync (flat_obs_v1.0.sql:61-340): detect changed keys,
     retract, recompute *whole groups* from base data, upsert, purge voided
     persons.  Delete+reaggregate — not delta aggregation — exactly the
     reference's I3 semantics, so incremental state always equals a fresh
     rebuild over the current base (the property the tests assert).
+
+    ``out``: optional side-channel for the engine's delta-scoped
+    partitioned writer.  When given, ``out["affected_months"]`` is set to
+    a 1-column (``p_month``) DataFrame of every storage month a changed
+    row can live in — the months of the RECOMPUTED rows (where upserts
+    land) plus the months of the target rows being retracted or purged
+    (where deletions happen).  It is derived from the SAME key sets the
+    merge uses, so it is a guaranteed superset of the months whose
+    content differs; everything outside it is byte-identical to the
+    previous target state.
     """
     wm = F.lit(watermark).cast("timestamp")
 
@@ -178,6 +189,32 @@ def incremental_flat_obs(
         encounter,
     )
 
+    voided_person = person.filter(F.col("voided") == 1).select("person_id")
+    if out is not None:
+        from mrsboraetl_spark.schemas import p_month_of
+
+        month = p_month_of("encounter_datetime").alias("p_month")
+        months = recomputed.select(month)
+        # Old locations: the synthetic-row key CONTAINS the datetime, so
+        # its months come straight from the key set; encounter-keyed and
+        # person-keyed retractions need a (column-pruned) target probe.
+        months = months.unionByName(
+            affected_noenc.select(
+                p_month_of("obs_datetime").alias("p_month")
+            )
+        )
+        if target is not None:
+            probe = target.select(
+                "encounter_id", "person_id", "encounter_datetime"
+            )
+            months = months.unionByName(
+                probe.join(affected_enc, "encounter_id", "left_semi")
+                .select(month)
+            ).unionByName(
+                probe.join(voided_person, "person_id", "left_semi")
+                .select(month)
+            )
+        out["affected_months"] = months.distinct()
     if target is not None:
         # Retract all affected rows (J4/J5), then upsert the recomputed ones.
         target = anti_delete(target, affected_enc, ["encounter_id"])
@@ -199,5 +236,4 @@ def incremental_flat_obs(
     merged = replace_into(target, recomputed, ["encounter_id"])
 
     # Purge voided patients (:337-340).
-    voided_person = person.filter(F.col("voided") == 1).select("person_id")
     return anti_delete(merged, voided_person, ["person_id"])

@@ -88,10 +88,14 @@ def incremental_flat_orders(
     encounter: DataFrame,
     person: DataFrame,
     watermark,
+    out: dict | None = None,
 ) -> DataFrame:
     """The intended incremental protocol (quirk 4 fixed): retract encounters
     with voided orders (:54-56), recompute those plus encounters with new
-    orders (:47-48, :90-91), REPLACE-INTO, purge voided patients (:95-98)."""
+    orders (:47-48, :90-91), REPLACE-INTO, purge voided patients (:95-98).
+
+    ``out``: see incremental_flat_obs — when given, stashes the
+    1-column ``affected_months`` superset for the delta-scoped writer."""
     wm = F.lit(watermark).cast("timestamp")
 
     voided_keys = (
@@ -107,10 +111,25 @@ def incremental_flat_orders(
     recomputed = build_flat_orders(
         orders.join(affected, "encounter_id", "left_semi"), encounter
     )
+    voided_person = person.filter(F.col("voided") == 1).select("person_id")
+    if out is not None:
+        from mrsboraetl_spark.schemas import p_month_of
+
+        month = p_month_of("encounter_datetime").alias("p_month")
+        months = recomputed.select(month)
+        if target is not None:
+            probe = target.select(
+                "encounter_id", "person_id", "encounter_datetime"
+            )
+            months = months.unionByName(
+                probe.join(affected, "encounter_id", "left_semi")
+                .select(month)
+            ).unionByName(
+                probe.join(voided_person, "person_id", "left_semi")
+                .select(month)
+            )
+        out["affected_months"] = months.distinct()
     if target is not None:
         target = anti_delete(target, affected, ["encounter_id"])
     merged = replace_into(target, recomputed, ["encounter_id"])
-    return anti_delete(
-        merged, person.filter(F.col("voided") == 1).select("person_id"),
-        ["person_id"],
-    )
+    return anti_delete(merged, voided_person, ["person_id"])

@@ -123,6 +123,7 @@ def incremental_flat_visit_summary(
     watermark,
     include_lab_rows: bool = False,
     obs_for_retractions: DataFrame | None = None,
+    out: dict | None = None,
 ) -> DataFrame:
     """Sync mode: queue persons whose encounters changed or whose flat_obs
     advanced past the watermark (:86-99, U2), retract them (:117), recompute
@@ -165,11 +166,22 @@ def incremental_flat_visit_summary(
         person,
         include_lab_rows,
     )
+    voided_person = person.filter(F.col("voided") == 1).select("person_id")
+    if out is not None:
+        from mrsboraetl_spark.schemas import p_month_of
+
+        month = p_month_of("encounter_datetime").alias("p_month")
+        months = recomputed.select(month)
+        if target is not None:
+            probe = target.select("person_id", "encounter_datetime")
+            months = months.unionByName(
+                probe.join(queue, "person_id", "left_semi").select(month)
+            ).unionByName(
+                probe.join(voided_person, "person_id", "left_semi")
+                .select(month)
+            )
+        out["affected_months"] = months.distinct()
     if target is not None:
         target = anti_delete(target, queue, ["person_id"])
     merged = replace_into(target, recomputed, ["encounter_id"])
-    return anti_delete(
-        merged,
-        person.filter(F.col("voided") == 1).select("person_id"),
-        ["person_id"],
-    )
+    return anti_delete(merged, voided_person, ["person_id"])

@@ -172,3 +172,18 @@ FLAT_LATEST_HIV_SUMMARY_SCHEMA = T.StructType([
     _f("who_stage", T.StringType()),
     _f("tb_status", T.StringType()),
 ])
+
+
+# ------------------------------------------------------- storage layout
+
+def p_month_of(col_name: str):
+    """The hive partition value (engine.PipelineRunner.PARTITION_COL) for
+    a row's clinical datetime: 'yyyy-MM', nulls bucketed to 'unknown'.
+    Shared by the engine's partitioned writer and the incremental plans'
+    affected-month derivation so the two can never disagree on which
+    directory a row lives in."""
+    from pyspark.sql import functions as F
+
+    return F.coalesce(
+        F.date_format(F.col(col_name), "yyyy-MM"), F.lit("unknown")
+    )

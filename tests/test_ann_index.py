@@ -240,3 +240,82 @@ def test_pairs_above_screens_batch_against_corpus(spark, sf_dir, tmp_path):
     }
     assert pairs(2) <= brute
     assert pairs(8) == brute and brute
+
+
+def test_ivf_cell_join_hot_cell_cap(spark, sf_dir):
+    """max_cell_freq (VERDICT r5 item 2): a degenerate quantizer that
+    funnels both corpora into one cell recreates the quadratic the cell
+    join exists to avoid; the combined-occupancy cap must drop that
+    cell (and ONLY that cell) while cells under the cap are untouched,
+    and the capped plan must stay nested-loop-free."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mrsboraetl_spark.operators.similarity import (
+        cell_occupancy,
+        ivf_cell_join,
+    )
+
+    # Two far-apart centroids; 20 vectors piled on centroid 0 ("the
+    # dense mode"), 4 spread on centroid 1.
+    c0, c1 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    cents = [(0, c0), (1, c1)]
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(20)]
+    rows += [(100 + i, [0.001 * i, 1.0, 0.0, 0.0]) for i in range(4)]
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    )
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+
+    occ = {r.cell: r.n for r in cell_occupancy(emb, cents).collect()}
+    assert occ[0] == 20 and occ[1] == 4
+
+    uncapped = ivf_cell_join(
+        left, right, cents, nprobe=1, threshold=0.9
+    ).collect()
+    capped = ivf_cell_join(
+        left, right, cents, nprobe=1, threshold=0.9, max_cell_freq=10
+    ).collect()
+    hot_ids = {i for i, _ in rows[:20]}
+    # Everything surviving the cap comes from the small cell only.
+    assert {r.id_a for r in capped} <= {100 + i for i in range(4)}
+    assert {r.id_a for r in capped}  # small cell's pairs retained
+    # The uncapped join did produce hot-cell pairs the cap dropped.
+    assert any(r.id_a in hot_ids for r in uncapped)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ivf_cell_join(
+            left, right, cents, nprobe=1, max_cell_freq=10
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_index_pairs_above_cap_and_occupancy(spark, tmp_path):
+    """The persisted index carries the same accounting: cell_occupancy
+    reports the stored histogram; pairs_above's combined cap screens
+    out the hot cell."""
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(20)]
+    rows += [(100 + i, [0.001 * i, 1.0, 0.0, 0.0]) for i in range(4)]
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    )
+    idx = IvfIndex(str(tmp_path / "ivf"), centroids=cents)
+    idx.ingest(emb)
+    occ = {r.cell: r.n for r in idx.cell_occupancy(spark).collect()}
+    assert occ == {0: 20, 1: 4}
+
+    batch = spark.createDataFrame(
+        [(500, [1.0, 0.0005, 0.0, 0.0]), (501, [0.0005, 1.0, 0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    full = idx.pairs_above(batch, threshold=0.9, nprobe=1).collect()
+    capped = idx.pairs_above(
+        batch, threshold=0.9, nprobe=1, max_cell_freq=10
+    ).collect()
+    assert any(r.id_a == 500 for r in full)
+    assert all(r.id_a == 501 for r in capped) and capped

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -67,3 +68,118 @@ def test_partitioned_versioned_mutually_exclusive(spark, tmp_path):
         PipelineRunner(
             spark, str(tmp_path / "x"), versioned=True, partitioned=True
         )
+
+
+# ----------------------------------------------- delta-scoped sync writes
+
+
+def _month_inventory(path):
+    """{month: {(relative file, mtime_ns, size)}} for every p_month dir."""
+    inv = {}
+    for d in os.listdir(path):
+        if not d.startswith("p_month="):
+            continue
+        month = d.split("=", 1)[1]
+        files = set()
+        sub = os.path.join(path, d)
+        for f in sorted(os.listdir(sub)):
+            st = os.stat(os.path.join(sub, f))
+            files.add((f, st.st_mtime_ns, st.st_size))
+        inv[month] = files
+    return inv
+
+
+def test_sync_rewrites_only_affected_months(spark, tmp_path_factory):
+    """The delta-scoped writer (VERDICT r5 item 1): a sync whose delta
+    touches one month must leave every other p_month directory's files
+    byte-for-byte untouched (same names, mtimes, sizes) — write I/O
+    scales with the delta, not the target — while final state still
+    equals a plain full rebuild.
+
+    The delta is a NEW obs (not a void): date_created advances the
+    logged watermark past every change stamp, so the follow-up sync is a
+    true no-op.  A void's date_voided stays past the watermark forever
+    and re-queues its group on every sync until newer data arrives —
+    the reference's own @last_date_created behavior
+    (flat_obs_v1.0.sql:26-28,76-77).  Fixture stragglers with
+    date_changed beyond every date_created are clamped for the same
+    reason."""
+    import datetime as _dt
+
+    pdfs = make_sources(n_persons=30, seed=7)
+    obs_pdf, enc_pdf = pdfs["obs"].copy(), pdfs["encounter"].copy()
+    wm = obs_pdf["date_created"].max()
+    late = enc_pdf["date_changed"].notna() & (enc_pdf["date_changed"] > wm)
+    enc_pdf.loc[late, "date_changed"] = wm
+    pdfs = dict(pdfs, obs=obs_pdf, encounter=enc_pdf)
+    dfs = to_spark(spark, pdfs)
+    root = str(tmp_path_factory.mktemp("deltapart"))
+    runner = PipelineRunner(spark, root, partitioned=True)
+    runner.run(dfs, mode="rebuild")
+    path = runner._path("flat_obs")
+    inv0 = _month_inventory(path)
+    assert len(inv0) >= 4, "fixture must span several months"
+
+    # ONE new obs on an existing encounter: the only affected month is
+    # that encounter's.
+    cand = obs_pdf[
+        (obs_pdf["voided"] == 0) & obs_pdf["encounter_id"].notna()
+    ].iloc[0]
+    enc_row = enc_pdf[enc_pdf["encounter_id"] == cand["encounter_id"]].iloc[0]
+    victim_month = enc_row["encounter_datetime"].strftime("%Y-%m")
+    new_row = cand.to_dict()
+    new_row.update(
+        obs_id=int(obs_pdf["obs_id"].max()) + 1,
+        concept_id=5089,
+        value_coded=None,
+        value_numeric=42.5,
+        date_created=wm + _dt.timedelta(days=1),
+    )
+    pdfs2 = dict(pdfs, obs=pd.concat(
+        [obs_pdf, pd.DataFrame([new_row])], ignore_index=True
+    ))
+    dfs2 = to_spark(spark, pdfs2)
+    runner.run(dfs2, mode="sync")
+
+    inv1 = _month_inventory(path)
+    changed = {m for m in set(inv0) | set(inv1) if inv1.get(m) != inv0.get(m)}
+    assert changed == {victim_month}, (changed, victim_month)
+    # State equals a plain rebuild over the final sources.
+    fresh = PipelineRunner(spark, str(tmp_path_factory.mktemp("deltafull")))
+    fresh.run(dfs2, mode="rebuild")
+    for table in ("flat_obs", "flat_visit_summary"):
+        a = runner.read_target(table).toPandas()
+        b = fresh.read_target(table).toPandas()
+        cols = sorted(c for c in a.columns if c != "obs_map")
+        sa = sorted(map(tuple, a[cols].astype(str).itertuples(index=False)))
+        sb = sorted(map(tuple, b[cols].astype(str).itertuples(index=False)))
+        assert sa == sb, table
+
+    # A no-op sync (no new changes) must write NOTHING anywhere.
+    vs_path = runner._path("flat_visit_summary")
+    inv_vs = _month_inventory(vs_path)
+    runner.run(dfs2, mode="sync")
+    assert _month_inventory(path) == inv1
+    assert _month_inventory(vs_path) == inv_vs
+
+
+def test_partitioned_month_swap_crash_is_rescued(spark, tmp_path_factory):
+    """A _write_months crash between demote and promote leaves a month
+    only at _old.M (invisible to Spark's partition discovery);
+    read_target must restore it."""
+    dfs = to_spark(spark, make_sources(n_persons=10, seed=9))
+    root = str(tmp_path_factory.mktemp("crashpart"))
+    runner = PipelineRunner(spark, root, partitioned=True)
+    runner.run(dfs, mode="rebuild")
+    path = runner._path("flat_obs")
+    before = runner.read_target("flat_obs").count()
+    month_dir = sorted(
+        d for d in os.listdir(path) if d.startswith("p_month=")
+    )[0]
+    m = month_dir.split("=", 1)[1]
+    os.replace(
+        os.path.join(path, month_dir), os.path.join(path, "_old." + m)
+    )
+    # Hidden-path rule: without rescue the month would just be missing.
+    assert runner.read_target("flat_obs").count() == before
+    assert os.path.exists(os.path.join(path, month_dir))

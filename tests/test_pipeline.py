@@ -203,6 +203,14 @@ def test_incremental_sync_catches_up(spark, tmp_path_factory):
         F.col("date_created") <= F.lit(WATERMARK)
     )
     old["orders"] = dfs["orders"].filter(F.col("date_created") <= F.lit(WATERMARK))
+    # Phase 1 is the world AS OF the watermark: encounters "created" later
+    # must not exist yet, or the logged @last_date_created (greatest of
+    # enc/obs date_created, flat_obs_v1.0.sql:26-28) would jump past the
+    # sync's incoming changes and skip them — the reference's watermark
+    # model assumes a CONSISTENT source snapshot.
+    old["encounter"] = dfs["encounter"].filter(
+        F.col("date_created") <= F.lit(WATERMARK)
+    )
 
     root_inc = str(tmp_path_factory.mktemp("inc"))
     runner = PipelineRunner(spark, root_inc)
