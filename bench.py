@@ -15,6 +15,40 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Per-query min-of-3 reference times from the round-5 driver bench
+# (BENCH_r05.json, sf0.1).  The guard below fails the run when any
+# carried query exceeds GUARD_FACTOR x its reference — a corpus
+# regeneration or plan regression is caught by the builder's own bench
+# run instead of surfacing first in the driver's.  2x headroom over a
+# min-of-3 is far outside observed box noise (r5 cross-round ratios ran
+# 0.46-1.55x).  After an INTENTIONAL slowdown, re-baseline this table in
+# the same commit; SPARK_GRAFT_NO_GUARD=1 skips the exit for ad-hoc runs.
+BASELINE_R5 = {
+    "q1_pricing_summary": 0.323,
+    "join_multi_dims": 0.498,
+    "obs_blob_pack": 1.775,
+    "latest_order_per_customer": 0.37,
+    "topk_orders_per_customer": 0.355,
+    "groupby_expr_day": 0.405,
+    "flat_events_blob": 0.822,
+    "incremental_upsert_equiv": 0.633,
+    "sessionize_events": 0.416,
+    "asof_join_latest_order": 0.963,
+    "grouping_sets_status_nation": 0.501,
+    "salted_skew_aggregate": 0.376,
+    "dedup_exact": 0.225,
+    "dedup_minhash_lsh": 1.19,
+    "dedup_lsh_verified": 1.903,
+    "dedup_simhash": 0.303,
+    "ann_brute_force_topk": 0.561,
+    "ann_lsh_bucketed_topk": 0.484,
+    "ann_ivf_topk": 1.148,
+    "text_doc_metrics": 0.668,
+    "visit_summary_equiv": 0.991,
+    "decontam_ngram_overlap": 1.484,
+}
+GUARD_FACTOR = 2.0
+
 HEADLINE = [
     "q1_pricing_summary",
     "join_multi_dims",
@@ -100,6 +134,22 @@ def main() -> None:
             }
         )
     )
+
+    # Regression guard — only meaningful at the baseline's scale factor.
+    if sf == 0.1 and not os.environ.get("SPARK_GRAFT_NO_GUARD"):
+        slow = {
+            n: {"min_of_3": timings[n], "r5_baseline": BASELINE_R5[n]}
+            for n in timings
+            if n in BASELINE_R5
+            and timings[n] > GUARD_FACTOR * BASELINE_R5[n]
+        }
+        if slow:
+            print(
+                f"BENCH GUARD: {len(slow)} queries past "
+                f"{GUARD_FACTOR}x their r5 min-of-3: {json.dumps(slow)}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
 
 
 if __name__ == "__main__":

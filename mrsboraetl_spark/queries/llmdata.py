@@ -217,23 +217,14 @@ def dedup_lsh_verified(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_COS.replace("va", "a.embedding").replace("vb", "b.embedding")}
-             AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_COS.replace("va", "a.embedding").replace("vb", "b.embedding")}
-          >= 0.45
-    """,
-)
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs (cosine >= 0.45), brute-force baseline.
     0.45 because the driver embeddings are uniform-random (pair cosines
     concentrate near 0, max ~0.51 at sf0.01): a production-style 0.9 cut
     returns an empty — vacuously matching — result; 0.45 keeps tens of
-    pairs so the hash check proves the similarity arithmetic."""
+    pairs so the hash check proves the similarity arithmetic.  Demoted
+    r6 (the LSH variant dedup_embedding_lsh is the scale path and stays
+    driver-green); still oracle-checked under pytest."""
     return cosine_pairs_above(table(spark, sf_dir, "embeddings"), 0.45)
 
 
@@ -601,24 +592,14 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
-@register(
-    "multimodal_decode_stub",
-    """
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           substr(md5(text), 1, 8) AS checksum,
-           octet_length(encode(text)) % 640 AS fake_width,
-           octet_length(encode(text)) % 480 AS fake_height,
-           octet_length(encode(text)) // 1000 + 1 AS n_frames
-    FROM documents
-    """,
-)
 def multimodal_decode_stub(spark, sf_dir):
     """Arrow-batched mapInPandas decode pipeline with a deterministic fake
     codec (real decoder slots into operators/multimodal._decode_batch).
     The fake features are chosen to be SQL-expressible, so the whole
     Python-worker path — Arrow transfer, batch iteration, schema
-    enforcement — is hash-checked against DuckDB, not just row-counted."""
+    enforcement — is hash-checked against DuckDB, not just row-counted.
+    Demoted r6 (multimodal family keeps driver evidence via
+    multimodal_binary_meta); still oracle-checked under pytest."""
     docs = with_binary_payload(table(spark, sf_dir, "documents"))
     return decode_features_stub(docs)
 
@@ -863,8 +844,8 @@ def search_bm25_topk(spark, sf_dir):
     a term-keyed broadcast hash join; top-k is orderBy+limit
     (TakeOrderedAndProject), ranked after the cut.  Score rounded to 4
     digits on both engines and the ordering computed on the ROUNDED
-    value so cross-engine ulp noise cannot flip ranks.  Unregistered
-    (driver cap); oracle-checked via UNREGISTERED_ORACLES."""
+    value so cross-engine ulp noise cannot flip ranks.  Promoted into the
+    driver registry in r6."""
     from mrsboraetl_spark.operators.search import bm25_scores
 
     docs = table(spark, sf_dir, "documents")
@@ -961,6 +942,26 @@ def profile_source_percentiles(spark, sf_dir):
 # (simhash_near_pairs graduated to the registry in r5; the curation layer
 # entries below were added in r5.)
 UNREGISTERED_ORACLES: dict[str, str] = {
+    # Demoted r6 (slots freed for the bm25/spans/shuffle/fuzzy-join
+    # promotions): the brute-force cosine baseline (LSH variant stays
+    # driver-green) and the decode stub (binary_meta stays).
+    "dedup_embedding_cosine": f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.replace("va", "a.embedding").replace("vb", "b.embedding")}
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS.replace("va", "a.embedding").replace("vb", "b.embedding")}
+          >= 0.45
+    """,
+    "multimodal_decode_stub": """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           substr(md5(text), 1, 8) AS checksum,
+           octet_length(encode(text)) % 640 AS fake_width,
+           octet_length(encode(text)) % 480 AS fake_height,
+           octet_length(encode(text)) // 1000 + 1 AS n_frames
+    FROM documents
+    """,
     "curation_token_budget_mix": """
     WITH t AS (
       SELECT doc_id, source,
@@ -1241,7 +1242,7 @@ def dedup_repeated_spans(spark, sf_dir):
     in order.  Non-vacuous at every test SF (~15-18 distinct over-frequent
     spans, ~55-65 occurrences cut).  One span-key agg + broadcast
     anti-join + one doc-key ordered reassembly — see operators/spans.py
-    for the 100 TB rationale.  Unregistered (driver cap); oracle-checked."""
+    for the 100 TB rationale.  Promoted into the driver registry in r6."""
     from mrsboraetl_spark.operators.spans import remove_repeated_spans
 
     docs = table(spark, sf_dir, "documents")
@@ -1283,8 +1284,8 @@ def curation_epoch_shuffle(spark, sf_dir):
     order, computed with the two-phase deterministic-bucket spelling
     (operators/order.py: md5-prefix buckets + offset prefix-sum) instead
     of the single-partition global window the oracle uses — same result,
-    scalable plan (measured 5-8s vs 25s at 20M rows).  Unregistered
-    (driver cap); oracle-checked."""
+    scalable plan (measured 5-8s vs 25s at 20M rows).  Promoted into the
+    driver registry in r6."""
     from mrsboraetl_spark.operators.order import epoch_shuffle
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
@@ -1419,8 +1420,8 @@ def fuzzy_join_docs(spark, sf_dir):
     textual similarity, banded-minhash candidates + exact in-row Jaccard
     >= 0.5.  The naive spelling is a similarity-predicate cartesian; this
     one is two band equi-joins.  Non-vacuous on the self-similar corpus
-    (cross-slice near-dup cluster pairs).  Unregistered (driver cap);
-    oracle-checked."""
+    (cross-slice near-dup cluster pairs).  Promoted into the driver
+    registry in r6."""
     from mrsboraetl_spark.operators.dedup import fuzzy_text_join
 
     docs = table(spark, sf_dir, "documents")
@@ -1452,3 +1453,22 @@ UNREGISTERED_ORACLES["fuzzy_join_docs"] = f"""
     FROM verified
     WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.5
 """
+
+
+# --------------------------------------------- r6 registry promotions
+# (VERDICT r5 item 4.)  These four were pytest-oracle-checked since r5;
+# promoting them moves the SAME oracle into the driver gate.  Slots
+# freed by union_distinct_queue, json_props_extract,
+# dedup_embedding_cosine, multimodal_decode_stub (each still
+# oracle-checked under pytest, each family keeping a driver-green
+# sibling).  Post-hoc registration (not decorators) because the oracle
+# strings are composed from operator-provided SQL builders defined
+# after the functions.
+for _name, _fn in (
+    ("search_bm25_topk", search_bm25_topk),
+    ("dedup_repeated_spans", dedup_repeated_spans),
+    ("curation_epoch_shuffle", curation_epoch_shuffle),
+    ("fuzzy_join_docs", fuzzy_join_docs),
+):
+    register(_name, UNREGISTERED_ORACLES.pop(_name))(_fn)
+del _name, _fn

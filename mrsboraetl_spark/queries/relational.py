@@ -26,6 +26,18 @@ _RENDER = (
 # evaluates at most 50 queries); tests/test_oracle_parity.py hash-checks
 # these locally with the same compare the driver uses.
 UNREGISTERED_ORACLES: dict[str, str] = {
+    # Demoted r6 (slots freed for search_bm25_topk / dedup_repeated_spans /
+    # curation_epoch_shuffle / fuzzy_join_docs; U1 keeps driver evidence via
+    # union_all_pad, C11's map/array half via scalar_expr_layer)
+    "union_distinct_queue": """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "json_props_extract": """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+    FROM events GROUP BY 1
+    """,
     # Demoted r5 session 2 (slot freed for decontam_ngram_overlap; J4 keeps
     # driver evidence via anti_join_daykey)
     "anti_join_no_orders": """
@@ -552,16 +564,10 @@ def union_all_pad(spark, sf_dir):
     return hi.unionByName(lo)
 
 
-@register(
-    "union_distinct_queue",
-    """
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    UNION
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-)
 def union_distinct_queue(spark, sf_dir):
-    """U2 queue dedup-union (flat_visit_summary_v1.0.sql:86-99)."""
+    """U2 queue dedup-union (flat_visit_summary_v1.0.sql:86-99).
+    Demoted r6 (slot freed for the fuzzy-join/search/spans/shuffle
+    promotions); still oracle-checked under pytest."""
     o = table(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
@@ -710,15 +716,10 @@ def greatest_if_coalesce(spark, sf_dir):
     )
 
 
-@register(
-    "json_props_extract",
-    """
-    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
-    FROM events GROUP BY 1
-    """,
-)
 def json_props_extract(spark, sf_dir):
-    """C11 extension: JSON field extraction (native in both engines)."""
+    """C11 extension: JSON field extraction (native in both engines).
+    Demoted r6 (slot freed for the r6 promotions); still oracle-checked
+    under pytest."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy(
         F.get_json_object("props", "$.k").cast("int").alias("k")

@@ -1,0 +1,144 @@
+"""Exactly-once APPEND sink for unbounded fact streams.
+
+The two existing exactly-once/at-least-once options each miss the fact
+stream case: the ``_done`` marker drains (streaming/dedup.py et al.) are
+at-least-once — data append and marker are two filesystem operations
+with a crash window between them — and the versioned merge sink
+(streaming/versioned_sink.py) is exactly-once but rewrites the FULL
+snapshot per commit, which its own docstring rules out for unbounded
+appends.  This module closes the gap (VERDICT r5 item 3):
+
+* each micro-batch writes to a DETERMINISTIC staging directory keyed by
+  its batch id (``data/batch=<id>``, overwrite mode) — a replay of a
+  half-written batch simply overwrites the same directory;
+* the commit point is one ``os.replace`` of a manifest listing the
+  committed batch ids.  Crash AFTER the data write but BEFORE the
+  manifest commit: the directory exists but is invisible (readers go
+  through the manifest), the replay overwrites and commits it — no
+  loss, no duplicate.  Crash after the commit: the replay sees the id
+  and no-ops;
+* write cost is O(|batch|) per batch — no snapshot rewrite, the
+  append-sink property the versioned sink cannot give.
+
+Reads open exactly the committed directories (an explicit path list, so
+an uncommitted orphan or a stray file can never leak into results).
+Single writer per table, as with every persistent index here —
+Structured Streaming serializes foreachBatch calls.
+
+Scale shape: one directory per micro-batch grows the listing over time;
+``compact()`` folds committed batches into one directory behind the
+same manifest commit (the id list collapses to a single synthetic
+entry), bounding reader fan-out for long-lived streams.  On an object
+store, swap the two ``os.replace`` sites for the store's put-if-absent
+primitive — same contract, nothing else changes (the versioned table
+documents the identical port).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class AppendOnlyTable:
+    """Manifest-committed append-only parquet table."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.data_root = os.path.join(root, "data")
+        os.makedirs(self.data_root, exist_ok=True)
+
+    # ---------------------------------------------------------- manifest
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    def _read_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path()):
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        return {"batches": []}
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())  # the atomic commit point
+
+    def committed(self) -> list[str]:
+        return list(self._read_manifest()["batches"])
+
+    # -------------------------------------------------------------- I/O
+
+    def _batch_dir(self, batch_key: str) -> str:
+        return os.path.join(self.data_root, f"batch={batch_key}")
+
+    def append_batch(self, df: DataFrame, batch_id: int) -> bool:
+        """Write-and-commit one micro-batch; returns False (no-op) when
+        the batch id is already committed — the replay path."""
+        key = str(batch_id)
+        manifest = self._read_manifest()
+        if key in manifest["batches"]:
+            return False
+        # Deterministic staging dir + overwrite: a replay of a batch
+        # that crashed mid-write lands on the same path and simply
+        # overwrites the partial output.
+        df.write.mode("overwrite").parquet(self._batch_dir(key))
+        manifest["batches"].append(key)
+        self._commit_manifest(manifest)
+        return True
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """Union of exactly the COMMITTED batches (explicit path list —
+        uncommitted orphans are invisible), or None when empty."""
+        keys = self.committed()
+        if not keys:
+            return None
+        return spark.read.parquet(*[self._batch_dir(k) for k in keys])
+
+    def compact(self, spark: SparkSession, n_files: int | None = None) -> None:
+        """Fold all committed batches into one directory and commit a
+        manifest pointing only at it — bounds reader fan-out for
+        long-lived streams.  The fold is crash-safe: the new directory
+        is written under a staging name first and the manifest swap is
+        the commit; old batch directories are dropped only AFTER the
+        commit (a crash in between leaves harmless invisible orphans)."""
+        keys = self.committed()
+        if len(keys) <= 1:
+            return
+        new_key = f"compact-{len(keys)}-{keys[-1]}"
+        df = self.read(spark)
+        if n_files:
+            df = df.coalesce(n_files)
+        df.write.mode("overwrite").parquet(self._batch_dir(new_key))
+        self._commit_manifest({"batches": [new_key]})
+        for k in keys:
+            shutil.rmtree(self._batch_dir(k), ignore_errors=True)
+
+
+def exactly_once_append_sink(table: AppendOnlyTable):
+    """The foreachBatch callable: append each micro-batch unless its
+    batch id is already committed."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.append_batch(batch_df, batch_id)
+
+    return sink
+
+
+def streaming_exactly_once_append(
+    stream_df: DataFrame,
+    table: AppendOnlyTable,
+    checkpoint_dir: str,
+):
+    """Start (and return) the streaming query: exactly-once append of
+    each micro-batch into the table."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(exactly_once_append_sink(table))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

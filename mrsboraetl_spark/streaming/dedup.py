@@ -18,9 +18,10 @@ append and the marker write still duplicates that one batch's bands, so
 downstream consumers should treat the pair sink as at-least-once and
 ``distinct()`` it (dedup_cluster_keepers is insensitive to duplicate
 edges anyway).  Exactly-once needs the data append and the marker
-in one atomic commit — implemented in streaming/versioned_sink.py
-(manifest-swap commit carries the batch id); use it for state tables,
-keep the marker drain + downstream distinct for unbounded appends.
+in one atomic commit — implemented twice: streaming/versioned_sink.py
+(manifest-swap MERGE, for state tables) and streaming/append_sink.py
+(deterministic per-batch staging dir + manifest append commit, for
+unbounded fact streams at O(batch) write cost).
 """
 
 from __future__ import annotations

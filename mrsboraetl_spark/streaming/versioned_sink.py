@@ -27,7 +27,9 @@ upserts them instead of duplicating.  Cost model: every commit rewrites
 the full snapshot (the versioned table's contract) — right for
 dimension/state tables fed by streams (the watermark store, decode
 dimensions, corpus-stats rollups), not for unbounded fact appends,
-which should stay on the marker drains + downstream distinct.
+which get the same exactly-once guarantee at O(batch) write cost from
+streaming/append_sink.py (deterministic per-batch staging dir +
+manifest append commit).
 """
 
 from __future__ import annotations

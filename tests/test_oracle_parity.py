@@ -47,6 +47,13 @@ UNREGISTERED = [
     "setop_intersect_except",
     # Demoted r5 session 2 to free a slot for decontam_ngram_overlap
     "anti_join_no_orders",
+    # Demoted r6 to free slots for search_bm25_topk, dedup_repeated_spans,
+    # curation_epoch_shuffle, fuzzy_join_docs (each demoted family keeps a
+    # driver-green sibling)
+    "union_distinct_queue",
+    "json_props_extract",
+    "dedup_embedding_cosine",
+    "multimodal_decode_stub",
     # Curation layer (added r5): deterministic split/mix, chunking,
     # repetition quality
     "curation_split_assign",
@@ -56,7 +63,6 @@ UNREGISTERED = [
     "curation_quality_filter",
     # Round-5 session 2: lexical search, sketches, packing (decontamination
     # went straight into the driver registry)
-    "search_bm25_topk",
     "sketch_kmv_distinct",
     "curation_pack_sequences",
     "profile_source_percentiles",
@@ -64,13 +70,10 @@ UNREGISTERED = [
     "curation_token_budget_mix",
     # Round-5 session 4: sub-document boilerplate removal, PII redaction,
     # deterministic epoch shuffle
-    "dedup_repeated_spans",
     "curation_redact_pii",
-    "curation_epoch_shuffle",
     "curation_unigram_logprob",
     "curation_oversample_mix",
     "decontam_attribution_pairs",
-    "fuzzy_join_docs",
 ]
 
 
