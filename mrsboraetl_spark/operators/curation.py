@@ -669,6 +669,7 @@ def unigram_logprob(
     id_col: str,
     text_col: str,
     broadcast_vocab: bool = False,
+    max_doc_tokens: int | None = None,
 ) -> DataFrame:
     """(id, n_tokens, nll) — each document's mean negative log-likelihood
     under the corpus's OWN unigram language model (p(t) = corpus count /
@@ -692,14 +693,21 @@ def unigram_logprob(
     (the count side is one row per token, never skewed).
     ``broadcast_vocab=True`` broadcasts the count table for small
     corpora.  ``nll`` is rounded to 4 decimals so double summation order
-    can't flip the oracle hash (the same rule the BM25 oracle uses)."""
+    can't flip the oracle hash (the same rule the BM25 oracle uses).
+    ``max_doc_tokens`` caps the per-document explode at the first N
+    tokens — the guard against a single crawler-artifact monster doc
+    concentrating its whole token stream in one task (the LM's counts
+    then see the same truncated stream; see repetition_metrics)."""
     import math
 
     from mrsboraetl_spark.functions.text import tokens
 
+    ts = tokens(F.col(text_col))
+    if max_doc_tokens is not None:
+        ts = F.slice(ts, 1, max_doc_tokens)
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(tokens(F.col(text_col))).alias("t"),
+        F.explode(ts).alias("t"),
     )
     # Pin the vocabulary counts BEFORE taking the scalar total: the
     # 1-row action below and the token re-join both consume this
@@ -727,7 +735,8 @@ def unigram_logprob(
 
 
 def repetition_metrics(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str,
+    max_doc_tokens: int | None = None,
 ) -> DataFrame:
     """(id, n_tokens, n_distinct, dup_token_frac, top_token_frac,
     top_bigram_frac) per document.
@@ -739,12 +748,22 @@ def repetition_metrics(
     frequent token/bigram — high values mark degenerate/templated text.
     Documents with fewer than 2 tokens get ``top_bigram_frac`` 0.0, not
     null, so downstream threshold filters need no null guard.
-    """
+
+    Cost is bounded by (and ~linear in, modulo GC) the LARGEST document:
+    the (id, token) agg combines map-side inside the task that owns the
+    doc (tests/adversarial_doc_probe.py: a 16M-token doc completes in
+    tens of seconds, no hang).  ``max_doc_tokens`` caps that bound: the
+    metrics are computed over each document's FIRST max_doc_tokens
+    tokens (a documented approximation — a crawler artifact that long
+    is degenerate and will score as such on any prefix), and
+    ``n_tokens`` then reflects the truncated count."""
+    ts = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
+    if max_doc_tokens is not None:
+        ts = F.slice(ts, 1, max_doc_tokens)
     toks = df.select(
-        F.col(id_col).alias("id"),
-        F.split(
-            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
-        ).alias("ts"),
+        F.col(id_col).alias("id"), ts.alias("ts")
     ).where(F.col("ts").isNotNull())
 
     tok_counts = (

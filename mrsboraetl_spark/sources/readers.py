@@ -22,6 +22,33 @@ def read_parquet_table(spark: SparkSession, base_dir: str, name: str) -> DataFra
     return spark.read.parquet(f"{base_dir}/{name}.parquet")
 
 
+def jdbc_pushdown_subquery(
+    table: str, predicate: str | None = None, dialect: str = "ansi"
+) -> str:
+    """The ``dbtable`` string read_jdbc_table hands the JDBC source:
+    the whole predicate lands inside a subquery the SOURCE database
+    plans (index-backed watermark scans, the reference's own shape).
+    Pure function so the generated SQL is unit-testable without a
+    server.
+
+    ``dialect='mysql'`` validates against MySQL's DEFAULT sql_mode
+    (ANSI_QUOTES off), where a double-quoted token is a STRING
+    LITERAL, not an identifier: a predicate written for Derby/ANSI —
+    ``"voided" = 0`` — silently becomes the constant comparison
+    ``'voided' = 0`` on MySQL (string cast to 0, true for every row)
+    and the watermark filter stops filtering.  That failure mode is
+    silent data corruption, so it is rejected loudly here; MySQL
+    identifiers needing quoting use backticks, which pass through
+    verbatim."""
+    if predicate and dialect == "mysql" and '"' in predicate:
+        raise ValueError(
+            "double-quoted tokens are string literals under MySQL's "
+            "default sql_mode, not identifiers — use backticks: "
+            + predicate
+        )
+    return f"(select * from {table} where {predicate}) t" if predicate else table
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,
@@ -32,14 +59,17 @@ def read_jdbc_table(
     lower_bound: int | str | None = None,
     upper_bound: int | str | None = None,
     properties: dict[str, str] | None = None,
+    dialect: str = "ansi",
 ) -> DataFrame:
     """Partitioned JDBC scan with an optional pushed-down predicate.
 
     ``predicate`` lands inside the generated subquery, so e.g. the watermark
     range (date_created > wm) is evaluated by the source database against
     its own indexes — the same plan shape the reference hand-wrote.
+    ``dialect='mysql'`` turns on the MySQL quoting validation
+    (jdbc_pushdown_subquery) for the reference's actual source engine.
     """
-    dbtable = f"(select * from {table} where {predicate}) t" if predicate else table
+    dbtable = jdbc_pushdown_subquery(table, predicate, dialect)
     reader = (
         spark.read.format("jdbc")
         .option("url", url)

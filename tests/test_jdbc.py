@@ -56,3 +56,40 @@ def test_jdbc_partitioned_read(spark, jdbc_url):
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == 1000
     assert df.agg(F.sum("obs_id")).first()[0] == 999 * 1000 // 2
+
+
+# ------------------------------------------- MySQL dialect (no server)
+
+
+def test_mysql_pushdown_subquery_shape():
+    """The generated dbtable subquery for the reference's watermark scan,
+    spelled in MySQL's dialect: backticked identifiers, single-quoted
+    timestamp literal — all constructs valid under default sql_mode."""
+    from mrsboraetl_spark.sources.readers import jdbc_pushdown_subquery
+
+    sql = jdbc_pushdown_subquery(
+        "openmrs.obs",
+        "`voided` = 0 and `date_created` > '2024-06-01 00:00:00'",
+        dialect="mysql",
+    )
+    assert sql == (
+        "(select * from openmrs.obs where `voided` = 0 and "
+        "`date_created` > '2024-06-01 00:00:00') t"
+    )
+    # No predicate: the bare table name passes through untouched.
+    assert jdbc_pushdown_subquery("openmrs.obs", dialect="mysql") == "openmrs.obs"
+
+
+def test_mysql_dialect_rejects_ansi_quoted_identifiers():
+    """Under MySQL's default sql_mode a double-quoted token is a STRING
+    LITERAL: the Derby-style predicate '"voided" = 0' would silently
+    become the constant 'voided' = 0 (true for every row — the
+    watermark filter stops filtering).  Silent corruption, so reject."""
+    import pytest as _pytest
+
+    from mrsboraetl_spark.sources.readers import jdbc_pushdown_subquery
+
+    with _pytest.raises(ValueError, match="backticks"):
+        jdbc_pushdown_subquery("obs", '"voided" = 0', dialect="mysql")
+    # The same predicate stays legal under the ANSI/Derby default.
+    assert '"voided"' in jdbc_pushdown_subquery("obs", '"voided" = 0')

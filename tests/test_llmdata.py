@@ -768,3 +768,56 @@ def test_sequence_boundaries_tile_and_attribute(spark):
                 assert t.startswith(f"d{b.id}t"), (t, b)
             pos += b.len
         assert pos == r.seq_tokens == len(toks)
+
+
+def test_max_doc_tokens_guard_truncates_monster_docs(spark):
+    """max_doc_tokens (VERDICT r5 item 5): metrics for an over-long doc
+    equal the metrics of its prefix, other docs unchanged, default off."""
+    from mrsboraetl_spark.operators.curation import (
+        repetition_metrics,
+        unigram_logprob,
+    )
+
+    long_text = " ".join(
+        "spam" if i % 2 == 0 else "ham" for i in range(1000)
+    )
+    prefix = " ".join(long_text.split(" ")[:100])
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "a small normal document here")],
+        "doc_id int, text string",
+    )
+    df_pref = spark.createDataFrame(
+        [(1, prefix), (2, "a small normal document here")],
+        "doc_id int, text string",
+    )
+
+    got = {
+        r.id: r
+        for r in repetition_metrics(
+            df, "doc_id", "text", max_doc_tokens=100
+        ).collect()
+    }
+    want = {
+        r.id: r
+        for r in repetition_metrics(df_pref, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert got[1].n_tokens == 100 and got[2].n_tokens == 5
+
+    lp = {
+        r.id: r
+        for r in unigram_logprob(
+            df, "doc_id", "text", max_doc_tokens=100
+        ).collect()
+    }
+    lp_want = {
+        r.id: r for r in unigram_logprob(df_pref, "doc_id", "text").collect()
+    }
+    assert lp == lp_want and lp[1].n_tokens == 100
+
+    # Default (no cap) is byte-identical to before.
+    full = {
+        r.id: r.n_tokens
+        for r in repetition_metrics(df, "doc_id", "text").collect()
+    }
+    assert full[1] == 1000
