@@ -1416,7 +1416,7 @@ UNREGISTERED_ORACLES["decontam_attribution_pairs"] = f"""
 
 def fuzzy_join_docs(spark, sf_dir):
     """Fuzzy text JOIN between two DIFFERENT relations (record linkage):
-    the eval slice (doc_id % 23 == 0) joined against the train slice on
+    the eval slice (doc_id % 5 == 0) joined against the train slice on
     textual similarity, banded-minhash candidates + exact in-row Jaccard
     >= 0.5.  The naive spelling is a similarity-predicate cartesian; this
     one is two band equi-joins.  Non-vacuous on the self-similar corpus
@@ -1425,8 +1425,11 @@ def fuzzy_join_docs(spark, sf_dir):
     from mrsboraetl_spark.operators.dedup import fuzzy_text_join
 
     docs = table(spark, sf_dir, "documents")
-    left = docs.filter(F.col("doc_id") % 23 != 0)
-    right = docs.filter(F.col("doc_id") % 23 == 0)
+    # % 5 (not a sparser slice): the hash-check is only as strong as
+    # the rows it covers — this split yields ~14 cross-slice near-dup
+    # pairs at the driver's sf0.01 (a % 23 split left just 1).
+    left = docs.filter(F.col("doc_id") % 5 != 0)
+    right = docs.filter(F.col("doc_id") % 5 == 0)
     return fuzzy_text_join(
         left, right, "doc_id", "text", "doc_id", "text",
         threshold=0.5, num_hashes=8, k=5, rows_per_band=4,
@@ -1437,8 +1440,8 @@ UNREGISTERED_ORACLES["fuzzy_join_docs"] = f"""
     WITH {_MINHASH_BANDS.format(shingles=_SHINGLES, shingle_hashes=_SHINGLE_HASHES, mh_a=_MH_A, mh_b=_MH_B)}
     , cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM (SELECT * FROM bands WHERE doc_id % 23 <> 0) a
-      JOIN (SELECT * FROM bands WHERE doc_id % 23 = 0) b
+      FROM (SELECT * FROM bands WHERE doc_id % 5 <> 0) a
+      JOIN (SELECT * FROM bands WHERE doc_id % 5 = 0) b
         ON a.band = b.band AND a.bk = b.bk
     ), verified AS (
       SELECT id_a, id_b,

@@ -23,13 +23,14 @@ processed" record commit in ONE atomic manifest swap:
 
 MERGE (replace-into by key) rather than blind append also makes the
 sink idempotent at the ROW level: a source that re-delivers rows
-upserts them instead of duplicating.  Cost model: every commit rewrites
-the full snapshot (the versioned table's contract) — right for
-dimension/state tables fed by streams (the watermark store, decode
-dimensions, corpus-stats rollups), not for unbounded fact appends,
-which get the same exactly-once guarantee at O(batch) write cost from
-streaming/append_sink.py (deterministic per-batch staging dir +
-manifest append commit).
+upserts them instead of duplicating.  Cost model (r6): commits go
+through ``VersionedTable.merge_delta`` — only the data files holding
+matched keys are rewritten, untouched files are shared forward in the
+manifest — so the per-batch write is O(touched files + batch), not a
+full snapshot.  Right for dimension/state tables fed by streams (the
+watermark store, decode dimensions, corpus-stats rollups); unbounded
+fact appends use streaming/append_sink.py (deterministic per-batch
+staging dir + manifest append commit, no key semantics needed).
 """
 
 from __future__ import annotations
@@ -53,7 +54,7 @@ def exactly_once_merge_sink(table: VersionedTable, keys: Sequence[str]):
         note = _batch_note(batch_id)
         if any(h.get("note") == note for h in table.history()):
             return
-        table.merge(batch_df.sparkSession, batch_df, keys, note=note)
+        table.merge_delta(batch_df.sparkSession, batch_df, keys, note=note)
 
     return sink
 

@@ -170,3 +170,94 @@ def test_streaming_exactly_once_merge(spark, tmp_path):
     assert (3, "v3b") in final and (99, "new") in final
     assert (3, "v3") not in final
     assert len(final) == 31
+
+
+# ------------------------------------------ file-level snapshot reuse
+
+
+def test_merge_delta_rewrites_only_touched_files(spark, tmp_path):
+    """merge_delta (Delta/Iceberg MERGE cost model): a new version's
+    manifest reuses every base file without a matched key, rewriting
+    only the touched ones — and reads/time travel stay exact."""
+    from mrsboraetl_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "pk int, v string"
+    ).repartition(8, "pk")  # several files, key-partitioned
+    vt.commit(base, note="base")
+
+    delta = spark.createDataFrame(
+        [(3, "NEW3"), (200, "NEW200")], "pk int, v string"
+    )
+    v1 = vt.merge_delta(spark, delta, ["pk"], note="delta1")
+    entry = [e for e in vt.history() if e["version"] == v1][0]
+    # Only the file(s) holding pk=3 were rewritten; the rest reused.
+    assert entry["rewrote_files"] >= 1
+    assert entry["reused_files"] >= 5, entry
+    reused = [f for f in entry["files"] if f.startswith("v0/")]
+    assert len(reused) == entry["reused_files"]
+
+    got = {r.pk: r.v for r in vt.read(spark).collect()}
+    want = {i: f"v{i}" for i in range(100)}
+    want.update({3: "NEW3", 200: "NEW200"})
+    assert got == want
+    # Time travel to the base version still exact.
+    assert {r.pk: r.v for r in vt.read(spark, version=0).collect()} == {
+        i: f"v{i}" for i in range(100)
+    }
+    # Content identical to the full-snapshot merge on a twin table.
+    vt2 = VersionedTable(str(tmp_path / "vt2"))
+    vt2.commit(base, note="base")
+    vt2.merge(spark, delta, ["pk"])
+    got2 = {r.pk: r.v for r in vt2.read(spark).collect()}
+    assert got == got2
+
+
+def test_merge_delta_vacuum_keeps_shared_files(spark, tmp_path):
+    """vacuum must not delete a v0 file that a kept (file-reuse)
+    version still references."""
+    import os
+
+    from mrsboraetl_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "pk int, v string"
+    ).repartition(8, "pk")
+    vt.commit(base)
+    for step in range(3):  # v1..v3, each touching one key
+        vt.merge_delta(
+            spark,
+            spark.createDataFrame([(step, f"s{step}")], "pk int, v string"),
+            ["pk"],
+        )
+    dropped = vt.vacuum(keep_last=2)  # keep v2, v3
+    assert 1 in dropped or dropped == [1] or dropped == []  # v1 droppable only if unshared
+    # Latest still reads completely and correctly after vacuum.
+    got = {r.pk: r.v for r in vt.read(spark).collect()}
+    assert len(got) == 100 and got[0] == "s0" and got[2] == "s2"
+    # Shared v0 files referenced by kept versions still on disk.
+    latest_files = [
+        e for e in vt.history() if e["version"] == vt.version()
+    ][0]["files"]
+    for f in latest_files:
+        assert os.path.exists(os.path.join(vt.root, f)), f
+
+
+def test_merge_delta_empty_table_and_schema_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from mrsboraetl_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt"))
+    v0 = vt.merge_delta(
+        spark, spark.createDataFrame([(1, "a")], "pk int, v string"), ["pk"]
+    )
+    assert v0 == 0 and vt.read(spark).count() == 1
+    with _pytest.raises(ValueError, match="equal schemas"):
+        vt.merge_delta(
+            spark,
+            spark.createDataFrame([(2, "b", 1)], "pk int, v string, extra int"),
+            ["pk"],
+        )
