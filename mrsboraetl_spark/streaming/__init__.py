@@ -14,4 +14,14 @@ from mrsboraetl_spark.streaming.stateful import (
     stream_events,
 )
 
-__all__ = ["stream_events", "drain_to_batch"]
+__all__ = ["stream_events", "drain_to_batch", "streaming_pipeline_sync"]
+
+
+def streaming_pipeline_sync(*args, **kwargs):
+    """Lazy re-export (streaming/pipeline.py imports the engine, which
+    a lightweight streaming import shouldn't pay for)."""
+    from mrsboraetl_spark.streaming.pipeline import (
+        streaming_pipeline_sync as _f,
+    )
+
+    return _f(*args, **kwargs)

@@ -333,3 +333,70 @@ def test_streaming_append_sink_equals_source(spark, sf_dir, tmp_path):
     got = sink_table.read(spark)
     assert got.count() == docs.count()
     assert got.select("doc_id").distinct().count() == docs.count()
+
+
+def test_streaming_pipeline_sync_equals_batch_rebuild(spark, tmp_path):
+    """The continuous five-stage pipeline (streaming/pipeline.py): obs
+    files landing in three waves each trigger an incremental sync; the
+    final targets must equal a one-shot batch rebuild over the full
+    sources — streaming and batch agree on complete data (I5's
+    contract, applied to the WHOLE pipeline)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mrsboraetl_spark.engine import PipelineRunner
+    from mrsboraetl_spark.streaming.pipeline import streaming_pipeline_sync
+    from tests.fixtures import make_sources, to_spark
+
+    dfs = to_spark(spark, make_sources(n_persons=10, seed=13))
+    dirs = {}
+    for name in ("obs", "encounter", "orders", "person"):
+        d = str(tmp_path / name)
+        if name == "obs":
+            # Three arrival waves split on date_created thirds: files
+            # land in watermark order, like a real source refresh.
+            ts = [
+                r[0]
+                for r in dfs["obs"]
+                .select(
+                    F.percentile_approx(
+                        "date_created", [0.33, 0.66]
+                    )
+                )
+                .collect()
+            ][0]
+            parts = [
+                dfs["obs"].filter(F.col("date_created") <= F.lit(ts[0])),
+                dfs["obs"].filter(
+                    (F.col("date_created") > F.lit(ts[0]))
+                    & (F.col("date_created") <= F.lit(ts[1]))
+                ),
+                dfs["obs"].filter(F.col("date_created") > F.lit(ts[1])),
+            ]
+            for i, p in enumerate(parts):
+                p.coalesce(1).write.mode("append").parquet(d)
+        else:
+            dfs[name].write.parquet(d)
+        dirs[name] = d
+
+    runner = PipelineRunner(spark, str(tmp_path / "targets"))
+    q = streaming_pipeline_sync(
+        spark, runner, dirs, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    fresh = PipelineRunner(spark, str(tmp_path / "fresh"))
+    fresh.run(dfs, mode="rebuild")
+    for table in (
+        "flat_obs", "flat_visit_summary", "flat_latest_hiv_summary"
+    ):
+        a = runner.read_target(table).toPandas()
+        b = fresh.read_target(table).toPandas()
+        cols = sorted(c for c in a.columns if c != "obs_map")
+        sa = sorted(map(tuple, a[cols].astype(str).itertuples(index=False)))
+        sb = sorted(map(tuple, b[cols].astype(str).itertuples(index=False)))
+        assert sa == sb, table
