@@ -181,57 +181,29 @@ class PipelineRunner:
     # per-directory swaps, so fall back.
     _DELTA_WRITE_MAX_FRACTION = 0.5
 
-    def _write(
-        self,
-        df: DataFrame,
-        table: str,
-        affected_months: DataFrame | None = None,
-    ) -> None:
-        """``affected_months``: the incremental plans' 1-column superset
-        of storage months whose content can differ from the previous
-        target state (see incremental_flat_obs).  When given under the
-        partitioned layout, only those ``p_month`` directories are
-        rewritten — write I/O scales with the DELTA, not the target
-        (the reference's ``REPLACE INTO`` cost model,
-        flat_obs_v1.0.sql:115) — at the price of per-directory (not
-        whole-table) swap atomicity: a crash mid-sequence leaves a mix
-        of old and new months, which the un-advanced watermark converges
-        on the next sync (same contract as Spark's dynamic
-        partition-overwrite on HDFS).  Readers needing snapshot
-        isolation use the versioned layout instead."""
+    def read_target_months(
+        self, table: str, months: list[str]
+    ) -> DataFrame:
+        """The target restricted to the given storage months, with the
+        month predicate applied ON THE PHYSICAL PARTITION COLUMN so
+        Spark's planning-time partition pruning opens only those
+        directories — the read-side complement of the delta-scoped
+        write (at 100 TB this is what makes a sync O(delta months) end
+        to end instead of an O(target) scan feeding an O(delta)
+        write)."""
+        df = self.spark.read.parquet(self._path(table))
+        return df.filter(
+            F.col(self.PARTITION_COL).isin(months)
+        ).drop(self.PARTITION_COL)
+
+    def _write(self, df: DataFrame, table: str) -> None:
+        """Full write: cluster, stage, atomic whole-table swap."""
         pk = self._CLUSTER_BY.get(table)
         part_src = self._PARTITION_SRC.get(table) if self.partitioned else None
         if part_src:
             from mrsboraetl_spark.schemas import p_month_of
 
             df = df.withColumn(self.PARTITION_COL, p_month_of(part_src))
-            if affected_months is not None and os.path.exists(
-                self._path(table)
-            ):
-                # Bounded driver action: distinct storage months (tens of
-                # rows for years of data — the watermark-store precedent).
-                months = sorted(
-                    r["p_month"] for r in affected_months.collect()
-                )
-                existing = {
-                    d.split("=", 1)[1]
-                    for d in os.listdir(self._path(table))
-                    if d.startswith(self.PARTITION_COL + "=")
-                }
-                universe = existing | set(months)
-                if not universe or len(months) <= (
-                    self._DELTA_WRITE_MAX_FRACTION * len(universe)
-                ):
-                    # The month filter sits BELOW the clustering shuffle:
-                    # unaffected months' rows are never shuffled, sorted,
-                    # or serialized — the write job is O(delta).
-                    delta = (
-                        df.filter(F.col(self.PARTITION_COL).isin(months))
-                        .repartition(self.PARTITION_COL, *pk)
-                        .sortWithinPartitions(*pk)
-                    )
-                    self._write_months(delta, self._path(table), months)
-                    return
             # Shuffle on (month, pk): every task's rows land in a single
             # month directory (no file fan-out across partitions) and stay
             # sorted on the PK inside it for row-group stats.
@@ -259,6 +231,27 @@ class PipelineRunner:
         os.replace(tmp, path)
         if os.path.exists(old):
             shutil.rmtree(old)
+
+    def _write_delta(
+        self, df: DataFrame, table: str, months: list[str]
+    ) -> None:
+        """Delta-scoped write: ``df`` is the merged state of the
+        affected months only; cluster it and swap just those
+        directories (see _write_months for the crash contract)."""
+        from mrsboraetl_spark.schemas import p_month_of
+
+        pk = self._CLUSTER_BY[table]
+        part_src = self._PARTITION_SRC[table]
+        delta = (
+            df.withColumn(self.PARTITION_COL, p_month_of(part_src))
+            # The plans' superset contract puts every merged row in an
+            # affected month; the filter pins the staged write to the
+            # exact swap set (rows outside it could never be promoted).
+            .filter(F.col(self.PARTITION_COL).isin(months))
+            .repartition(self.PARTITION_COL, *pk)
+            .sortWithinPartitions(*pk)
+        )
+        self._write_months(delta, self._path(table), months)
 
     def _write_months(
         self, df: DataFrame, path: str, months: list[str]
@@ -378,16 +371,50 @@ class PipelineRunner:
         )
 
     def _stage(self, table: str, plan, data_wm) -> None:
+        """One pipeline stage.  Under the partitioned layout an
+        incremental sync runs in TWO phases so both its read and its
+        write scale with the delta, not the target:
+
+        1. build the plan against the full target; its ``out``
+           side-channel yields the affected-month superset (one
+           column-pruned key/datetime probe of the target — the only
+           full-target touch left in a sync);
+        2. if the delta is month-local, RE-RUN the plan against the
+           month-pruned target (planning-time partition pruning: only
+           affected directories are even opened — rows elsewhere are
+           neither retracted nor rewritten, so excluding them is
+           exact) and swap just those directories.  An empty month set
+           means a no-op sync: nothing is read beyond the probe,
+           nothing is written.  Falls back to the full single-phase
+           write when the delta spans most months (or the layout is
+           unpartitioned/versioned/cold-start)."""
         started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         version = TABLE_VERSIONS[table]
         target = self.read_target(table)
         wm = self.watermarks.last_update(version, fallback=target)
-        # Incremental plans stash their affected-month superset here so
-        # the partitioned writer can scope the rewrite to the delta;
-        # rebuild/cold-start plans leave it unset (full write).
         out: dict = {}
-        self._write(
-            plan(target, wm, out), table,
-            affected_months=out.get("affected_months"),
-        )
+        merged = plan(target, wm, out)
+        months_df = out.get("affected_months")
+        part_src = self._PARTITION_SRC.get(table) if self.partitioned else None
+        if part_src and months_df is not None and target is not None:
+            # Bounded driver action: distinct storage months (tens of
+            # rows for years of data — the watermark-store precedent).
+            months = sorted(r["p_month"] for r in months_df.collect())
+            existing = {
+                d.split("=", 1)[1]
+                for d in os.listdir(self._path(table))
+                if d.startswith(self.PARTITION_COL + "=")
+            }
+            universe = existing | set(months)
+            if not universe or len(months) <= (
+                self._DELTA_WRITE_MAX_FRACTION * len(universe)
+            ):
+                if months:
+                    pruned = self.read_target_months(table, months)
+                    self._write_delta(
+                        plan(pruned, wm, None), table, months
+                    )
+                self.watermarks.log_run(version, started, data_wm)
+                return
+        self._write(merged, table)
         self.watermarks.log_run(version, started, data_wm)
