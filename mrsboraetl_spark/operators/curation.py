@@ -817,3 +817,93 @@ def repetition_metrics(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "strat1",
+    prefilter_slack: float = 2.0,
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows from every stratum (all rows when a
+    stratum is smaller), chosen as the n smallest ``md5(id:salt)`` values
+    — a deterministic uniform quota sample (``sampleBy`` is Bernoulli:
+    approximate counts only), stable under repartitioning and corpus
+    growth of OTHER strata, exactly like the pipeline's split/mix
+    hashing.
+
+    Scale shape: the naive spelling is one window over each stratum —
+    the whole stratum sorts in a single task (the giant-stratum hazard).
+    Instead: per-stratum counts (tiny agg) set a HASH-THRESHOLD
+    prefilter — md5 is uniform on [0, 16^8), so the n-th smallest hash
+    of a stratum of size s concentrates near (n/s) * 16^8; keeping
+    hashes below ``slack`` x that expectation passes ~slack * n rows
+    per stratum (never losing a winner requires slack-sized headroom:
+    with slack=2 the n-th order statistic exceeds twice its expectation
+    with probability exp(-Theta(n)); the guard below FALLS BACK to the
+    unfiltered stratum if the prefilter ever under-delivers, so the
+    result is exact regardless).  The final window then ranks only
+    ~slack*n survivors per stratum — bounded work per stratum no matter
+    how large the stratum is."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = df.withColumn("_h", h)
+    # Bounded driver action: one row per stratum.
+    counts = {
+        r["s"]: r["c"]
+        for r in hashed.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    space = float(16 ** 8)
+    thresholds = {
+        s: (
+            space  # stratum fits entirely: no filtering
+            if c <= n_per_stratum
+            else min(
+                space, prefilter_slack * n_per_stratum / c * space
+            )
+        )
+        for s, c in counts.items()
+    }
+    thr = F.lit(None).cast("double")
+    for s, t in thresholds.items():
+        thr = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thr)
+    survivors = hashed.filter(F.col("_h") < thr)
+    # Exactness guard: a stratum whose prefilter passed fewer than n
+    # rows (possible only at exponentially small probability) falls
+    # back to its full population.
+    surv_counts = {
+        r["s"]: r["c"]
+        for r in survivors.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # A stratum whose prefilter passed NOTHING has no groupBy row at
+    # all — iterate the population counts, not the survivor counts.
+    short = [
+        s
+        for s, c in counts.items()
+        if c > n_per_stratum and surv_counts.get(s, 0) < n_per_stratum
+    ]
+    if short:
+        survivors = survivors.filter(
+            ~F.col(strata_col).isin(short)
+        ).unionByName(hashed.filter(F.col(strata_col).isin(short)))
+    w = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_h", "_rn")
+    )

@@ -1475,3 +1475,30 @@ for _name, _fn in (
 ):
     register(_name, UNREGISTERED_ORACLES.pop(_name))(_fn)
 del _name, _fn
+
+
+def curation_stratified_sample(spark, sf_dir):
+    """Exact quota sampling: precisely 10 documents per source, the 10
+    smallest md5(id:salt) per stratum — what sampleBy (Bernoulli) can't
+    promise.  Scale path = hash-threshold prefilter + window over the
+    ~2n survivors per stratum (operators/curation.py).  Unregistered
+    (driver cap); oracle = the naive full-window spelling."""
+    from mrsboraetl_spark.operators.curation import stratified_sample_exact
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample_exact(
+        docs, "source", "doc_id", n_per_stratum=10, salt="strat1"
+    ).select("doc_id", "source")
+
+
+UNREGISTERED_ORACLES["curation_stratified_sample"] = """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':strat1'),
+                                        1, 8))::BIGINT, doc_id
+             ) AS rn
+      FROM documents
+    ) q WHERE rn <= 10
+"""

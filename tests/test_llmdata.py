@@ -821,3 +821,38 @@ def test_max_doc_tokens_guard_truncates_monster_docs(spark):
         for r in repetition_metrics(df, "doc_id", "text").collect()
     }
     assert full[1] == 1000
+
+
+def test_stratified_sample_exact_quota_and_fallback(spark):
+    """stratified_sample_exact: exactly min(n, |stratum|) rows per
+    stratum, equal to the naive full-window selection, deterministic
+    under repartitioning, and still exact when the prefilter is forced
+    to under-deliver (slack < 1 exercises the fallback)."""
+    from pyspark.sql.window import Window
+
+    from mrsboraetl_spark.operators.curation import stratified_sample_exact
+
+    rows = [(i, "big") for i in range(500)] + [(1000 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+
+    got = stratified_sample_exact(df, "source", "doc_id", 10)
+    counts = {r.source: r.c for r in got.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"big": 10, "tiny": 3}
+
+    # Equal to the naive spelling (n smallest salted hashes per stratum).
+    h = F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat1"))), 1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    want = {
+        (r.doc_id, r.source)
+        for r in df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).collect()
+    }
+    assert {(r.doc_id, r.source) for r in got.collect()} == want
+
+    # Deterministic under repartitioning.
+    got2 = stratified_sample_exact(df.repartition(13), "source", "doc_id", 10)
+    assert {(r.doc_id, r.source) for r in got2.collect()} == want
+
+    # Fallback path: slack too small to pass 10 rows -> full-stratum
+    # fallback keeps the result exact.
+    got3 = stratified_sample_exact(df, "source", "doc_id", 10, prefilter_slack=0.01)
+    assert {(r.doc_id, r.source) for r in got3.collect()} == want

@@ -74,6 +74,8 @@ UNREGISTERED = [
     "curation_unigram_logprob",
     "curation_oversample_mix",
     "decontam_attribution_pairs",
+    # Round 6: exact quota sampling (hash-threshold prefilter + window)
+    "curation_stratified_sample",
 ]
 
 
