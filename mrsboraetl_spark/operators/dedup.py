@@ -884,6 +884,56 @@ def dedup_cluster_keepers(
     )
 
 
+def dedup_cluster_keepers_by_priority(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    priority_col: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """(id, cluster, keeper_id, is_keeper) for every row of ``df``:
+    like :func:`dedup_cluster_keepers` but the keeper of each cluster is
+    the row with the HIGHEST ``priority_col`` (min id as the
+    deterministic tie-break) — the policy real curation needs when the
+    same document was crawled from several sources of unequal quality
+    (keep the books copy, drop the crawl copies); min-id keeping would
+    choose by accident of ingestion order.
+
+    Shape: connected components assign clusters (O(log d) pointer-
+    doubling rounds); one window over the cluster key ranks candidates.
+    The window partition is the CLUSTER — bounded by the largest
+    near-dup cluster, which exact-first composition
+    (:func:`exact_then_near_pairs`) keeps small."""
+    from pyspark.sql.window import Window
+
+    comps = connected_components(pairs, src, dst, **cc_kwargs)
+    clustered = (
+        df.select(F.col(id_col).alias("id"), F.col(priority_col).alias("_p"))
+        .join(comps.select(F.col("node").alias("id"), "label"), "id", "left")
+        .select(
+            "id",
+            "_p",
+            F.coalesce(F.col("label"), F.col("id")).alias("cluster"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_p").desc(), F.col("id").asc()
+    )
+    return (
+        clustered.withColumn(
+            "keeper_id", F.first("id").over(w)
+        )
+        .select(
+            "id",
+            "cluster",
+            "keeper_id",
+            (F.col("id") == F.col("keeper_id")).alias("is_keeper"),
+        )
+    )
+
+
 def fuzzy_text_join(
     left: DataFrame,
     right: DataFrame,

@@ -1502,3 +1502,69 @@ UNREGISTERED_ORACLES["curation_stratified_sample"] = """
       FROM documents
     ) q WHERE rn <= 10
 """
+
+
+def dedup_cluster_keepers_priority(spark, sf_dir):
+    """r6: priority-aware keeper selection — within each near-dup
+    cluster keep the LONGEST document (n_chars, min-id tie-break), the
+    keep-the-best-source policy real curation wants instead of min-id's
+    accident of ingestion order.  Same LSH pairs + connected components
+    as dedup_cluster_keepers; the keeper pick is one window over the
+    cluster key.  Unregistered (driver cap); oracle-checked."""
+    from mrsboraetl_spark.operators.dedup import (
+        dedup_cluster_keepers_by_priority,
+        lsh_verified_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(
+        docs, "doc_id", "text", num_hashes=8, k=5, rows_per_band=4,
+        threshold=0.5,
+    )
+    return dedup_cluster_keepers_by_priority(
+        docs, pairs, "doc_id", "n_chars"
+    )
+
+
+UNREGISTERED_ORACLES["dedup_cluster_keepers_priority"] = f"""
+    WITH RECURSIVE {_MINHASH_BANDS.format(shingles=_SHINGLES, shingle_hashes=_SHINGLE_HASHES, mh_a=_MH_A, mh_b=_MH_B)}
+    , cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(x.hs, y.hs)) AS n_common,
+             len(x.hs) AS sz_a, len(y.hs) AS sz_b
+      FROM cands
+      JOIN hashed x ON x.doc_id = doc_a
+      JOIN hashed y ON y.doc_id = doc_b
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM verified
+      WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.5
+    ), sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), reach(node, label) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.v, r.label
+      FROM reach r JOIN sym s ON s.u = r.node
+      WHERE r.label < s.v
+    ), comp AS (
+      SELECT node, min(label) AS label FROM reach GROUP BY node
+    ), clustered AS (
+      SELECT d.doc_id AS id, d.n_chars AS p,
+             coalesce(c.label, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT id, cluster,
+           first_value(id) OVER (
+             PARTITION BY cluster ORDER BY p DESC, id ASC
+           ) AS keeper_id,
+           id = first_value(id) OVER (
+             PARTITION BY cluster ORDER BY p DESC, id ASC
+           ) AS is_keeper
+    FROM clustered
+"""

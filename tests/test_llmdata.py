@@ -856,3 +856,32 @@ def test_stratified_sample_exact_quota_and_fallback(spark):
     # fallback keeps the result exact.
     got3 = stratified_sample_exact(df, "source", "doc_id", 10, prefilter_slack=0.01)
     assert {(r.doc_id, r.source) for r in got3.collect()} == want
+
+
+def test_cluster_keepers_by_priority_picks_best_not_min(spark):
+    """Priority keeper: within a cluster the HIGHEST-priority doc wins
+    even when it has the largest id (min-id would pick wrong); ties
+    break on min id; singletons keep themselves."""
+    from mrsboraetl_spark.operators.dedup import (
+        dedup_cluster_keepers_by_priority,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5)],
+        "doc_id int, quality int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a int, doc_b int"
+    )
+    out = {
+        r.id: (r.cluster, r.keeper_id, r.is_keeper)
+        for r in dedup_cluster_keepers_by_priority(
+            docs, pairs, "doc_id", "quality"
+        ).collect()
+    }
+    # Cluster {1,2,3}: priorities 10/99/99 -> keeper 2 (99, min id).
+    assert out[1] == (1, 2, False)
+    assert out[2] == (1, 2, True)
+    assert out[3] == (1, 2, False)
+    # Singleton keeps itself.
+    assert out[7] == (7, 7, True)

@@ -76,6 +76,8 @@ UNREGISTERED = [
     "decontam_attribution_pairs",
     # Round 6: exact quota sampling (hash-threshold prefilter + window)
     "curation_stratified_sample",
+    # Round 6: priority-aware near-dup keeper selection
+    "dedup_cluster_keepers_priority",
 ]
 
 
