@@ -74,7 +74,37 @@ class VersionedTable:
     def history(self) -> list[dict]:
         return self._read_manifest()["history"]
 
-    def commit(self, df: DataFrame, note: str = "") -> int:
+    def _file_key_stats(
+        self, spark: SparkSession, data_dir: str, key: str
+    ) -> dict:
+        """{relpath: [min, max]} of ``key`` per data file just written —
+        one bounded pass over the NEW data (Iceberg's per-file column
+        bounds, recorded at write time so later merges can prune their
+        touched-file probe without scanning the whole table).  Only
+        JSON-native key types (int/float/str/bool) are recorded;
+        anything else returns {} and merges fall back to the full
+        probe."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            spark.read.parquet(data_dir)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+            .collect()
+        )
+        vals = [v for r in rows for v in (r["lo"], r["hi"])]
+        if not all(
+            v is None or isinstance(v, (int, float, str, bool))
+            for v in vals
+        ):
+            return {}
+        return {
+            self._relpath(r["_f"]): [r["lo"], r["hi"]] for r in rows
+        }
+
+    def commit(
+        self, df: DataFrame, note: str = "", stats_key: str | None = None
+    ) -> int:
         """Write ``df`` as the next version; atomic at the manifest swap.
 
         Data lands in a unique staging dir first and is renamed into
@@ -85,7 +115,12 @@ class VersionedTable:
         commit (the manifest still points at ``next_v - 1``), so it is
         removed; the final ``os.rename`` keeps the put-if-absent contract
         against a concurrent writer.
-        """
+
+        ``stats_key``: record per-file [min, max] bounds of this column
+        in the manifest (one pass over the new data) — merge_delta then
+        probes only files whose range can hold a delta key.  Most
+        effective when ``df`` is repartitioned+sorted on that key so
+        ranges are tight and disjoint."""
         import shutil
         import uuid
 
@@ -104,11 +139,14 @@ class VersionedTable:
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
+        entry = {"version": next_v, "rows": n_rows, "note": note}
+        if stats_key is not None:
+            entry["stats_key"] = stats_key
+            entry["file_stats"] = self._file_key_stats(
+                df.sparkSession, data_dir, stats_key
+            )
         manifest["version"] = next_v
-        manifest["history"] = [
-            *manifest["history"], {"version": next_v, "rows": n_rows,
-                                   "note": note},
-        ]
+        manifest["history"] = [*manifest["history"], entry]
         self._commit_manifest(manifest)
         return next_v
 
@@ -190,10 +228,24 @@ class VersionedTable:
         mutated.  ``vacuum`` only deletes files no kept version
         references, so sharing is safe.
 
-        At scale the touched-file discovery is a key-column scan of the
-        base (column-pruned parquet); with the engine's PK-sorted file
-        layout the row-group stats already narrow it.  Requires equal
-        schemas (schema evolution forces a full rewrite — use
+        Touched-file discovery (two pruning layers):
+
+        1. **manifest key bounds** — when the base version carries
+           per-file [min, max] stats of ``keys[0]`` (``stats_key`` on
+           commit; merge_delta records and carries them forward
+           automatically), only files whose range can contain a delta
+           key are probed at all.  The containment test is a broadcast
+           range join of the delta's key set against the (tiny) file
+           list — a nested-loop against |files| rows, each key testing
+           a bounded handful of ranges (legitimate NLJ: the broadcast
+           side IS the file manifest, not data).  Files lacking stats
+           stay candidates (conservative).
+        2. **exact probe** — ``input_file_name()`` semi-join over the
+           CANDIDATE files only (column-pruned key scan).
+
+        With the PK-sorted layout ranges are tight and disjoint, so a
+        point-delta probes ~1 file regardless of table size.  Requires
+        equal schemas (schema evolution forces a full rewrite — use
         ``merge(evolve_schema=True)``)."""
         import shutil
         import uuid
@@ -203,7 +255,7 @@ class VersionedTable:
         from mrsboraetl_spark.operators.upsert import anti_delete
 
         if self.version() < 0:
-            return self.commit(delta, note=note)
+            return self.commit(delta, note=note, stats_key=keys[0])
         base_files = self._files_of(self.version())
         abs_files = [os.path.join(self.root, f) for f in base_files]
         base = spark.read.parquet(*abs_files)
@@ -213,15 +265,49 @@ class VersionedTable:
                 "merge(evolve_schema=True) for schema changes"
             )
         key_rows = delta.select(*keys).distinct()
-        tagged = base.withColumn("_file", F.input_file_name())
-        # Bounded driver action: one row per data file holding a match.
-        touched_rel = {
-            self._relpath(r["_file"])
-            for r in tagged.join(key_rows, list(keys), "left_semi")
-            .select("_file")
-            .distinct()
-            .collect()
-        }
+
+        base_entry = self._entry(self.version()) or {}
+        file_stats = (
+            base_entry.get("file_stats", {})
+            if base_entry.get("stats_key") == keys[0]
+            else {}
+        )
+        with_stats = [f for f in base_files if f in file_stats]
+        no_stats = [f for f in base_files if f not in file_stats]
+        candidates = list(no_stats)
+        if with_stats:
+            key_type = base.schema[keys[0]].dataType.simpleString()
+            ranges = spark.createDataFrame(
+                [
+                    (f, file_stats[f][0], file_stats[f][1])
+                    for f in with_stats
+                ],
+                f"_f string, _lo {key_type}, _hi {key_type}",
+            )
+            hit = (
+                key_rows.join(
+                    F.broadcast(ranges),
+                    (F.col(keys[0]) >= F.col("_lo"))
+                    & (F.col(keys[0]) <= F.col("_hi")),
+                )
+                .select("_f")
+                .distinct()
+                .collect()
+            )
+            candidates += [r["_f"] for r in hit]
+        touched_rel: set[str] = set()
+        if candidates:
+            tagged = spark.read.parquet(
+                *[os.path.join(self.root, f) for f in candidates]
+            ).withColumn("_file", F.input_file_name())
+            # Bounded driver action: one row per data file with a match.
+            touched_rel = {
+                self._relpath(r["_file"])
+                for r in tagged.join(key_rows, list(keys), "left_semi")
+                .select("_file")
+                .distinct()
+                .collect()
+            }
         untouched = [f for f in base_files if f not in touched_rel]
         touched = [f for f in base_files if f in touched_rel]
 
@@ -270,6 +356,10 @@ class VersionedTable:
             if untouched
             else 0
         )
+        # Stats for the new version: fresh bounds for the new files, the
+        # base's recorded bounds carried forward for the reused ones.
+        new_stats = self._file_key_stats(spark, data_dir, keys[0])
+        carried = {f: file_stats[f] for f in untouched if f in file_stats}
         manifest["version"] = next_v
         manifest["history"] = [
             *manifest["history"],
@@ -280,6 +370,11 @@ class VersionedTable:
                 "files": [*untouched, *new_files],
                 "rewrote_files": len(touched),
                 "reused_files": len(untouched),
+                # observability: how many files the exact probe scanned
+                # (manifest-bound pruning cut base_files down to this)
+                "probed_files": len(candidates),
+                "stats_key": keys[0],
+                "file_stats": {**carried, **new_stats},
             },
         ]
         self._commit_manifest(manifest)

@@ -261,3 +261,58 @@ def test_merge_delta_empty_table_and_schema_guard(spark, tmp_path):
             spark.createDataFrame([(2, "b", 1)], "pk int, v string, extra int"),
             ["pk"],
         )
+
+
+def test_merge_delta_manifest_stats_prune_the_probe(spark, tmp_path):
+    """Per-file key bounds in the manifest (Iceberg-style): with a
+    range-partitioned PK-sorted base, a point delta probes ~1 file
+    instead of all of them — and the result stays exact, with stats
+    carried forward across successive delta merges."""
+    from mrsboraetl_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt"))
+    base = (
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1000)], "pk int, v string"
+        )
+        .repartitionByRange(8, "pk")
+        .sortWithinPartitions("pk")
+    )
+    vt.commit(base, note="base", stats_key="pk")
+    e0 = [e for e in vt.history() if e["version"] == 0][0]
+    assert e0["stats_key"] == "pk" and len(e0["file_stats"]) >= 8
+
+    v1 = vt.merge_delta(
+        spark,
+        spark.createDataFrame([(5, "NEW5")], "pk int, v string"),
+        ["pk"],
+    )
+    e1 = [e for e in vt.history() if e["version"] == v1][0]
+    # The bounds pruned the probe to the single file whose range holds 5.
+    assert e1["probed_files"] <= 2, e1["probed_files"]
+    assert e1["rewrote_files"] >= 1 and e1["reused_files"] >= 7
+
+    # Carried-forward stats keep pruning on the NEXT merge too.
+    v2 = vt.merge_delta(
+        spark,
+        spark.createDataFrame([(950, "NEW950")], "pk int, v string"),
+        ["pk"],
+    )
+    e2 = [e for e in vt.history() if e["version"] == v2][0]
+    assert e2["probed_files"] <= 2, e2["probed_files"]
+    assert len(e2["file_stats"]) == len(e2["files"])
+
+    got = {r.pk: r.v for r in vt.read(spark).collect()}
+    want = {i: f"v{i}" for i in range(1000)}
+    want.update({5: "NEW5", 950: "NEW950"})
+    assert got == want
+
+    # A base WITHOUT stats still merges exactly (full probe fallback).
+    vt2 = VersionedTable(str(tmp_path / "vt2"))
+    vt2.commit(base, note="nostats")
+    vt2.merge_delta(
+        spark,
+        spark.createDataFrame([(5, "NEW5")], "pk int, v string"),
+        ["pk"],
+    )
+    assert {r.v for r in vt2.read(spark).filter("pk = 5").collect()} == {"NEW5"}
