@@ -77,19 +77,23 @@ class VersionedTable:
     def _file_key_stats(
         self, spark: SparkSession, data_dir: str, key: str
     ) -> dict:
-        """{relpath: [min, max]} of ``key`` per data file just written —
-        one bounded pass over the NEW data (Iceberg's per-file column
-        bounds, recorded at write time so later merges can prune their
-        touched-file probe without scanning the whole table).  Only
-        JSON-native key types (int/float/str/bool) are recorded;
-        anything else returns {} and merges fall back to the full
-        probe."""
+        """{relpath: [min, max, n_rows]} of ``key`` per data file just
+        written — one bounded pass over the NEW data (Iceberg's per-file
+        column bounds + record counts, recorded at write time so later
+        merges can prune their touched-file probe AND account reused
+        rows without scanning the table).  Only JSON-native key types
+        (int/float/str/bool) are recorded; anything else returns {} and
+        merges fall back to the full probe."""
         from pyspark.sql import functions as F
 
         rows = (
             spark.read.parquet(data_dir)
             .groupBy(F.input_file_name().alias("_f"))
-            .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+            .agg(
+                F.min(key).alias("lo"),
+                F.max(key).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         vals = [v for r in rows for v in (r["lo"], r["hi"])]
@@ -99,7 +103,8 @@ class VersionedTable:
         ):
             return {}
         return {
-            self._relpath(r["_f"]): [r["lo"], r["hi"]] for r in rows
+            self._relpath(r["_f"]): [r["lo"], r["hi"], r["n"]]
+            for r in rows
         }
 
     def commit(
@@ -344,18 +349,21 @@ class VersionedTable:
             for f in sorted(os.listdir(data_dir))
             if f.endswith(".parquet")
         ]
-        # Row count without a re-scan: untouched files' contribution is
-        # the base minus the touched files' rows, both already known or
-        # one bounded aggregate away — but base rows per file aren't in
-        # the manifest, so count the untouched side once (column-pruned
-        # 1-column scan).
-        n_untouched = (
-            spark.read.parquet(
-                *[os.path.join(self.root, f) for f in untouched]
-            ).count()
-            if untouched
-            else 0
-        )
+        # Untouched-side row count: from the manifest's per-file record
+        # counts when every reused file has them (zero I/O), else one
+        # count() over the untouched files (stats-less legacy bases).
+        if untouched and all(
+            f in file_stats and len(file_stats[f]) >= 3 for f in untouched
+        ):
+            n_untouched = sum(int(file_stats[f][2]) for f in untouched)
+        else:
+            n_untouched = (
+                spark.read.parquet(
+                    *[os.path.join(self.root, f) for f in untouched]
+                ).count()
+                if untouched
+                else 0
+            )
         # Stats for the new version: fresh bounds for the new files, the
         # base's recorded bounds carried forward for the reused ones.
         new_stats = self._file_key_stats(spark, data_dir, keys[0])
