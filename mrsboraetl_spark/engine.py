@@ -136,6 +136,16 @@ class PipelineRunner:
                     )
                     if not os.path.exists(dst):
                         os.replace(os.path.join(path, entry), dst)
+                    else:
+                        # dst present => that month's swap COMPLETED
+                        # (demote happens strictly before promote); the
+                        # leftover demoted copy is a crash artifact from
+                        # the post-promote cleanup window — drop it so
+                        # it can't linger forever on never-rewritten
+                        # months.
+                        shutil.rmtree(
+                            os.path.join(path, entry), ignore_errors=True
+                        )
         df = self.spark.read.parquet(path)
         if self.partitioned and self.PARTITION_COL in df.columns:
             # Incremental plans expect the exact stage schema; the

@@ -183,3 +183,25 @@ def test_partitioned_month_swap_crash_is_rescued(spark, tmp_path_factory):
     # Hidden-path rule: without rescue the month would just be missing.
     assert runner.read_target("flat_obs").count() == before
     assert os.path.exists(os.path.join(path, month_dir))
+
+
+def test_stale_demoted_month_dir_is_cleaned(spark, tmp_path_factory):
+    """A crash AFTER a month swap's promote but before its cleanup
+    leaves a stale _old.M beside the live directory; read_target must
+    drop it (the swap provably completed) and never touch the live
+    data."""
+    dfs = to_spark(spark, make_sources(n_persons=8, seed=4))
+    root = str(tmp_path_factory.mktemp("stalepart"))
+    runner = PipelineRunner(spark, root, partitioned=True)
+    runner.run(dfs, mode="rebuild")
+    path = runner._path("flat_obs")
+    month_dir = sorted(
+        d for d in os.listdir(path) if d.startswith("p_month=")
+    )[0]
+    m = month_dir.split("=", 1)[1]
+    before = runner.read_target("flat_obs").count()
+    # Fabricate the post-promote crash artifact: a stale demoted copy.
+    os.makedirs(os.path.join(path, "_old." + m, "junk"))
+    assert runner.read_target("flat_obs").count() == before
+    assert not os.path.exists(os.path.join(path, "_old." + m))
+    assert os.path.exists(os.path.join(path, month_dir))
