@@ -421,8 +421,11 @@ class PipelineRunner:
             ):
                 if months:
                     pruned = self.read_target_months(table, months)
+                    # Same out dict: the plan reuses its pinned
+                    # recompute instead of re-running every source
+                    # filter/join/reaggregation job a second time.
                     self._write_delta(
-                        plan(pruned, wm, None), table, months
+                        plan(pruned, wm, out), table, months
                     )
                 self.watermarks.log_run(version, started, data_wm)
                 return

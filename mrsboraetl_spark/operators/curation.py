@@ -877,9 +877,19 @@ def stratified_sample_exact(
         )
         for s, c in counts.items()
     }
+    # NULL is a stratum like any other (the window oracle treats it as
+    # its own partition): match it with isNull, since `col == None`
+    # would be null and silently drop every null-stratum row.
+    def _is_stratum(s):
+        return (
+            F.col(strata_col).isNull()
+            if s is None
+            else (F.col(strata_col) == s)
+        )
+
     thr = F.lit(None).cast("double")
     for s, t in thresholds.items():
-        thr = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thr)
+        thr = F.when(_is_stratum(s), F.lit(t)).otherwise(thr)
     survivors = hashed.filter(F.col("_h") < thr)
     # Exactness guard: a stratum whose prefilter passed fewer than n
     # rows (possible only at exponentially small probability) falls
@@ -898,9 +908,17 @@ def stratified_sample_exact(
         if c > n_per_stratum and surv_counts.get(s, 0) < n_per_stratum
     ]
     if short:
-        survivors = survivors.filter(
-            ~F.col(strata_col).isin(short)
-        ).unionByName(hashed.filter(F.col(strata_col).isin(short)))
+        import functools
+
+        is_short = F.coalesce(
+            functools.reduce(
+                lambda a, b: a | b, [_is_stratum(s) for s in short]
+            ),
+            F.lit(False),
+        )
+        survivors = survivors.filter(~is_short).unionByName(
+            hashed.filter(is_short)
+        )
     w = Window.partitionBy(strata_col).orderBy("_h", id_col)
     return (
         survivors.withColumn("_rn", F.row_number().over(w))

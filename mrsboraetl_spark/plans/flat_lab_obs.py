@@ -132,17 +132,25 @@ def incremental_flat_lab_obs(
         .select("person_id", F.to_date("obs_datetime").alias("day"))
     )
     affected = voided_days.unionByName(new_days).distinct()
-    if out is not None:
+    if out is not None and "affected_months" not in out:
         from mrsboraetl_spark.schemas import p_month_of
 
         out["affected_months"] = (
             affected.select(p_month_of("day").alias("p_month")).distinct()
         )
 
-    base = _lab_rows(obs).withColumn("day", F.to_date("obs_datetime"))
-    recomputed = build_flat_lab_obs(
-        base.join(affected, ["person_id", "day"], "left_semi").drop("day")
-    )
+    # Pin across the engine's two-phase delta-scoped sync (see
+    # incremental_flat_obs): the recompute is target-independent.
+    if out is not None and "recomputed" in out:
+        recomputed = out["recomputed"]
+    else:
+        base = _lab_rows(obs).withColumn("day", F.to_date("obs_datetime"))
+        recomputed = build_flat_lab_obs(
+            base.join(affected, ["person_id", "day"], "left_semi").drop("day")
+        )
+        if out is not None:
+            recomputed = recomputed.localCheckpoint()
+            out["recomputed"] = recomputed
 
     if target is not None:
         # Delete-join on the date-truncated key (J6, :96-98).

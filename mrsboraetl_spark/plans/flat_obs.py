@@ -179,18 +179,33 @@ def incremental_flat_obs(
     )
 
     # Recompute whole groups from base state, restricted to affected keys.
-    base_obs = obs.filter(F.col("voided") == 0)
-    recomputed = build_flat_obs(
-        base_obs.join(affected_enc, "encounter_id", "left_semi").unionByName(
-            base_obs.filter(F.col("encounter_id").isNull()).join(
-                affected_noenc, ["person_id", "obs_datetime"], "left_semi"
-            )
-        ),
-        encounter,
-    )
+    # Under the engine's two-phase delta-scoped sync this plan is built
+    # TWICE (full target for the month derivation, pruned target for the
+    # write); the recompute subtree is target-independent, so pin it on
+    # the first pass and reuse it on the second — without the pin every
+    # source filter/join/reaggregation job runs twice per sync.
+    if out is not None and "recomputed" in out:
+        recomputed = out["recomputed"]
+    else:
+        base_obs = obs.filter(F.col("voided") == 0)
+        recomputed = build_flat_obs(
+            base_obs.join(
+                affected_enc, "encounter_id", "left_semi"
+            ).unionByName(
+                base_obs.filter(F.col("encounter_id").isNull()).join(
+                    affected_noenc,
+                    ["person_id", "obs_datetime"],
+                    "left_semi",
+                )
+            ),
+            encounter,
+        )
+        if out is not None:
+            recomputed = recomputed.localCheckpoint()
+            out["recomputed"] = recomputed
 
     voided_person = person.filter(F.col("voided") == 1).select("person_id")
-    if out is not None:
+    if out is not None and "affected_months" not in out:
         from mrsboraetl_spark.schemas import p_month_of
 
         month = p_month_of("encounter_datetime").alias("p_month")

@@ -108,11 +108,19 @@ def incremental_flat_orders(
     )
     affected = voided_keys.unionByName(new_keys).distinct()
 
-    recomputed = build_flat_orders(
-        orders.join(affected, "encounter_id", "left_semi"), encounter
-    )
+    # Pin across the engine's two-phase delta-scoped sync (see
+    # incremental_flat_obs): the recompute is target-independent.
+    if out is not None and "recomputed" in out:
+        recomputed = out["recomputed"]
+    else:
+        recomputed = build_flat_orders(
+            orders.join(affected, "encounter_id", "left_semi"), encounter
+        )
+        if out is not None:
+            recomputed = recomputed.localCheckpoint()
+            out["recomputed"] = recomputed
     voided_person = person.filter(F.col("voided") == 1).select("person_id")
-    if out is not None:
+    if out is not None and "affected_months" not in out:
         from mrsboraetl_spark.schemas import p_month_of
 
         month = p_month_of("encounter_datetime").alias("p_month")

@@ -160,25 +160,47 @@ def incremental_flat_visit_summary(
             ).select("person_id")
         )
     queue = queue.distinct()
-    recomputed = build_flat_visit_summary(
-        flat_obs.join(queue, "person_id", "left_semi"),
-        flat_lab_obs.join(queue, "person_id", "left_semi"),
-        person,
-        include_lab_rows,
-    )
+    # Pin across the engine's two-phase delta-scoped sync (see
+    # incremental_flat_obs): the recompute is target-independent.
+    if out is not None and "recomputed" in out:
+        recomputed = out["recomputed"]
+    else:
+        recomputed = build_flat_visit_summary(
+            flat_obs.join(queue, "person_id", "left_semi"),
+            flat_lab_obs.join(queue, "person_id", "left_semi"),
+            person,
+            include_lab_rows,
+        )
+        if out is not None:
+            recomputed = recomputed.localCheckpoint()
+            out["recomputed"] = recomputed
     voided_person = person.filter(F.col("voided") == 1).select("person_id")
-    if out is not None:
+    if out is not None and "affected_months" not in out:
         from mrsboraetl_spark.schemas import p_month_of
 
         month = p_month_of("encounter_datetime").alias("p_month")
         months = recomputed.select(month)
         if target is not None:
-            probe = target.select("person_id", "encounter_datetime")
+            probe = target.select(
+                "person_id", "encounter_id", "encounter_datetime"
+            )
             months = months.unionByName(
                 probe.join(queue, "person_id", "left_semi").select(month)
             ).unionByName(
                 probe.join(voided_person, "person_id", "left_semi")
                 .select(month)
+            ).unionByName(
+                # replace_into also deletes by ENCOUNTER id: an
+                # encounter re-pointed to a different person (patient
+                # merge) leaves its old row under a person the queue
+                # never names — and possibly under a different month.
+                # Probe the old locations of every recomputed encounter
+                # so that row's month is always in the superset.
+                probe.join(
+                    recomputed.select("encounter_id"),
+                    "encounter_id",
+                    "left_semi",
+                ).select(month)
             )
         out["affected_months"] = months.distinct()
     if target is not None:

@@ -40,12 +40,19 @@ def jdbc_pushdown_subquery(
     silent data corruption, so it is rejected loudly here; MySQL
     identifiers needing quoting use backticks, which pass through
     verbatim."""
-    if predicate and dialect == "mysql" and '"' in predicate:
-        raise ValueError(
-            "double-quoted tokens are string literals under MySQL's "
-            "default sql_mode, not identifiers — use backticks: "
-            + predicate
-        )
+    if predicate and dialect == "mysql":
+        # Only double quotes OUTSIDE single-quoted string literals are
+        # the hazard; "said ""stop""" inside '...' is just characters.
+        # Strip '...' literals ('' = escaped quote) before checking.
+        import re
+
+        stripped = re.sub(r"'(?:[^']|'')*'", "", predicate)
+        if '"' in stripped:
+            raise ValueError(
+                "double-quoted tokens are string literals under MySQL's "
+                "default sql_mode, not identifiers — use backticks: "
+                + predicate
+            )
     return f"(select * from {table} where {predicate}) t" if predicate else table
 
 

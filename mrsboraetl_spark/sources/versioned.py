@@ -389,12 +389,20 @@ class VersionedTable:
         return next_v
 
     def _relpath(self, file_uri: str) -> str:
-        """input_file_name() URI -> manifest-relative path."""
+        """input_file_name() URI -> manifest-relative path.
+
+        The URI is percent-ENCODED (a root containing ' ' arrives as
+        '%20'); without unquoting, no probe result would ever match a
+        manifest path and merge_delta would silently treat every file
+        as untouched — keeping stale rows next to their replacements."""
+        from urllib.parse import unquote
+
         p = file_uri
         if p.startswith("file:"):
             p = p[len("file:"):]
             while p.startswith("//"):
                 p = p[1:]
+        p = unquote(p)
         return os.path.relpath(os.path.abspath(p), os.path.abspath(self.root))
 
     def vacuum(self, keep_last: int = 2) -> list[int]:

@@ -59,8 +59,12 @@ class AppendOnlyTable:
     def _read_manifest(self) -> dict:
         if os.path.exists(self._manifest_path()):
             with open(self._manifest_path()) as f:
-                return json.load(f)
-        return {"batches": []}
+                m = json.load(f)
+            # Older manifests (pre committed-id ledger) implied the
+            # ledger from the batch list.
+            m.setdefault("committed_ids", list(m["batches"]))
+            return m
+        return {"batches": [], "committed_ids": []}
 
     def _commit_manifest(self, manifest: dict) -> None:
         tmp = self._manifest_path() + ".tmp"
@@ -78,16 +82,24 @@ class AppendOnlyTable:
 
     def append_batch(self, df: DataFrame, batch_id: int) -> bool:
         """Write-and-commit one micro-batch; returns False (no-op) when
-        the batch id is already committed — the replay path."""
+        the batch id is already committed — the replay path.
+
+        The replay check reads ``committed_ids`` — the ledger of every
+        batch id EVER committed — not the current data-directory list:
+        compact() collapses the directory list to one synthetic entry,
+        and checking that list would let a batch whose streaming
+        checkpoint lagged its manifest commit be re-appended after a
+        restart-time compaction (duplicate data)."""
         key = str(batch_id)
         manifest = self._read_manifest()
-        if key in manifest["batches"]:
+        if key in manifest["committed_ids"]:
             return False
         # Deterministic staging dir + overwrite: a replay of a batch
         # that crashed mid-write lands on the same path and simply
         # overwrites the partial output.
         df.write.mode("overwrite").parquet(self._batch_dir(key))
         manifest["batches"].append(key)
+        manifest["committed_ids"].append(key)
         self._commit_manifest(manifest)
         return True
 
@@ -114,7 +126,11 @@ class AppendOnlyTable:
         if n_files:
             df = df.coalesce(n_files)
         df.write.mode("overwrite").parquet(self._batch_dir(new_key))
-        self._commit_manifest({"batches": [new_key]})
+        # The committed-id LEDGER survives compaction: it is what keeps
+        # a replayed batch id a no-op after its directory was folded.
+        manifest = self._read_manifest()
+        manifest["batches"] = [new_key]
+        self._commit_manifest(manifest)
         for k in keys:
             shutil.rmtree(self._batch_dir(k), ignore_errors=True)
 

@@ -93,3 +93,16 @@ def test_mysql_dialect_rejects_ansi_quoted_identifiers():
         jdbc_pushdown_subquery("obs", '"voided" = 0', dialect="mysql")
     # The same predicate stays legal under the ANSI/Derby default.
     assert '"voided"' in jdbc_pushdown_subquery("obs", '"voided" = 0')
+    # Double quotes INSIDE a single-quoted literal are just characters —
+    # a valid MySQL predicate must pass (review finding r6).
+    ok = jdbc_pushdown_subquery(
+        "obs",
+        "note_text <> 'said \"stop\"' and `voided` = 0",
+        dialect="mysql",
+    )
+    assert '"stop"' in ok
+    # An escaped '' inside the literal doesn't end it early.
+    ok2 = jdbc_pushdown_subquery(
+        "obs", "t <> 'it''s \"quoted\"'", dialect="mysql"
+    )
+    assert "it''s" in ok2

@@ -858,6 +858,32 @@ def test_stratified_sample_exact_quota_and_fallback(spark):
     assert {(r.doc_id, r.source) for r in got3.collect()} == want
 
 
+def test_stratified_sample_null_stratum_is_a_stratum(spark):
+    """NULL strata must be sampled like any other partition (the window
+    oracle treats NULL as its own group), not silently dropped by the
+    null-propagating equality in the threshold chain (review finding
+    r6) — including on the prefilter-fallback path."""
+    from mrsboraetl_spark.operators.curation import stratified_sample_exact
+
+    rows = [(i, "a") for i in range(50)] + [(100 + i, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    got = stratified_sample_exact(df, "source", "doc_id", 5)
+    counts = {
+        r.source: r.c
+        for r in got.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    assert counts == {"a": 5, None: 5}, counts
+    # Fallback path with a NULL stratum forced short.
+    got2 = stratified_sample_exact(
+        df, "source", "doc_id", 5, prefilter_slack=0.01
+    )
+    counts2 = {
+        r.source: r.c
+        for r in got2.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    assert counts2 == {"a": 5, None: 5}, counts2
+
+
 def test_cluster_keepers_by_priority_picks_best_not_min(spark):
     """Priority keeper: within a cluster the HIGHEST-priority doc wins
     even when it has the largest id (min-id would pick wrong); ties

@@ -205,3 +205,79 @@ def test_stale_demoted_month_dir_is_cleaned(spark, tmp_path_factory):
     assert runner.read_target("flat_obs").count() == before
     assert not os.path.exists(os.path.join(path, "_old." + m))
     assert os.path.exists(os.path.join(path, month_dir))
+
+
+def test_sync_covers_encounter_repointed_across_person_and_month(
+    spark, tmp_path_factory
+):
+    """Patient-merge shape (review finding r6): an encounter (and its
+    obs) re-pointed to a DIFFERENT person with its datetime moved to a
+    DIFFERENT month.  The visit-summary merge deletes the old row by
+    encounter id, but the old row lives under a person the queue never
+    names — its month must still reach the affected-month superset or
+    the delta-scoped sync diverges from a rebuild."""
+    import datetime as _dt
+
+    pdfs = make_sources(n_persons=30, seed=11)
+    obs_pdf = pdfs["obs"].copy()
+    enc_pdf = pdfs["encounter"].copy()
+    wm = obs_pdf["date_created"].max()
+    late = enc_pdf["date_changed"].notna() & (enc_pdf["date_changed"] > wm)
+    enc_pdf.loc[late, "date_changed"] = wm
+    pdfs1 = dict(pdfs, obs=obs_pdf, encounter=enc_pdf)
+    dfs1 = to_spark(spark, pdfs1)
+
+    runner = PipelineRunner(
+        spark, str(tmp_path_factory.mktemp("merge_part")), partitioned=True
+    )
+    runner.run(dfs1, mode="rebuild")
+
+    # Pick an encounter with obs; re-point it (and its obs) to another
+    # person and shift its datetime ~3 months.
+    cand = obs_pdf[
+        (obs_pdf["voided"] == 0) & obs_pdf["encounter_id"].notna()
+    ].iloc[0]
+    enc_id = cand["encounter_id"]
+    old_person = int(cand["person_id"])
+    # The receiving person must have NO encounter in the old month:
+    # otherwise their queue-probe would coincidentally cover it and the
+    # scenario under test (old month reachable ONLY via the moved
+    # encounter's id) never materializes.
+    old_month = (
+        enc_pdf.loc[enc_pdf["encounter_id"] == enc_id, "encounter_datetime"]
+        .iloc[0]
+        .strftime("%Y-%m")
+    )
+    months_by_person = enc_pdf.groupby("patient_id")[
+        "encounter_datetime"
+    ].apply(lambda s: set(s.dt.strftime("%Y-%m")))
+    new_person = next(
+        int(p)
+        for p, ms in months_by_person.items()
+        if p != old_person and old_month not in ms
+    )
+    enc2 = enc_pdf.copy()
+    sel = enc2["encounter_id"] == enc_id
+    old_dt = enc2.loc[sel, "encounter_datetime"].iloc[0]
+    enc2.loc[sel, "patient_id"] = new_person
+    enc2.loc[sel, "encounter_datetime"] = old_dt + _dt.timedelta(days=95)
+    enc2.loc[sel, "date_changed"] = wm + _dt.timedelta(days=1)
+    obs2 = obs_pdf.copy()
+    obs2.loc[obs2["encounter_id"] == enc_id, "person_id"] = new_person
+    pdfs2 = dict(pdfs1, obs=obs2, encounter=enc2)
+    dfs2 = to_spark(spark, pdfs2)
+    runner.run(dfs2, mode="sync")
+
+    fresh = PipelineRunner(spark, str(tmp_path_factory.mktemp("merge_full")))
+    fresh.run(dfs2, mode="rebuild")
+    for table in ("flat_obs", "flat_visit_summary"):
+        a = runner.read_target(table).toPandas()
+        b = fresh.read_target(table).toPandas()
+        cols = sorted(c for c in a.columns if c != "obs_map")
+        sa = sorted(map(tuple, a[cols].astype(str).itertuples(index=False)))
+        sb = sorted(map(tuple, b[cols].astype(str).itertuples(index=False)))
+        assert sa == sb, table
+    # The moved encounter exists exactly once, under its new identity.
+    vs = runner.read_target("flat_visit_summary").toPandas()
+    rows = vs[vs["encounter_id"] == enc_id]
+    assert len(rows) == 1 and int(rows["person_id"].iloc[0]) == new_person

@@ -307,6 +307,14 @@ def test_append_sink_crash_replay_no_dup_no_loss(spark, tmp_path):
     rows = table.read(spark).collect()
     assert len(rows) == 12 and {r.id for r in rows} == set(range(12))
 
+    # The exactly-once contract must survive compaction: a batch whose
+    # streaming checkpoint lagged its manifest commit is replayed AFTER
+    # a restart-time compact folded its directory away — the committed-
+    # id ledger must still make it a no-op (review finding r6).
+    assert table.append_batch(batch(5, 9), 1) is False
+    rows = table.read(spark).collect()
+    assert len(rows) == 12 and {r.id for r in rows} == set(range(12))
+
 
 def test_streaming_append_sink_equals_source(spark, sf_dir, tmp_path):
     """Driving the sink from a real bounded file stream: the drained
