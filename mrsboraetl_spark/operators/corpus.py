@@ -76,6 +76,13 @@ class CurationConfig:
     redact: bool = False
     span_tokens: int | None = None
     span_max_freq: int = 2
+    # Keeper policy for the near-dup stage: by default each cluster
+    # keeps its minimum id; set a column name to instead keep the
+    # HIGHEST-priority copy (e.g. 'n_chars' to keep the longest, or a
+    # source-quality score) with min-id tie-break — the policy real
+    # curation wants when the same document was crawled from sources
+    # of unequal quality.
+    keeper_priority_col: str | None = None
 
 
 def curate_corpus(
@@ -165,9 +172,19 @@ def curate_corpus(
         threshold=cfg.dedup_threshold,
         max_band_freq=cfg.max_band_freq,
     )
-    keepers = dedup_cluster_keepers(
-        survivors, pairs, id_col, **cfg.cc_kwargs
-    )
+    if cfg.keeper_priority_col is not None:
+        from mrsboraetl_spark.operators.dedup import (
+            dedup_cluster_keepers_by_priority,
+        )
+
+        keepers = dedup_cluster_keepers_by_priority(
+            survivors, pairs, id_col, cfg.keeper_priority_col,
+            **cfg.cc_kwargs,
+        )
+    else:
+        keepers = dedup_cluster_keepers(
+            survivors, pairs, id_col, **cfg.cc_kwargs
+        )
     dup_ids = keepers.filter(~F.col("is_keeper")).select("id")
     survivors = survivors.join(
         dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti"

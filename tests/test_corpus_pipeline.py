@@ -214,3 +214,32 @@ def test_curate_and_export_end_to_end(spark, tmp_path):
     assert set(shards.columns) == {
         "id", "seq_text", "seq_tokens", "boundaries", "pos", "shard"
     }
+
+
+def test_priority_keeper_policy_in_composed_pipeline(spark):
+    """keeper_priority_col: the composed pipeline keeps the
+    highest-priority copy of each near-dup cluster instead of the
+    minimum id, and the audit still partitions every input exactly
+    once."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base + "alpha", "crawl", 10),
+        (2, base + "alpha beta", "books", 99),   # longer + higher priority
+        (3, "totally unrelated document about gardens and rivers " * 3,
+         "crawl", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, source string, prio int"
+    )
+    cfg_min = CurationConfig(min_tokens=5)
+    cfg_prio = CurationConfig(min_tokens=5, keeper_priority_col="prio")
+    kept_min, audit_min, _ = curate_corpus(docs, None, cfg=cfg_min)
+    kept_prio, audit_prio, _ = curate_corpus(docs, None, cfg=cfg_prio)
+    min_ids = {r.doc_id for r in kept_min.select("doc_id").collect()}
+    prio_ids = {r.doc_id for r in kept_prio.select("doc_id").collect()}
+    assert 1 in min_ids and 2 not in min_ids        # min-id keeps doc 1
+    assert 2 in prio_ids and 1 not in prio_ids      # priority keeps doc 2
+    assert 3 in min_ids and 3 in prio_ids           # singleton unaffected
+    for audit in (audit_min, audit_prio):
+        assert audit.count() == 3
+        assert audit.filter("disposition = 'duplicate'").count() == 1
