@@ -402,10 +402,16 @@ class PipelineRunner:
         version = TABLE_VERSIONS[table]
         target = self.read_target(table)
         wm = self.watermarks.last_update(version, fallback=target)
+        part_src = self._PARTITION_SRC.get(table) if self.partitioned else None
         out: dict = {}
+        if part_src and target is not None:
+            # Only the two-phase delta path re-runs the plan; request
+            # the recompute pin solely when that second pass can happen
+            # (other layouts would pay the eager materialization — and
+            # lose lineage replay on a real cluster — for nothing).
+            out["pin_recomputed"] = True
         merged = plan(target, wm, out)
         months_df = out.get("affected_months")
-        part_src = self._PARTITION_SRC.get(table) if self.partitioned else None
         if part_src and months_df is not None and target is not None:
             # Bounded driver action: distinct storage months (tens of
             # rows for years of data — the watermark-store precedent).

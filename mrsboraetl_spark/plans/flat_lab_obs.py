@@ -148,7 +148,11 @@ def incremental_flat_lab_obs(
         recomputed = build_flat_lab_obs(
             base.join(affected, ["person_id", "day"], "left_semi").drop("day")
         )
-        if out is not None:
+        if out is not None and out.get("pin_recomputed"):
+            # Engine-requested: only the partitioned two-phase delta
+            # sync re-runs the plan and can reuse the pin; other
+            # layouts would pay an eager materialization (and lose
+            # lineage replay on a real cluster) for nothing.
             recomputed = recomputed.localCheckpoint()
             out["recomputed"] = recomputed
 

@@ -200,7 +200,11 @@ def incremental_flat_obs(
             ),
             encounter,
         )
-        if out is not None:
+        if out is not None and out.get("pin_recomputed"):
+            # Engine-requested: only the partitioned two-phase delta
+            # sync re-runs the plan and can reuse the pin; other
+            # layouts would pay an eager materialization (and lose
+            # lineage replay on a real cluster) for nothing.
             recomputed = recomputed.localCheckpoint()
             out["recomputed"] = recomputed
 

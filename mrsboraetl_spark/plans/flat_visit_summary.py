@@ -171,7 +171,11 @@ def incremental_flat_visit_summary(
             person,
             include_lab_rows,
         )
-        if out is not None:
+        if out is not None and out.get("pin_recomputed"):
+            # Engine-requested: only the partitioned two-phase delta
+            # sync re-runs the plan and can reuse the pin; other
+            # layouts would pay an eager materialization (and lose
+            # lineage replay on a real cluster) for nothing.
             recomputed = recomputed.localCheckpoint()
             out["recomputed"] = recomputed
     voided_person = person.filter(F.col("voided") == 1).select("person_id")

@@ -43,10 +43,14 @@ def jdbc_pushdown_subquery(
     if predicate and dialect == "mysql":
         # Only double quotes OUTSIDE single-quoted string literals are
         # the hazard; "said ""stop""" inside '...' is just characters.
-        # Strip '...' literals ('' = escaped quote) before checking.
+        # Strip '...' literals before checking — under MySQL's default
+        # sql_mode a quote inside a literal can be escaped BOTH as ''
+        # and as \' (NO_BACKSLASH_ESCAPES off), so the stripper must
+        # consume backslash escapes too or it pairs quotes wrongly and
+        # the guard turns both unsound and over-strict.
         import re
 
-        stripped = re.sub(r"'(?:[^']|'')*'", "", predicate)
+        stripped = re.sub(r"'(?:[^'\\]|\\.|'')*'", "", predicate)
         if '"' in stripped:
             raise ValueError(
                 "double-quoted tokens are string literals under MySQL's "

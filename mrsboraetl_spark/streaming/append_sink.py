@@ -60,11 +60,18 @@ class AppendOnlyTable:
         if os.path.exists(self._manifest_path()):
             with open(self._manifest_path()) as f:
                 m = json.load(f)
-            # Older manifests (pre committed-id ledger) implied the
-            # ledger from the batch list.
-            m.setdefault("committed_ids", list(m["batches"]))
+            if "max_committed_id" not in m:
+                # Pre-watermark manifests: recover the high-water mark
+                # from the batch keys — plain int keys, and compact
+                # keys whose suffix is the last folded batch id.
+                mx = None
+                for k in m["batches"]:
+                    tail = k.rsplit("-", 1)[-1]
+                    if tail.isdigit():
+                        mx = int(tail) if mx is None else max(mx, int(tail))
+                m["max_committed_id"] = mx
             return m
-        return {"batches": [], "committed_ids": []}
+        return {"batches": [], "max_committed_id": None}
 
     def _commit_manifest(self, manifest: dict) -> None:
         tmp = self._manifest_path() + ".tmp"
@@ -84,22 +91,30 @@ class AppendOnlyTable:
         """Write-and-commit one micro-batch; returns False (no-op) when
         the batch id is already committed — the replay path.
 
-        The replay check reads ``committed_ids`` — the ledger of every
-        batch id EVER committed — not the current data-directory list:
-        compact() collapses the directory list to one synthetic entry,
-        and checking that list would let a batch whose streaming
-        checkpoint lagged its manifest commit be re-appended after a
-        restart-time compaction (duplicate data)."""
+        The replay check is a MONOTONIC watermark (`max_committed_id`),
+        not the data-directory list: compact() collapses that list to
+        one synthetic entry, and it is not a per-id ledger either —
+        a ledger for an unbounded stream would grow (and be linearly
+        scanned) forever inside the foreachBatch hot path.  The
+        watermark is sound because Structured Streaming batch ids are
+        strictly increasing per checkpoint, so a replayed batch always
+        has id <= the watermark and a fresh batch is always above it —
+        the same contract Delta's idempotent writes key on
+        (txnAppId/txnVersion).  Consequence to respect operationally:
+        RESETTING the streaming checkpoint without resetting the table
+        restarts ids at 0 and every batch no-ops; manual callers must
+        likewise feed increasing ids."""
         key = str(batch_id)
         manifest = self._read_manifest()
-        if key in manifest["committed_ids"]:
+        mx = manifest["max_committed_id"]
+        if mx is not None and batch_id <= mx:
             return False
         # Deterministic staging dir + overwrite: a replay of a batch
         # that crashed mid-write lands on the same path and simply
         # overwrites the partial output.
         df.write.mode("overwrite").parquet(self._batch_dir(key))
         manifest["batches"].append(key)
-        manifest["committed_ids"].append(key)
+        manifest["max_committed_id"] = batch_id
         self._commit_manifest(manifest)
         return True
 
@@ -126,8 +141,9 @@ class AppendOnlyTable:
         if n_files:
             df = df.coalesce(n_files)
         df.write.mode("overwrite").parquet(self._batch_dir(new_key))
-        # The committed-id LEDGER survives compaction: it is what keeps
-        # a replayed batch id a no-op after its directory was folded.
+        # The replay WATERMARK survives compaction untouched: it is
+        # what keeps a replayed batch id a no-op after its directory
+        # was folded away.
         manifest = self._read_manifest()
         manifest["batches"] = [new_key]
         self._commit_manifest(manifest)

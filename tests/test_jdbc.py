@@ -106,3 +106,26 @@ def test_mysql_dialect_rejects_ansi_quoted_identifiers():
         "obs", "t <> 'it''s \"quoted\"'", dialect="mysql"
     )
     assert "it''s" in ok2
+
+
+def test_mysql_guard_handles_backslash_escaped_quotes():
+    """MySQL's default sql_mode escapes quotes as BOTH '' and \\'.
+    A predicate using \\' must not confuse the literal stripper: the
+    unsound case (a real double-quoted identifier hiding behind a
+    mispaired literal) must still be rejected, and the valid case
+    (double quotes inside a backslash-escaped literal) must pass."""
+    import pytest as _pytest
+
+    from mrsboraetl_spark.sources.readers import jdbc_pushdown_subquery
+
+    # Unsound before the fix: mispairing made "col" vanish into a
+    # phantom literal and the constant comparison slipped through.
+    with _pytest.raises(ValueError, match="backticks"):
+        jdbc_pushdown_subquery(
+            "obs", "a = 'it\\'s' and \"col\" = 'x'", dialect="mysql"
+        )
+    # Over-strict before the fix: fully valid MySQL predicate.
+    ok = jdbc_pushdown_subquery(
+        "obs", "a = 'don\\'t say \"hi\"'", dialect="mysql"
+    )
+    assert '"hi"' in ok
