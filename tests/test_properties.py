@@ -396,3 +396,30 @@ def test_span_reassembly_identity_property(spark, texts, span_tokens):
         per_doc.setdefault(r.id, []).append(r.pos)
     for i in per_doc:
         assert sorted(per_doc[i]) == list(range(len(per_doc[i])))
+
+
+def test_memo_md5_always_returns_the_true_hash():
+    """Property: whatever the access pattern does to the two-generation
+    memo's internal state (promotions, generation swaps, evictions at a
+    tiny cap), every lookup must return exactly md5(key)[:8] — the memo
+    may only ever trade speed, never correctness."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mrsboraetl_spark.operators.dedup import _memo_md5
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abc", min_size=0, max_size=3), max_size=120
+        )
+    )
+    def run(keys):
+        lookup = _memo_md5(cap=4)  # tiny cap: constant generation churn
+        for k in keys:
+            want = int(hashlib.md5(k.encode("utf-8")).hexdigest()[:8], 16)
+            assert lookup(k) == want
+
+    run()
