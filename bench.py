@@ -15,37 +15,41 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Per-query min-of-3 reference times from the round-5 driver bench
-# (BENCH_r05.json, sf0.1).  The guard below fails the run when any
-# carried query exceeds GUARD_FACTOR x its reference — a corpus
-# regeneration or plan regression is caught by the builder's own bench
-# run instead of surfacing first in the driver's.  2x headroom over a
-# min-of-3 is far outside observed box noise (r5 cross-round ratios ran
-# 0.46-1.55x).  After an INTENTIONAL slowdown, re-baseline this table in
-# the same commit; SPARK_GRAFT_NO_GUARD=1 skips the exit for ad-hoc runs.
-BASELINE_R5 = {
+# Per-query best-known min-of-3 reference times at sf0.1, RATCHETED each
+# round (VERDICT r6 item 2): every carried entry is the elementwise MIN of
+# all prior driver benches (r5 BENCH_r05.json and r6 BENCH_r06.json as of
+# this revision), so slow drift cannot compound at GUARD_FACTOR per round —
+# the bar is always best-known, not last-round.  Entries new to the
+# headline carry their first measured local min-of-3 (provenance noted
+# inline) until a driver bench ratchets them.  The guard below fails the
+# run when any query exceeds GUARD_FACTOR x its reference.  After an
+# INTENTIONAL slowdown, re-baseline that entry in the same commit;
+# SPARK_GRAFT_NO_GUARD=1 skips the exit for ad-hoc runs.
+BASELINE = {
     "q1_pricing_summary": 0.323,
     "join_multi_dims": 0.498,
-    "obs_blob_pack": 1.775,
+    "obs_blob_pack": 1.769,
     "latest_order_per_customer": 0.37,
     "topk_orders_per_customer": 0.355,
-    "groupby_expr_day": 0.405,
+    "groupby_expr_day": 0.401,
     "flat_events_blob": 0.822,
     "incremental_upsert_equiv": 0.633,
     "sessionize_events": 0.416,
-    "asof_join_latest_order": 0.963,
-    "grouping_sets_status_nation": 0.501,
-    "salted_skew_aggregate": 0.376,
-    "dedup_exact": 0.225,
-    "dedup_minhash_lsh": 1.19,
+    "asof_join_latest_order": 0.852,
+    "grouping_sets_status_nation": 0.492,
+    "salted_skew_aggregate": 0.323,
+    "dedup_exact": 0.21,
+    "dedup_minhash_lsh": 1.152,
     "dedup_lsh_verified": 1.903,
-    "dedup_simhash": 0.303,
     "ann_brute_force_topk": 0.561,
-    "ann_lsh_bucketed_topk": 0.484,
+    "ann_lsh_bucketed_topk": 0.474,
     "ann_ivf_topk": 1.148,
     "text_doc_metrics": 0.668,
-    "visit_summary_equiv": 0.991,
+    "visit_summary_equiv": 0.936,
     "decontam_ngram_overlap": 1.484,
+    # r7 headline addition (dedup_simhash demoted from the registry);
+    # baseline = r7 local min-of-3 on this box (1.192/1.085/1.079)
+    "sketch_kmv_distinct": 1.079,
 }
 GUARD_FACTOR = 2.0
 
@@ -65,7 +69,6 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
-    "dedup_simhash",
     "ann_brute_force_topk",
     "ann_lsh_bucketed_topk",
     "ann_ivf_topk",
@@ -74,6 +77,8 @@ HEADLINE = [
     # r5 session 2 marquee addition (registered in place of
     # anti_join_no_orders): eval-set n-gram decontamination
     "decontam_ngram_overlap",
+    # r7: mergeable KMV distinct-count sketch (dedup_simhash demoted)
+    "sketch_kmv_distinct",
 ]
 
 
@@ -136,17 +141,34 @@ def main() -> None:
     )
 
     # Regression guard — only meaningful at the baseline's scale factor.
+    # HEADLINE and BASELINE must never drift apart (a renamed or demoted
+    # headline query silently losing coverage): hard-fail on any skew.
     if sf == 0.1 and not os.environ.get("SPARK_GRAFT_NO_GUARD"):
+        skew = set(BASELINE) ^ set(timings)
+        if skew:
+            print(
+                f"BENCH GUARD: HEADLINE/BASELINE key skew {sorted(skew)} — "
+                "re-baseline in the same commit as the headline change",
+                file=sys.stderr,
+            )
+            sys.exit(1)
         slow = {
-            n: {"min_of_3": timings[n], "r5_baseline": BASELINE_R5[n]}
+            n: {"min_of_3": timings[n], "best_known": BASELINE[n]}
             for n in timings
-            if n in BASELINE_R5
-            and timings[n] > GUARD_FACTOR * BASELINE_R5[n]
+            if BASELINE[n] is not None
+            and timings[n] > GUARD_FACTOR * BASELINE[n]
         }
+        unbaselined = [n for n in timings if BASELINE[n] is None]
+        if unbaselined:
+            print(
+                f"BENCH GUARD: unbaselined entries {unbaselined} — record "
+                "their min-of-3 in BASELINE",
+                file=sys.stderr,
+            )
         if slow:
             print(
                 f"BENCH GUARD: {len(slow)} queries past "
-                f"{GUARD_FACTOR}x their r5 min-of-3: {json.dumps(slow)}",
+                f"{GUARD_FACTOR}x their best-known min-of-3: {json.dumps(slow)}",
                 file=sys.stderr,
             )
             sys.exit(1)

@@ -118,9 +118,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_simhash",
-    f"""
+_DEDUP_SIMHASH_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, list_distinct({_TOKENS}) AS ts FROM documents
     ), tok AS (
@@ -137,10 +135,14 @@ def dedup_minhash_lsh(spark, sf_dir):
            string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
              AS simhash
     FROM votes GROUP BY doc_id
-    """,
-)
+    """
+
+
 def dedup_simhash(spark, sf_dir):
-    """SimHash 32-bit fingerprint (portable nibble-high-bit construction)."""
+    """SimHash 32-bit fingerprint (portable nibble-high-bit construction).
+    Demoted r7 (VERDICT r6 item 3): simhash_near_pairs — the registered
+    consumer of these fingerprints — keeps the SimHash path driver-green;
+    still oracle-checked under pytest."""
     docs = table(spark, sf_dir, "documents")
     n_parts = spark.sparkContext.defaultParallelism
     return (
@@ -150,9 +152,7 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
+_DEDUP_NGRAM_JACCARD_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES} AS shingles FROM documents
     ), inv0 AS (
@@ -173,12 +173,15 @@ def dedup_simhash(spark, sf_dir):
     FROM common JOIN sized sa ON sa.doc_id = doc_a
                 JOIN sized sb ON sb.doc_id = doc_b
     WHERE round(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.2
-    """,
-)
+    """
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs >= 0.2 via inverted shingle index, with a
     max_doc_freq=100 hot-shingle cap (mirrored in the oracle) so no single
-    ubiquitous shingle can produce a quadratic join partition."""
+    ubiquitous shingle can produce a quadratic join partition.  Demoted r7
+    (VERDICT r6 item 3): dedup_lsh_verified keeps the Jaccard-verify shape
+    driver-green; still oracle-checked under pytest."""
     return ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=5,
         threshold=0.2, max_doc_freq=100,
@@ -233,9 +236,7 @@ _ETN_BANDS = _MINHASH_BANDS.format(
 ).replace("FROM documents", "FROM rdocs")
 
 
-@register(
-    "dedup_exact_then_near",
-    f"""
+_DEDUP_EXACT_THEN_NEAR_ORACLE = f"""
     WITH reps AS (
       SELECT min(doc_id) AS keeper, count(*) AS n_copies
       FROM documents GROUP BY md5(text)
@@ -262,16 +263,19 @@ _ETN_BANDS = _MINHASH_BANDS.format(
     JOIN reps ca ON ca.keeper = doc_a
     JOIN reps cb ON cb.keeper = doc_b
     WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.5
-    """,
-)
+    """
+
+
 def dedup_exact_then_near(spark, sf_dir):
     """THE 100 TB dedup composition: exact dedup first, near-dedup the
     cluster representatives only, pair multiplicity recoverable from the
     carried copy counts.  Pair enumeration is quadratic inside exact-dup
     clusters, so collapsing them before LSH makes near-dedup cost a
     function of DISTINCT content (measured 122s -> 14.4s on a 50k-doc
-    10-copy corpus — tests/test_llmdata.py probes the cluster path; this
-    driver entry hash-proves the composition end-to-end)."""
+    10-copy corpus — tests/test_llmdata.py probes the cluster path).
+    Demoted r7 (slot math for the VERDICT r6 item 3 promotions + U2):
+    both halves of the composition stay driver-green (dedup_exact,
+    dedup_lsh_verified); still oracle-checked under pytest."""
     from mrsboraetl_spark.operators.dedup import exact_then_near_pairs
 
     return exact_then_near_pairs(
@@ -280,9 +284,7 @@ def dedup_exact_then_near(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_embedding_lsh",
-    """
+_DEDUP_EMBEDDING_LSH_ORACLE = """
     WITH v AS (
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
     ), b AS (
@@ -301,15 +303,19 @@ def dedup_exact_then_near(spark, sf_dir):
            round(list_cosine_similarity(x.vec, y.vec), 4) AS cosine
     FROM cand JOIN v x ON x.id = id_a JOIN v y ON y.id = id_b
     WHERE round(list_cosine_similarity(x.vec, y.vec), 4) >= 0.45
-    """,
-)
+    """
+
+
 def dedup_embedding_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: SRP-LSH sign-bucket equi-joins
     (16 tables x 4 bits over the 64-dim vectors) replace the n^2/2 cross
     join; candidates verified by exact cosine.  bits=4/tables=16 measured
     14/14 recall vs the brute-force baseline at sf0.01 (uniform-random
     vectors, threshold 0.45) — the recall/fan-out trade-off is also
-    pytest-bounded in tests/test_llmdata.py."""
+    pytest-bounded in tests/test_llmdata.py.  Demoted r7 (slot math for
+    the VERDICT r6 item 3 promotions + U2): the embedding-cosine path
+    keeps three driver rows via ann_brute_force/lsh_bucketed/ivf_topk;
+    still oracle-checked under pytest."""
     from mrsboraetl_spark.operators.similarity import cosine_pairs_lsh
 
     return cosine_pairs_lsh(
@@ -863,8 +869,8 @@ def sketch_kmv_distinct(spark, sf_dir):
     """Vocabulary size per source via the deterministic K-Minimum-Values
     sketch (k=64): bounded, mergeable distinct-count state — and because
     the hash is md5, the SAME estimate to the digit on both engines, so
-    unlike HLL it is hash-check oracle-able.  Unregistered (driver cap);
-    oracle-checked via UNREGISTERED_ORACLES."""
+    unlike HLL it is hash-check oracle-able.  Promoted r7 into the
+    driver registry (VERDICT r6 item 3)."""
     from mrsboraetl_spark.functions.text import tokens
     from mrsboraetl_spark.operators.sketch import kmv_distinct
 
@@ -909,8 +915,8 @@ def curation_token_budget_mix(spark, sf_dir):
     budget, src1 kept whole (budget above its actual count), every
     other source dropped.  The keep rule is integer-exact
     (bucket * actual < budget * buckets), so both engines agree
-    bit-for-bit with no float-boundary risk.  Unregistered (driver
-    cap); oracle-checked via UNREGISTERED_ORACLES."""
+    bit-for-bit with no float-boundary risk.  Promoted r7 into the
+    driver registry (VERDICT r6 item 3)."""
     from mrsboraetl_spark.operators.curation import sample_to_token_budget
 
     docs = table(spark, sf_dir, "documents")
@@ -1226,6 +1232,15 @@ UNREGISTERED_ORACLES: dict[str, str] = {
     """,
 }
 
+# r7 demotions (VERDICT r6 item 3 + slot math for the U2 re-promotion):
+# same oracles, same hash check, now under pytest instead of the driver
+# gate; every demoted entry's family keeps driver-green siblings (see
+# each function's docstring).
+UNREGISTERED_ORACLES["dedup_simhash"] = _DEDUP_SIMHASH_ORACLE
+UNREGISTERED_ORACLES["dedup_ngram_jaccard"] = _DEDUP_NGRAM_JACCARD_ORACLE
+UNREGISTERED_ORACLES["dedup_exact_then_near"] = _DEDUP_EXACT_THEN_NEAR_ORACLE
+UNREGISTERED_ORACLES["dedup_embedding_lsh"] = _DEDUP_EMBEDDING_LSH_ORACLE
+
 from mrsboraetl_spark.operators.sketch import kmv_oracle_sql  # noqa: E402
 
 UNREGISTERED_ORACLES["sketch_kmv_distinct"] = kmv_oracle_sql(
@@ -1481,8 +1496,8 @@ def curation_stratified_sample(spark, sf_dir):
     """Exact quota sampling: precisely 10 documents per source, the 10
     smallest md5(id:salt) per stratum — what sampleBy (Bernoulli) can't
     promise.  Scale path = hash-threshold prefilter + window over the
-    ~2n survivors per stratum (operators/curation.py).  Unregistered
-    (driver cap); oracle = the naive full-window spelling."""
+    ~2n survivors per stratum (operators/curation.py).  Promoted r7
+    (VERDICT r6 item 3); oracle = the naive full-window spelling."""
     from mrsboraetl_spark.operators.curation import stratified_sample_exact
 
     docs = table(spark, sf_dir, "documents")
@@ -1510,7 +1525,7 @@ def dedup_cluster_keepers_priority(spark, sf_dir):
     keep-the-best-source policy real curation wants instead of min-id's
     accident of ingestion order.  Same LSH pairs + connected components
     as dedup_cluster_keepers; the keeper pick is one window over the
-    cluster key.  Unregistered (driver cap); oracle-checked."""
+    cluster key.  Promoted r7 (VERDICT r6 item 3)."""
     from mrsboraetl_spark.operators.dedup import (
         dedup_cluster_keepers_by_priority,
         lsh_verified_pairs,
@@ -1568,3 +1583,20 @@ UNREGISTERED_ORACLES["dedup_cluster_keepers_priority"] = f"""
            ) AS is_keeper
     FROM clustered
 """
+
+
+# --------------------------------------------- r7 registry promotions
+# (VERDICT r6 item 3.)  Pytest-oracle-checked since their adding round;
+# promotion moves the SAME oracle into the driver gate.  Slots freed by
+# dedup_simhash, dedup_ngram_jaccard, dedup_exact_then_near,
+# dedup_embedding_lsh (above) and streaming_dedup_count (streaming_q) —
+# each still oracle-checked under pytest, each family keeping
+# driver-green siblings.
+for _name, _fn in (
+    ("sketch_kmv_distinct", sketch_kmv_distinct),
+    ("curation_token_budget_mix", curation_token_budget_mix),
+    ("curation_stratified_sample", curation_stratified_sample),
+    ("dedup_cluster_keepers_priority", dedup_cluster_keepers_priority),
+):
+    register(_name, UNREGISTERED_ORACLES.pop(_name))(_fn)
+del _name, _fn

@@ -566,8 +566,9 @@ def union_all_pad(spark, sf_dir):
 
 def union_distinct_queue(spark, sf_dir):
     """U2 queue dedup-union (flat_visit_summary_v1.0.sql:86-99).
-    Demoted r6 (slot freed for the fuzzy-join/search/spans/shuffle
-    promotions); still oracle-checked under pytest."""
+    Demoted r6, RE-promoted r7 (VERDICT r6 item 8): with it registered,
+    every §2 operator family carries direct driver-gate evidence
+    (union_all_pad covers U1's pad shape, not the distinct dedup)."""
     o = table(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
@@ -724,3 +725,10 @@ def json_props_extract(spark, sf_dir):
     return ev.groupBy(
         F.get_json_object("props", "$.k").cast("int").alias("k")
     ).agg(F.count("*").alias("n"))
+
+
+# r7: U2 back in the driver gate (VERDICT r6 item 8) — post-hoc like
+# llmdata's promotions because its oracle lives in UNREGISTERED_ORACLES.
+register(
+    "union_distinct_queue", UNREGISTERED_ORACLES.pop("union_distinct_queue")
+)(union_distinct_queue)

@@ -40,17 +40,21 @@ def streaming_tumbling_daily(spark, sf_dir):
     return drain_to_batch(stream, "complete")
 
 
-@register(
-    "streaming_dedup_count",
-    """
+# Demoted r7 (VERDICT r6 item 3; I5 keeps three driver rows via
+# tumbling/session_window/stateful); oracle-checked under pytest like
+# relational/llmdata's UNREGISTERED_ORACLES.
+UNREGISTERED_ORACLES: dict[str, str] = {
+    "streaming_dedup_count": """
     SELECT event_type, count(DISTINCT event_id) AS n
     FROM events GROUP BY event_type
     """,
-)
+}
+
+
 def streaming_dedup_count(spark, sf_dir):
     """Streaming stateful exact dedup: dropDuplicates on the event key holds
     seen-key state in the state store (the streaming form of dedup_exact),
-    then a complete-mode count per type."""
+    then a complete-mode count per type.  Demoted r7 (VERDICT r6 item 3)."""
     from mrsboraetl_spark.streaming import drain_to_batch, stream_events
 
     stream = (

@@ -89,9 +89,9 @@ def main():
     # Also sweep the UNREGISTERED oracle-checked operators (kept out of
     # the 50-entry driver cap but held to the same hash standard), so one
     # command covers the whole oracle surface.
-    from mrsboraetl_spark.queries import llmdata, relational
+    from mrsboraetl_spark.queries import llmdata, relational, streaming_q
 
-    for mod in (relational, llmdata):
+    for mod in (relational, llmdata, streaming_q):
         for name, sql in mod.UNREGISTERED_ORACLES.items():
             if name not in qs:
                 qs[name] = getattr(mod, name)

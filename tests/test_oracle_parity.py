@@ -50,7 +50,6 @@ UNREGISTERED = [
     # Demoted r6 to free slots for search_bm25_topk, dedup_repeated_spans,
     # curation_epoch_shuffle, fuzzy_join_docs (each demoted family keeps a
     # driver-green sibling)
-    "union_distinct_queue",
     "json_props_extract",
     "dedup_embedding_cosine",
     "multimodal_decode_stub",
@@ -63,21 +62,22 @@ UNREGISTERED = [
     "curation_quality_filter",
     # Round-5 session 2: lexical search, sketches, packing (decontamination
     # went straight into the driver registry)
-    "sketch_kmv_distinct",
     "curation_pack_sequences",
     "profile_source_percentiles",
     "curation_oov_fraction",
-    "curation_token_budget_mix",
     # Round-5 session 4: sub-document boilerplate removal, PII redaction,
     # deterministic epoch shuffle
     "curation_redact_pii",
     "curation_unigram_logprob",
     "curation_oversample_mix",
     "decontam_attribution_pairs",
-    # Round 6: exact quota sampling (hash-threshold prefilter + window)
-    "curation_stratified_sample",
-    # Round 6: priority-aware near-dup keeper selection
-    "dedup_cluster_keepers_priority",
+    # Demoted r7 (VERDICT r6 item 3 promotions + the U2 re-promotion);
+    # every demoted family keeps driver-green siblings
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_exact_then_near",
+    "dedup_embedding_lsh",
+    "streaming_dedup_count",
 ]
 
 
@@ -126,9 +126,12 @@ def test_no_nonscalar_output_columns(spark, sf_dir):
 
 @pytest.mark.parametrize("name", UNREGISTERED)
 def test_unregistered_queries(spark, sf_dir, duck, name):
-    from mrsboraetl_spark.queries import llmdata, relational
+    from mrsboraetl_spark.queries import llmdata, relational, streaming_q
 
-    module = relational if hasattr(relational, name) else llmdata
+    module = next(
+        m for m in (relational, llmdata, streaming_q)
+        if name in m.UNREGISTERED_ORACLES
+    )
     sdf = getattr(module, name)(spark, sf_dir)
     err = compare(name, sdf, module.UNREGISTERED_ORACLES[name], duck)
     assert err is None, f"{name}: {err}"

@@ -75,8 +75,16 @@ def test_ivf_probe_is_equi_join(spark, sf_dir):
 
 def test_ngram_jaccard_caps_hot_shingles(spark, sf_dir):
     """The doc-frequency cap must survive in the plan: the inverted index
-    is filtered through the doc_freq aggregate before the self-join."""
-    plan = _plan(spark, "dedup_ngram_jaccard", sf_dir)
+    is filtered through the doc_freq aggregate before the self-join.
+    (dedup_ngram_jaccard demoted from the registry r7 — the plan guard
+    stays; resolved from its module.)"""
+    from mrsboraetl_spark.queries import llmdata
+
+    df = llmdata.dedup_ngram_jaccard(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "doc_freq" in plan
     assert "CartesianProduct" not in plan
 
@@ -90,7 +98,7 @@ BRUTE_FORCE_OK = {
 }
 # streaming queries execute on build (drain); exclude from the static sweep
 SKIP = {
-    "streaming_tumbling_daily", "streaming_dedup_count",
+    "streaming_tumbling_daily",
     "streaming_stateful_user_stats",
 }
 
@@ -134,6 +142,14 @@ def test_unregistered_scale_ops_plan_no_nested_loop(spark, sf_dir):
     plans = {"simhash_near_pairs": fmt(
         simhash_near_pairs(docs, "doc_id", "text", 32, 2, 1)
     )}
+    # r7-demoted registry entries keep their cartesian guard here
+    from mrsboraetl_spark.queries import llmdata
+
+    for demoted in (
+        "dedup_simhash", "dedup_ngram_jaccard", "dedup_exact_then_near",
+        "dedup_embedding_lsh",
+    ):
+        plans[demoted] = fmt(getattr(llmdata, demoted)(spark, sf_dir))
     # incremental LSH index probe: must stay a (band, bk) equi-join
     import tempfile
 
