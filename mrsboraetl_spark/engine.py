@@ -27,6 +27,7 @@ Modes (flat_visit_summary_v1.0.sql:6 @query_type):
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
 import shutil
 
@@ -191,6 +192,28 @@ class PipelineRunner:
     # per-directory swaps, so fall back.
     _DELTA_WRITE_MAX_FRACTION = 0.5
 
+    # Per-month [min, max] key bounds, recorded at write time so the
+    # sync's phase-1 retraction probe opens only the month directories
+    # whose range can contain a changed key — the partitioned-layout
+    # lift of VersionedTable.merge_delta's per-file accounting
+    # (sources/versioned.py:236-252) and the engine's stand-in for the
+    # reference's PK-index lookup cost (flat_obs_v1.0.sql:46-50).
+    # Columns per table = the keys its incremental plan probes on.
+    # flat_lab_obs is absent by design: its (person, day) key CONTAINS
+    # the partition datetime, so its plan never probes the target.
+    _BOUNDS_COLS = {
+        "flat_obs": ("encounter_id", "person_id"),
+        "flat_orders": ("encounter_id", "person_id"),
+        "flat_visit_summary": ("encounter_id", "person_id"),
+    }
+    # Underscore prefix: invisible to Spark's file discovery, like the
+    # demoted _old.M directories.
+    _BOUNDS_FILE = "_month_bounds.json"
+
+    # Stage-level no-op short-circuit (see _stage's change_signal):
+    # probe/debug knob — False restores the run-every-stage behavior.
+    _STAGE_SKIP = True
+
     def read_target_months(
         self, table: str, months: list[str]
     ) -> DataFrame:
@@ -202,9 +225,125 @@ class PipelineRunner:
         to end instead of an O(target) scan feeding an O(delta)
         write)."""
         df = self.spark.read.parquet(self._path(table))
+        if not months:
+            # No candidate months: nothing to read (and isin() with an
+            # empty list is invalid) — an empty frame with the target
+            # schema keeps downstream joins well-typed.
+            return df.filter(F.lit(False)).drop(self.PARTITION_COL)
         return df.filter(
             F.col(self.PARTITION_COL).isin(months)
         ).drop(self.PARTITION_COL)
+
+    # ------------------------------------------------- month key bounds
+
+    def _bounds_path(self, table: str) -> str:
+        return os.path.join(self._path(table), self._BOUNDS_FILE)
+
+    def _load_bounds(self, table: str) -> dict | None:
+        try:
+            with open(self._bounds_path(table)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            # Pre-bounds table (or unreadable sidecar): callers fall
+            # back to the full-target probe — slower, never wrong.
+            return None
+
+    def _write_bounds(self, table_dir: str, bounds: dict) -> None:
+        """Atomically (re)write the bounds sidecar inside ``table_dir``."""
+        p = os.path.join(table_dir, self._BOUNDS_FILE)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(bounds, f, sort_keys=True)
+        os.replace(tmp, p)
+
+    def _compute_month_bounds(self, parquet_dir: str, cols) -> dict:
+        """Exact per-month [min, max] of each bounds column, from the
+        staged parquet itself (a column-pruned O(staged-data) scan —
+        bounded by what the surrounding write already shuffled).
+        Bounded driver action: one row per storage month."""
+        df = self.spark.read.parquet(parquet_dir)
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
+        out: dict = {}
+        for r in df.groupBy(self.PARTITION_COL).agg(*aggs).collect():
+            ent = {}
+            for c in cols:
+                lo, hi = r[f"{c}__lo"], r[f"{c}__hi"]
+                if lo is not None and hi is not None:
+                    ent[c] = [int(lo), int(hi)]
+            out[str(r[self.PARTITION_COL])] = ent
+        return out
+
+    @staticmethod
+    def _widen_bounds(old: dict | None, new: dict, cols) -> dict:
+        """Union of two month entries: per column, the covering range —
+        or the column OMITTED when either side lacks it (an absent
+        column means 'cannot prune on this', never 'empty range')."""
+        if old is None:
+            return new
+        merged = {}
+        for c in cols:
+            a, b = old.get(c), new.get(c)
+            if a is not None and b is not None:
+                merged[c] = [min(a[0], b[0]), max(a[1], b[1])]
+        return merged
+
+    def _make_probe_reader(self, table: str):
+        """A (keys_df, key_col) -> DataFrame|None closure for the plans'
+        month_probe (plans/_probe.py), or None when this table keeps no
+        bounds.  The closure range-joins the distinct probe keys against
+        the broadcast per-month bounds (tens of rows), collects the
+        candidate month list (bounded driver action), and returns the
+        target restricted to those directories via planning-time
+        partition pruning.  Months on disk with no recorded bounds for
+        the column are unconditionally candidates — pruning must only
+        ever drop months the bounds PROVE cannot hold a key."""
+        cols = self._BOUNDS_COLS.get(table, ())
+        bounds = self._load_bounds(table) if cols else None
+        if bounds is None:
+            return None
+        path = self._path(table)
+        existing = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(path)
+            if d.startswith(self.PARTITION_COL + "=")
+        )
+
+        def reader(keys_df, key_col):
+            if key_col not in cols:
+                return None
+            always = [
+                m for m in existing if key_col not in bounds.get(m, {})
+            ]
+            ranged = [
+                (m, int(bounds[m][key_col][0]), int(bounds[m][key_col][1]))
+                for m in existing
+                if key_col in bounds.get(m, {})
+            ]
+            cand = set(always)
+            if ranged:
+                bdf = self.spark.createDataFrame(
+                    ranged, schema="p_month string, lo long, hi long"
+                )
+                hits = (
+                    keys_df.select(
+                        F.col(key_col).cast("long").alias("_k")
+                    )
+                    .distinct()
+                    .join(
+                        F.broadcast(bdf),
+                        (F.col("_k") >= F.col("lo"))
+                        & (F.col("_k") <= F.col("hi")),
+                    )
+                    .select("p_month")
+                    .distinct()
+                    .collect()
+                )
+                cand |= {r["p_month"] for r in hits}
+            return self.read_target_months(table, sorted(cand))
+
+        return reader
 
     def _write(self, df: DataFrame, table: str) -> None:
         """Full write: cluster, stage, atomic whole-table swap."""
@@ -231,6 +370,13 @@ class PipelineRunner:
         if part_src:
             writer = writer.partitionBy(self.PARTITION_COL)
         writer.parquet(tmp)
+        bounds_cols = self._BOUNDS_COLS.get(table, ()) if part_src else ()
+        if bounds_cols:
+            # Exact bounds, staged INSIDE tmp so the swap below carries
+            # data + sidecar atomically.
+            self._write_bounds(
+                tmp, self._compute_month_bounds(tmp, bounds_cols)
+            )
         # Promote via rename-aside: demote old -> promote tmp -> drop old.
         # A crash between the two os.replace calls leaves nothing at `path`
         # but the previous table intact at `.old`; read_target recovers it.
@@ -261,10 +407,14 @@ class PipelineRunner:
             .repartition(self.PARTITION_COL, *pk)
             .sortWithinPartitions(*pk)
         )
-        self._write_months(delta, self._path(table), months)
+        self._write_months(
+            delta, self._path(table), months,
+            bounds_cols=self._BOUNDS_COLS.get(table, ()),
+        )
 
     def _write_months(
-        self, df: DataFrame, path: str, months: list[str]
+        self, df: DataFrame, path: str, months: list[str],
+        bounds_cols=(),
     ) -> None:
         """Rewrite ONLY the given ``p_month`` directories of an existing
         partitioned target from ``df`` (already filtered to those months,
@@ -277,7 +427,16 @@ class PipelineRunner:
         _old.M -> promote staged -> drop _old.M; read_target restores
         an orphaned _old.M); the sequence as a whole is converged by
         the next sync, since the watermark only advances after every
-        swap completed."""
+        swap completed.
+
+        Bounds sidecar discipline (``bounds_cols``): WIDEN before the
+        swaps (old ∪ staged per rewritten month), EXACT after them.  A
+        crash anywhere inside the swap window therefore leaves bounds
+        that cover both the old and the new content of every month —
+        the superset invariant _make_probe_reader's pruning relies on;
+        a missed month here would be a silently-unretracted row
+        forever.  Looseness from an interrupted sync is repaired by the
+        exact pass of the next successful one."""
         if not months:
             return
         tmp = path + ".delta-tmp"
@@ -288,6 +447,24 @@ class PipelineRunner:
             .partitionBy(self.PARTITION_COL)
             .parquet(tmp)
         )
+        staged_bounds: dict = {}
+        old_bounds: dict = {}
+        if bounds_cols:
+            staged_bounds = self._compute_month_bounds(tmp, bounds_cols)
+            try:
+                with open(os.path.join(path, self._BOUNDS_FILE)) as f:
+                    old_bounds = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                old_bounds = {}
+            widened = dict(old_bounds)
+            for m in months:
+                if m in staged_bounds:
+                    widened[m] = self._widen_bounds(
+                        old_bounds.get(m), staged_bounds[m], bounds_cols
+                    )
+                # month being deleted (no staged rows): keep the old
+                # entry until the directory is actually gone
+            self._write_bounds(path, widened)
         for m in months:
             src = os.path.join(tmp, f"{self.PARTITION_COL}={m}")
             dst = os.path.join(path, f"{self.PARTITION_COL}={m}")
@@ -301,6 +478,16 @@ class PipelineRunner:
             if os.path.exists(old):
                 shutil.rmtree(old)
         shutil.rmtree(tmp)
+        if bounds_cols:
+            # Every swap completed: tighten to the exact staged bounds
+            # and drop entries for months whose directory was deleted.
+            final = dict(old_bounds)
+            for m in months:
+                if m in staged_bounds:
+                    final[m] = staged_bounds[m]
+                else:
+                    final.pop(m, None)
+            self._write_bounds(path, final)
 
     # -------------------------------------------------------------- runs
 
@@ -308,6 +495,33 @@ class PipelineRunner:
     def _max_ts(df: DataFrame, col: str = "date_created"):
         row = df.agg(F.max(col).alias("m")).first()
         return row["m"] if row else None
+
+    @staticmethod
+    def _maxes(df: DataFrame, *cols):
+        """Per-column max in ONE pass (the change-signal scan shares the
+        job the watermark snapshot already pays for)."""
+        row = df.agg(*[F.max(c).alias(c) for c in cols]).first()
+        return [row[c] if row else None for c in cols]
+
+    @staticmethod
+    def _signal_covered(new: dict, stored: dict | None) -> bool:
+        """True when ``stored`` (a past run's per-column signal) covers
+        every column of ``new`` — i.e. no change column advanced.  The
+        comparison is PER COLUMN, never a single max-of-maxes: a new row
+        in a low-timestamped column (an obs created yesterday) must not
+        be masked by a larger, unchanged max elsewhere (a person void
+        dated next week).  A None new part means that column carries no
+        signal this run; a None/absent stored part means the column was
+        never processed, so it cannot be skipped."""
+        if stored is None:
+            return False
+        for k, v in new.items():
+            if v is None:
+                continue
+            s = stored.get(k)
+            if s is None or v > s:
+                return False
+        return True
 
     def run(self, sources: dict[str, DataFrame], mode: str = "sync") -> None:
         """Run all stages in dependency order."""
@@ -320,11 +534,49 @@ class PipelineRunner:
         # against a live source, a row arriving mid-stage must NOT be
         # covered by the logged watermark or the next sync skips it forever.
         # One scan per source table, shared by every stage that needs it.
-        max_obs = self._max_ts(obs)
-        max_enc = self._max_ts(enc)
-        max_orders = self._max_ts(orders)
+        # The same scans also carry each table's CHANGE SIGNAL — the max
+        # over every timestamp column the incremental plans filter on
+        # (created AND voided/changed) — so a stage whose signal hasn't
+        # passed its stored signal high-water mark (_save_signal) can be
+        # skipped outright (no plan, no probes, no write): the
+        # stage-level no-op short-circuit that keeps a wave touching one
+        # source from paying all five stages.
+        max_obs, obs_voided = self._maxes(obs, "date_created", "date_voided")
+        max_enc, enc_changed = self._maxes(
+            enc, "date_created", "date_changed"
+        )
+        max_orders, orders_voided = self._maxes(
+            orders, "date_created", "date_voided"
+        )
+        # person carries no created/changed lineage; voids are its only
+        # change class — and the purge is UNCONDITIONAL (not watermark-
+        # filtered), so a timestamp signal alone would be blind to an
+        # UNDATED void (voided flipped, date_voided never set).  The
+        # engine therefore keeps a tiny persisted fingerprint of the
+        # voided-person SET (count + order-independent id checksum, one
+        # agg sharing the person scan): any membership change defeats
+        # the skip regardless of dates, while max(date_voided) — when
+        # the column exists — feeds the normal timestamp signal.
+        person_voided, person_fp = self._person_void_state(person)
+        person_stable = person_fp == self._load_person_fingerprint()
 
-        self._stage(
+        # Skipping needs BOTH a stable void set and sync mode; the raw
+        # signal itself is always computed (and stored after each stage
+        # runs) so the very next sync can start skipping.  Each signal
+        # is a PER-COLUMN dict (see _signal_covered): collapsing to one
+        # max would let a large unchanged column mask a small advanced
+        # one and silently skip real work.
+        allow_skip = mode == "sync" and person_stable
+
+        obs_enc_sig = {
+            "obs_created": max_obs,
+            "obs_voided": obs_voided,
+            "enc_created": max_enc,
+            "enc_changed": enc_changed,
+            "person_voided": person_voided,
+        }
+
+        obs_ran = self._stage(
             "flat_obs",
             lambda target, wm, out: build_flat_obs(obs, enc, person)
             if mode == "rebuild" or target is None
@@ -333,6 +585,8 @@ class PipelineRunner:
             # @last_date_created (flat_obs_v1.0.sql:26-28); obs-only would
             # perpetually re-queue encounters edited after the last obs.
             data_wm=max(filter(None, [max_obs, max_enc]), default=None),
+            change_signal=obs_enc_sig,
+            allow_skip=allow_skip,
         )
         self._stage(
             "flat_orders",
@@ -342,46 +596,207 @@ class PipelineRunner:
                 target, orders, enc, person, wm, out=out
             ),
             data_wm=max_orders,
+            # the orders plan queues off orders changes only (encounter
+            # columns are enrichment, not a change class) + the purge
+            change_signal={
+                "orders_created": max_orders,
+                "orders_voided": orders_voided,
+                "person_voided": person_voided,
+            },
+            allow_skip=allow_skip,
         )
-        self._stage(
+        lab_ran = self._stage(
             "flat_lab_obs",
             lambda target, wm, out: build_flat_lab_obs(obs)
             if mode == "rebuild" or target is None
             else incremental_flat_lab_obs(target, obs, wm, out=out),
             # greatest of encounter/obs max (flat_lab_obs_v1.0.sql:37-39)
             data_wm=max(filter(None, [max_obs, max_enc]), default=None),
+            # no person purge in the lab plan; obs is its only input
+            change_signal={
+                "obs_created": max_obs,
+                "obs_voided": obs_voided,
+            },
+            allow_skip=allow_skip,
         )
 
-        flat_obs = self.read_target("flat_obs")
-        flat_lab = self.read_target("flat_lab_obs")
-        vs_wm_snapshot = self._max_ts(flat_obs, "max_date_created")
-        self._stage(
-            "flat_visit_summary",
-            lambda target, wm, out: build_flat_visit_summary(
-                flat_obs, flat_lab, person
+        vs_version = TABLE_VERSIONS["flat_visit_summary"]
+        vs_ran = True
+        if (
+            self._STAGE_SKIP
+            and allow_skip
+            and self._signal_covered(
+                obs_enc_sig, self._load_signal(vs_version)
             )
-            if mode == "rebuild" or target is None
-            else incremental_flat_visit_summary(
-                target, flat_obs, flat_lab, person, enc, wm,
-                obs_for_retractions=obs, out=out,
-            ),
-            # cascade (I4): keyed off upstream flat_obs.max_date_created
-            # (flat_visit_summary_v1.0.sql:16,93-99)
-            data_wm=vs_wm_snapshot,
-        )
+            and not obs_ran
+            and not lab_ran
+            and self._target_exists("flat_visit_summary")
+        ):
+            # visit_summary's change classes (encounter edits, upstream
+            # flat_obs advance, obs voids, person voids) are all covered
+            # by the obs/enc/person signal, and its lab input did not
+            # move either: skip the stage INCLUDING the O(target)
+            # flat_obs max_date_created snapshot read.
+            vs_ran = False
+        else:
+            flat_obs = self.read_target("flat_obs")
+            flat_lab = self.read_target("flat_lab_obs")
+            vs_wm_snapshot = self._max_ts(flat_obs, "max_date_created")
+            self._stage(
+                "flat_visit_summary",
+                lambda target, wm, out: build_flat_visit_summary(
+                    flat_obs, flat_lab, person
+                )
+                if mode == "rebuild" or target is None
+                else incremental_flat_visit_summary(
+                    target, flat_obs, flat_lab, person, enc, wm,
+                    obs_for_retractions=obs, out=out,
+                ),
+                # cascade (I4): keyed off upstream flat_obs.max_date_created
+                # (flat_visit_summary_v1.0.sql:16,93-99)
+                data_wm=vs_wm_snapshot,
+                # the skip decision for this stage is the upstream-aware
+                # block above; _stage only maintains the signal store
+                change_signal=obs_enc_sig,
+                allow_skip=False,
+            )
 
         # Latest snapshot: always a full overwrite of a small per-patient
-        # table (fixes quirk 8's duplicate-on-rerun INSERT).
-        started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        vs = self.read_target("flat_visit_summary")
-        self._write(build_flat_latest_hiv_summary(vs), "flat_latest_hiv_summary")
-        self.watermarks.log_run(
-            TABLE_VERSIONS["flat_latest_hiv_summary"], started,
-            self._max_ts(vs, "max_date_created"),
+        # table (fixes quirk 8's duplicate-on-rerun INSERT) — skipped
+        # only when its sole input did not change this run.
+        if vs_ran or not self._target_exists("flat_latest_hiv_summary"):
+            started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            vs = self.read_target("flat_visit_summary")
+            self._write(
+                build_flat_latest_hiv_summary(vs), "flat_latest_hiv_summary"
+            )
+            self.watermarks.log_run(
+                TABLE_VERSIONS["flat_latest_hiv_summary"], started,
+                self._max_ts(vs, "max_date_created"),
+            )
+
+        # Commit the person-void fingerprint only after EVERY stage
+        # completed: a crashed run leaves the old fingerprint, so the
+        # next run re-processes (idempotent) rather than skips.
+        self._save_person_fingerprint(person_fp)
+
+    def _target_exists(self, table: str) -> bool:
+        if self.versioned:
+            return self._versioned(table).version() >= 0
+        return os.path.exists(self._path(table)) or os.path.exists(
+            self._path(table) + ".old"
         )
 
-    def _stage(self, table: str, plan, data_wm) -> None:
-        """One pipeline stage.  Under the partitioned layout an
+    # ------------------------------------------- person-void fingerprint
+
+    def _person_fp_path(self) -> str:
+        return os.path.join(self.root, "_person_void_fp.json")
+
+    def _person_void_state(self, person: DataFrame):
+        """(max date_voided | None, fingerprint) in ONE scan of person.
+        The fingerprint is order-independent (count + summed crc32 of
+        the voided ids), so any change to the voided-person set —
+        including an undated void or an un-void — changes it."""
+        voided = F.col("voided") == 1
+        aggs = [
+            F.sum(F.when(voided, 1).otherwise(0)).alias("n"),
+            F.sum(
+                F.when(voided, F.crc32(F.col("person_id").cast("string")))
+            ).alias("crc"),
+        ]
+        has_date = "date_voided" in person.columns
+        if has_date:
+            aggs.append(F.max("date_voided").alias("dv"))
+        row = person.agg(*aggs).first()
+        fp = {
+            "n": int(row["n"] or 0),
+            "crc": int(row["crc"] or 0),
+        }
+        return (row["dv"] if has_date else None), fp
+
+    def _load_person_fingerprint(self) -> dict | None:
+        try:
+            with open(self._person_fp_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None  # never matches -> no skipping until written
+
+    def _save_person_fingerprint(self, fp: dict) -> None:
+        tmp = self._person_fp_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(fp, f)
+        os.replace(tmp, self._person_fp_path())
+
+    # ------------------------------------------------------ signal store
+
+    def _signals_path(self) -> str:
+        return os.path.join(self.root, "_stage_signals.json")
+
+    def _load_signal(self, version: str) -> dict | None:
+        """Last fully-processed per-column change signal for a stage,
+        or None (no store / unreadable -> no skipping)."""
+        try:
+            with open(self._signals_path()) as f:
+                raw = json.load(f).get(version)
+            if raw is None:
+                return None
+            return {
+                k: dt.datetime.fromisoformat(v) if v else None
+                for k, v in raw.items()
+            }
+        except (FileNotFoundError, json.JSONDecodeError, ValueError):
+            return None
+
+    def _save_signal(self, version: str, sig: dict) -> None:
+        """Record that every change dated <= sig[col] has been processed
+        for ``version`` — written only AFTER the stage's write and
+        watermark log committed, so a crash re-runs (idempotent) rather
+        than skips."""
+        try:
+            with open(self._signals_path()) as f:
+                store = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            store = {}
+        store[version] = {
+            k: v.isoformat() if v is not None else None
+            for k, v in sig.items()
+        }
+        tmp = self._signals_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(store, f, sort_keys=True)
+        os.replace(tmp, self._signals_path())
+
+    def _stage(
+        self, table: str, plan, data_wm, change_signal=None,
+        allow_skip=True,
+    ) -> bool:
+        """One pipeline stage; returns whether it actually ran.
+
+        ``change_signal``: a PER-COLUMN dict {name: max(ts)} over every
+        source timestamp column this stage's incremental plan filters
+        on (created AND voided/changed — created alone would skip
+        forever past a void-only edit, since voids never advance the
+        logged data watermark).  The comparison point is NOT that
+        watermark — a post-watermark void would then defeat the skip
+        forever, since data_wm only ever tracks creations — but the
+        stage's own stored SIGNAL high-water mark (_save_signal: the
+        per-column signal of its last completed run), compared column
+        by column via _signal_covered (a single max-of-maxes would let
+        a large unchanged column mask a small advanced one).  When no
+        column advanced there is nothing for the plan to see: skip the
+        whole stage — no plan build, no probes, no write, no watermark
+        log.  A None
+        signal, ``allow_skip=False`` (rebuild mode, unstable person
+        void set, externally-decided stages), or an empty store (cold
+        start, pre-signal table) disables skipping; the signal is still
+        stored after the run so the next sync can skip.  The comparison
+        inherits the watermark protocol's existing assumption that
+        change timestamps are not back-dated past an already-processed
+        maximum — a row the plans' own ``> wm`` filters would equally
+        never see (the undated-void class is what the person
+        fingerprint exists for).
+
+        Under the partitioned layout an
         incremental sync runs in TWO phases so both its read and its
         write scale with the delta, not the target:
 
@@ -400,6 +815,16 @@ class PipelineRunner:
            unpartitioned/versioned/cold-start)."""
         started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         version = TABLE_VERSIONS[table]
+        if (
+            self._STAGE_SKIP
+            and allow_skip
+            and change_signal is not None
+            and self._target_exists(table)
+            and self._signal_covered(
+                change_signal, self._load_signal(version)
+            )
+        ):
+            return False
         target = self.read_target(table)
         wm = self.watermarks.last_update(version, fallback=target)
         part_src = self._PARTITION_SRC.get(table) if self.partitioned else None
@@ -410,6 +835,14 @@ class PipelineRunner:
             # (other layouts would pay the eager materialization — and
             # lose lineage replay on a real cluster — for nothing).
             out["pin_recomputed"] = True
+            # Key-bounds candidate pruning for the plan's retraction
+            # probes (plans/_probe.month_probe): the phase-1 read then
+            # opens only month directories whose recorded key range can
+            # contain a changed key, instead of scanning 3 columns of
+            # the whole target every sync.
+            reader = self._make_probe_reader(table)
+            if reader is not None:
+                out["probe_reader"] = reader
         merged = plan(target, wm, out)
         months_df = out.get("affected_months")
         if part_src and months_df is not None and target is not None:
@@ -434,6 +867,11 @@ class PipelineRunner:
                         plan(pruned, wm, out), table, months
                     )
                 self.watermarks.log_run(version, started, data_wm)
-                return
+                if change_signal is not None:
+                    self._save_signal(version, change_signal)
+                return True
         self._write(merged, table)
         self.watermarks.log_run(version, started, data_wm)
+        if change_signal is not None:
+            self._save_signal(version, change_signal)
+        return True

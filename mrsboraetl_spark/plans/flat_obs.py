@@ -223,14 +223,35 @@ def incremental_flat_obs(
             )
         )
         if target is not None:
-            probe = target.select(
-                "encounter_id", "person_id", "encounter_datetime"
+            from mrsboraetl_spark.plans._probe import (
+                month_probe,
+                recently_voided,
+            )
+
+            # Old locations of changed encounters: with the engine's
+            # key-bounds reader this opens only candidate month
+            # directories (encounter ids correlate with storage months,
+            # so the [min,max] ranges prune hard); without it, the full
+            # column-pruned scan.
+            enc_probe = month_probe(
+                target, out, affected_enc, "encounter_id",
+                ["encounter_id", "encounter_datetime"],
+            )
+            # Rows of voided persons: scoped to voids SINCE the
+            # watermark (earlier voids were purged by the sync that
+            # first saw them), so a steady-state sync probes nothing
+            # here at all.  The merged-output purge below still uses
+            # the full voided set.
+            vp_recent = recently_voided(person, wm)
+            vp_probe = month_probe(
+                target, out, vp_recent, "person_id",
+                ["person_id", "encounter_datetime"],
             )
             months = months.unionByName(
-                probe.join(affected_enc, "encounter_id", "left_semi")
+                enc_probe.join(affected_enc, "encounter_id", "left_semi")
                 .select(month)
             ).unionByName(
-                probe.join(voided_person, "person_id", "left_semi")
+                vp_probe.join(vp_recent, "person_id", "left_semi")
                 .select(month)
             )
         out["affected_months"] = months.distinct()

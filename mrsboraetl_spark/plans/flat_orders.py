@@ -130,14 +130,28 @@ def incremental_flat_orders(
         month = p_month_of("encounter_datetime").alias("p_month")
         months = recomputed.select(month)
         if target is not None:
-            probe = target.select(
-                "encounter_id", "person_id", "encounter_datetime"
+            from mrsboraetl_spark.plans._probe import (
+                month_probe,
+                recently_voided,
+            )
+
+            # See incremental_flat_obs: bounds-pruned probe for the old
+            # locations of changed encounters; watermark-scoped probe
+            # for voided persons (the purge itself stays unconditional).
+            enc_probe = month_probe(
+                target, out, affected, "encounter_id",
+                ["encounter_id", "encounter_datetime"],
+            )
+            vp_recent = recently_voided(person, wm)
+            vp_probe = month_probe(
+                target, out, vp_recent, "person_id",
+                ["person_id", "encounter_datetime"],
             )
             months = months.unionByName(
-                probe.join(affected, "encounter_id", "left_semi")
+                enc_probe.join(affected, "encounter_id", "left_semi")
                 .select(month)
             ).unionByName(
-                probe.join(voided_person, "person_id", "left_semi")
+                vp_probe.join(vp_recent, "person_id", "left_semi")
                 .select(month)
             )
         out["affected_months"] = months.distinct()

@@ -185,22 +185,45 @@ def incremental_flat_visit_summary(
         month = p_month_of("encounter_datetime").alias("p_month")
         months = recomputed.select(month)
         if target is not None:
-            probe = target.select(
-                "person_id", "encounter_id", "encounter_datetime"
+            from mrsboraetl_spark.plans._probe import (
+                month_probe,
+                recently_voided,
+            )
+
+            # Old rows of queued persons.  person_id-keyed, so the
+            # engine's [min,max] bounds prune weakly here (a month's
+            # person range is wide) — candidates degrade to all months
+            # rather than below today's full column-pruned scan; the
+            # reference pays the same secondary-index walk for its
+            # person-keyed deletes.
+            queue_probe = month_probe(
+                target, out, queue, "person_id",
+                ["person_id", "encounter_datetime"],
+            )
+            vp_recent = recently_voided(person, wm)
+            vp_probe = month_probe(
+                target, out, vp_recent, "person_id",
+                ["person_id", "encounter_datetime"],
+            )
+            # replace_into also deletes by ENCOUNTER id: an encounter
+            # re-pointed to a different person (patient merge) leaves
+            # its old row under a person the queue never names — and
+            # possibly under a different month.  Probe the old
+            # locations of every recomputed encounter (bounds-pruned:
+            # encounter ids correlate with storage months) so that
+            # row's month is always in the superset.
+            enc_probe = month_probe(
+                target, out, recomputed.select("encounter_id"),
+                "encounter_id", ["encounter_id", "encounter_datetime"],
             )
             months = months.unionByName(
-                probe.join(queue, "person_id", "left_semi").select(month)
-            ).unionByName(
-                probe.join(voided_person, "person_id", "left_semi")
+                queue_probe.join(queue, "person_id", "left_semi")
                 .select(month)
             ).unionByName(
-                # replace_into also deletes by ENCOUNTER id: an
-                # encounter re-pointed to a different person (patient
-                # merge) leaves its old row under a person the queue
-                # never names — and possibly under a different month.
-                # Probe the old locations of every recomputed encounter
-                # so that row's month is always in the superset.
-                probe.join(
+                vp_probe.join(vp_recent, "person_id", "left_semi")
+                .select(month)
+            ).unionByName(
+                enc_probe.join(
                     recomputed.select("encounter_id"),
                     "encounter_id",
                     "left_semi",

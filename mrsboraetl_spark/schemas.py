@@ -69,6 +69,12 @@ PERSON_SCHEMA = T.StructType([
     _f("person_id", T.IntegerType(), False),
     _f("uuid", T.StringType(), False),
     _f("voided", T.IntegerType(), False),
+    # When a person was voided — lets the incremental plans scope the
+    # voided-person month probe to voids since the watermark
+    # (plans/_probe.recently_voided); the purge itself stays
+    # unconditional.  Nullable: plans fall back to probing the full
+    # voided set for sources without it.
+    _f("date_voided", T.TimestampType()),
 ])
 
 # ---------------------------------------------------------------- targets

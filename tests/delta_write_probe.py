@@ -1,20 +1,26 @@
-"""Delta-scoped sync write-amplification probe (manual tool, not a
-pytest test) — VERDICT r5 item 1's done-criterion.
+"""Delta-scoped sync write- AND read-amplification probe (manual tool,
+not a pytest test) — VERDICT r5 item 1 and r6 item 1 done-criteria.
 
 At a given person count, rebuilds the partitioned pipeline, then syncs a
 SMALL delta (new obs on a handful of existing encounters, all in
-whatever months those encounters live in) twice:
+whatever months those encounters live in) under three configurations:
 
-* delta-scoped writer (the default): only affected p_month directories
-  rewritten;
+* delta-scoped writer + key-bounds probe (the default): only affected
+  p_month directories rewritten, and the phase-1 retraction probe opens
+  only candidate month directories (engine._BOUNDS_COLS sidecar);
+* delta-scoped writer, bounds sidecars DELETED: the r6 behavior — the
+  probe falls back to a column-pruned scan of the whole target;
 * full-rewrite fallback forced (_DELTA_WRITE_MAX_FRACTION = -1): the
-  old behavior, whole target rewritten per stage.
+  r5 behavior, whole target rewritten per stage.
 
 "Write bytes" = sum of sizes of files under the storage root whose
-mtime is after the sync started — actual disk write volume, not shuffle
-bytes.  The claim under test: delta-scoped sync writes scale with the
-DELTA (~the affected months' size), full-rewrite writes scale with the
-TARGET.
+mtime is after the sync started — actual disk write volume.  "Read
+bytes" = the executor task input-metrics delta across the sync
+(AppStatusStore totalInputBytes — what Spark actually pulled off disk,
+so column pruning and partition pruning both show up).  The claims
+under test: sync WRITES scale with the delta, and with bounds the
+phase-1 probe READ does too, instead of re-scanning 3 columns of the
+whole target every sync.
 
 Usage: python tests/delta_write_probe.py [n_persons]   # default 50000
 Results land in PERF.md by hand.
@@ -47,6 +53,15 @@ def tree_bytes_after(root: str, t0: float) -> int:
 
 def tree_bytes(root: str) -> int:
     return tree_bytes_after(root, 0.0)
+
+
+def executor_input_bytes(spark) -> int:
+    """Sum of task input bytes across executors (AppStatusStore) —
+    actual read volume, after column AND partition pruning."""
+    execs = spark.sparkContext._jsc.sc().statusStore().executorList(True)
+    return sum(
+        execs.apply(i).totalInputBytes() for i in range(execs.size())
+    )
 
 
 def run_probe(n: int) -> None:
@@ -109,7 +124,7 @@ def run_probe(n: int) -> None:
             df.cache().count()
 
     results = {"n_persons": n, "n_delta_obs": len(new_rows)}
-    for mode in ("delta_scoped", "full_rewrite"):
+    for mode in ("delta_bounds", "delta_no_bounds", "full_rewrite"):
         root = tempfile.mkdtemp(prefix=f"dwp_{mode}_")
         runner = PipelineRunner(spark, root, partitioned=True)
         if mode == "full_rewrite":
@@ -118,9 +133,16 @@ def run_probe(n: int) -> None:
         runner.run(dfs, mode="rebuild")
         rebuild_s = time.time() - t0
         target_bytes = tree_bytes(root)
+        if mode == "delta_no_bounds":
+            # r6 behavior: no sidecar -> full-target phase-1 probe
+            for t in list(runner._BOUNDS_COLS):
+                p = runner._bounds_path(t)
+                if os.path.exists(p):
+                    os.remove(p)
         t0 = time.time()
         time.sleep(0.05)  # mtime resolution guard
         t_sync = time.time()
+        r0 = executor_input_bytes(spark)
         runner.run(dfs2, mode="sync")
         sync_s = time.time() - t0
         results[mode] = {
@@ -128,10 +150,18 @@ def run_probe(n: int) -> None:
             "target_mb": round(target_bytes / 1e6, 2),
             "sync_sec": round(sync_s, 1),
             "sync_write_mb": round(tree_bytes_after(root, t_sync) / 1e6, 2),
+            "sync_read_mb": round(
+                (executor_input_bytes(spark) - r0) / 1e6, 2
+            ),
         }
-    d = results["delta_scoped"]["sync_write_mb"]
+    d = results["delta_bounds"]["sync_write_mb"]
     f = results["full_rewrite"]["sync_write_mb"]
     results["write_amplification_ratio"] = round(f / d, 1) if d else None
+    rb = results["delta_bounds"]["sync_read_mb"]
+    rn = results["delta_no_bounds"]["sync_read_mb"]
+    results["probe_read_reduction_ratio"] = (
+        round(rn / rb, 1) if rb else None
+    )
     print(json.dumps(results), flush=True)
 
 

@@ -45,11 +45,21 @@ def make_sources(
     obs_id, enc_id, order_id = 1, 1, 1
 
     for pid in range(1, n_persons + 1):
+        p_voided = 1 if rng.random() < 0.02 else 0
         persons.append(
             dict(
                 person_id=pid,
                 uuid=f"uuid-{pid:06d}-{'x' * 8}",
-                voided=1 if rng.random() < 0.02 else 0,
+                voided=p_voided,
+                # Mix of pre-/post-watermark voids plus the occasional
+                # undated one, so the recently_voided month-probe scoping
+                # sees every class.  A pure function of pid — NOT rng —
+                # so the existing draw sequence (and every fixture value
+                # pinned downstream) is unchanged.
+                date_voided=(
+                    None if pid % 5 == 0
+                    else WATERMARK + dt.timedelta(days=(pid % 7) - 3)
+                ) if p_voided else None,
             )
         )
         for _visit in range(rng.randint(1, 4)):

@@ -21,6 +21,10 @@ def layouts(spark, tmp_path_factory):
     plain = PipelineRunner(spark, str(tmp / "plain"))
     plain.run(dfs, mode="rebuild")
     part = PipelineRunner(spark, str(tmp / "part"), partitioned=True)
+    # Skip pinned off: this fixture's sync exists to run the incremental
+    # plans against the partitioned layout with an unchanged source —
+    # exactly what the stage short-circuit would (correctly) elide.
+    part._STAGE_SKIP = False
     part.run(dfs, mode="rebuild")
     part.run(dfs, mode="sync")  # incremental must survive the layout
     return dict(plain=plain, part=part)

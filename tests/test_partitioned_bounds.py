@@ -1,0 +1,268 @@
+"""Per-month key-bounds sidecar (engine._BOUNDS_COLS): the sync's
+phase-1 retraction probe must open only candidate month directories —
+read I/O scaling with the delta — while the bounds stay a strict
+superset of reality across every crash window (a missed month would be
+a silently-unretracted row forever)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.engine import PipelineRunner
+from tests.fixtures import make_sources, to_spark
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdfs = make_sources(n_persons=25, seed=11)
+    obs_pdf, enc_pdf = pdfs["obs"].copy(), pdfs["encounter"].copy()
+    wm = obs_pdf["date_created"].max()
+    # Clamp date_changed stragglers so the sync delta below is ONLY the
+    # new obs (same discipline as test_sync_rewrites_only_affected_months).
+    late = enc_pdf["date_changed"].notna() & (enc_pdf["date_changed"] > wm)
+    enc_pdf.loc[late, "date_changed"] = wm
+    pdfs = dict(pdfs, obs=obs_pdf, encounter=enc_pdf)
+    dfs = to_spark(spark, pdfs)
+    root = str(tmp_path_factory.mktemp("bounds") / "store")
+    runner = PipelineRunner(spark, root, partitioned=True)
+    runner.run(dfs, mode="rebuild")
+    return dict(runner=runner, pdfs=pdfs, dfs=dfs, wm=wm)
+
+
+def test_bounds_sidecar_exact_after_rebuild(spark, built):
+    runner = built["runner"]
+    bounds = runner._load_bounds("flat_obs")
+    assert bounds, "rebuild must write the bounds sidecar"
+    actual = (
+        spark.read.parquet(runner._path("flat_obs"))
+        .groupBy("p_month")
+        .agg(
+            F.min("encounter_id").alias("elo"),
+            F.max("encounter_id").alias("ehi"),
+            F.min("person_id").alias("plo"),
+            F.max("person_id").alias("phi"),
+        )
+        .collect()
+    )
+    assert {r["p_month"] for r in actual} == set(bounds)
+    for r in actual:
+        ent = bounds[r["p_month"]]
+        assert ent["encounter_id"] == [r["elo"], r["ehi"]]
+        assert ent["person_id"] == [r["plo"], r["phi"]]
+
+
+def test_probe_reader_prunes_to_candidate_months(spark, built):
+    runner = built["runner"]
+    reader = runner._make_probe_reader("flat_obs")
+    assert reader is not None
+    bounds = runner._load_bounds("flat_obs")
+    # A key inside exactly one month's range must prune to month(s)
+    # whose range contains it; a key beyond every range reads nothing.
+    target = spark.read.parquet(runner._path("flat_obs"))
+    row = target.select("encounter_id", "p_month").first()
+    keys = spark.createDataFrame(
+        [(int(row["encounter_id"]),)], "encounter_id long"
+    )
+    hit = reader(keys, "encounter_id")
+    got_months = {
+        m for m, ent in bounds.items()
+        if ent["encounter_id"][0] <= row["encounter_id"] <= ent["encounter_id"][1]
+    }
+    assert got_months  # at least the row's own month
+    assert hit.count() > 0
+    # every returned row's key range belongs to a candidate month
+    beyond = max(ent["encounter_id"][1] for ent in bounds.values()) + 10_000
+    miss = reader(
+        spark.createDataFrame([(beyond,)], "encounter_id long"),
+        "encounter_id",
+    )
+    assert miss.count() == 0
+
+
+def test_probe_reader_unbounded_column_returns_none(built):
+    reader = built["runner"]._make_probe_reader("flat_obs")
+    assert reader(None, "not_a_bounds_col") is None
+
+
+def test_sync_probe_reads_scale_with_delta(spark, built, monkeypatch):
+    """A one-month-localized delta must probe (and rewrite) only a small
+    month subset; a no-op sync must probe ZERO month directories."""
+    runner, pdfs = built["runner"], built["pdfs"]
+    obs_pdf, enc_pdf = pdfs["obs"], pdfs["encounter"]
+    wm = built["wm"]
+
+    month = enc_pdf["encounter_datetime"].dt.strftime("%Y-%m")
+    modal = month.mode().iloc[0]
+    cand = (
+        obs_pdf[
+            (obs_pdf["voided"] == 0)
+            & obs_pdf["encounter_id"].isin(
+                set(enc_pdf[month == modal]["encounter_id"])
+            )
+        ]
+        .drop_duplicates("encounter_id")
+        .head(3)
+    )
+    new_rows = []
+    next_id = int(obs_pdf["obs_id"].max()) + 1
+    for _, r in cand.iterrows():
+        d = r.to_dict()
+        d.update(
+            obs_id=next_id, concept_id=5089, value_coded=None,
+            value_numeric=1.25, date_created=wm + dt.timedelta(days=1),
+        )
+        new_rows.append(d)
+        next_id += 1
+    dfs2 = to_spark(
+        spark,
+        dict(pdfs, obs=pd.concat(
+            [obs_pdf, pd.DataFrame(new_rows)], ignore_index=True
+        )),
+    )
+
+    probed: list[tuple[str, tuple]] = []
+    orig = PipelineRunner.read_target_months
+
+    def spy(self, table, months):
+        probed.append((table, tuple(months)))
+        return orig(self, table, months)
+
+    monkeypatch.setattr(PipelineRunner, "read_target_months", spy)
+
+    n_months_obs = len([
+        d for d in os.listdir(runner._path("flat_obs"))
+        if d.startswith("p_month=")
+    ])
+    runner.run(dfs2, mode="sync")
+    obs_probe_months = {
+        m for t, ms in probed if t == "flat_obs" for m in ms
+    }
+    # Localized delta: the flat_obs probe+write path touches far fewer
+    # months than exist (the fixture spans ~13); visit_summary recomputes
+    # whole person histories so it may legitimately touch more.
+    assert len(obs_probe_months) < n_months_obs / 2, (
+        obs_probe_months, n_months_obs
+    )
+
+    # No-op sync: nothing changed since the watermark -> every probe's
+    # candidate set is empty -> zero month directories read.
+    probed.clear()
+    runner.run(dfs2, mode="sync")
+    assert all(ms == () for _t, ms in probed), probed
+
+
+def test_interrupted_month_swap_keeps_bounds_superset(spark, built):
+    """Crash INSIDE the swap loop: bounds must still cover both old and
+    new month content (widen-before-swap), and the next sync converges."""
+    runner = built["runner"]
+    table = "flat_obs"
+    path = runner._path(table)
+    pre = runner._load_bounds(table)
+    target = spark.read.parquet(path)
+    months = sorted(
+        r["p_month"]
+        for r in target.select("p_month").distinct().collect()
+    )[:2]
+    delta = (
+        target.filter(F.col("p_month").isin(months))
+        # shift every key so the staged bounds differ from the old ones
+        .withColumn(
+            "encounter_id", (F.col("encounter_id") + F.lit(7)).cast("long")
+        )
+        # pin: the engine always stages from SOURCE data, never from the
+        # directories it is about to swap — reading the target lazily
+        # across its own swap would re-open moved files (the documented
+        # write-over-read hazard); the checkpoint mimics the engine's
+        # source-derived input.
+        .localCheckpoint()
+    )
+
+    calls = {"n": 0}
+    orig_replace = os.replace
+
+    def exploding_replace(src, dst):
+        if f"{runner.PARTITION_COL}=" in os.path.basename(dst):
+            calls["n"] += 1
+            if calls["n"] == 2:  # first month swapped, second mid-flight
+                raise RuntimeError("injected crash between month swaps")
+        return orig_replace(src, dst)
+
+    os.replace = exploding_replace
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            runner._write_months(
+                delta, path, months,
+                bounds_cols=runner._BOUNDS_COLS[table],
+            )
+    finally:
+        os.replace = orig_replace
+
+    # The sidecar on disk is the WIDENED one: for the affected months it
+    # must cover the old range AND the shifted range.
+    mid = runner._load_bounds(table)
+    for m in months:
+        old_lo, old_hi = pre[m]["encounter_id"]
+        assert mid[m]["encounter_id"][0] <= old_lo
+        assert mid[m]["encounter_id"][1] >= old_hi + 7
+    # Recovery: read_target restores the demoted month, a clean rewrite
+    # of the same months lands exact bounds again.
+    restored = runner.read_target(table)
+    assert restored is not None
+    restored = restored.localCheckpoint()  # same hazard for the cleanup
+    leftover = [
+        d for d in os.listdir(path) if d.startswith(runner._OLD_PREFIX)
+    ]
+    assert not leftover, leftover
+    runner._write_months(
+        delta, path, months, bounds_cols=runner._BOUNDS_COLS[table]
+    )
+    post = runner._load_bounds(table)
+    for m in months:
+        old_lo, old_hi = pre[m]["encounter_id"]
+        assert post[m]["encounter_id"] == [old_lo + 7, old_hi + 7]
+    # cleanup for module-scoped fixture users: restore original content
+    runner._write(
+        restored, table
+    )
+    final = runner._load_bounds(table)
+    assert set(final) >= set(pre)
+
+
+def test_bounds_file_invisible_to_spark(spark, built):
+    """The underscore-prefixed sidecar (and its tmp) must never surface
+    as data or break partition discovery."""
+    runner = built["runner"]
+    path = runner._path("flat_obs")
+    assert os.path.exists(os.path.join(path, "_month_bounds.json"))
+    df = spark.read.parquet(path)
+    assert "p_month" in df.columns
+    assert df.count() > 0
+
+
+def test_missing_bounds_falls_back_to_full_probe(built):
+    runner = built["runner"]
+    p = runner._bounds_path("flat_obs")
+    with open(p) as f:
+        saved = f.read()
+    try:
+        os.remove(p)
+        assert runner._make_probe_reader("flat_obs") is None
+    finally:
+        with open(p, "w") as f:
+            f.write(saved)
+
+
+def test_widen_bounds_missing_column_is_unprunable():
+    cols = ("encounter_id", "person_id")
+    a = {"encounter_id": [5, 9], "person_id": [1, 3]}
+    b = {"encounter_id": [7, 20]}  # person bounds unknown on one side
+    w = PipelineRunner._widen_bounds(a, b, cols)
+    assert w["encounter_id"] == [5, 20]
+    assert "person_id" not in w  # absent = cannot prune, never 'empty'
+    assert PipelineRunner._widen_bounds(None, b, cols) == b

@@ -264,3 +264,135 @@ def test_sync_purges_voided_person(spark, tmp_path_factory):
         b = fresh.read_target(table).toPandas()
         cols = sorted(c for c in a.columns if c != "obs_map")
         assert _sorted_rows(a, cols) == _sorted_rows(b, cols), table
+
+
+def test_noop_sync_skips_every_stage(spark, tmp_path_factory, monkeypatch):
+    """Stage-level no-op short-circuit (VERDICT r6 item 6): when no
+    source signal passed a stage's stored watermark, the stage is
+    skipped outright — no plan build, no target read, no write, no
+    watermark log.  A wave touching one source runs only the stages
+    that consume it; a pure no-op sync reads no target at all."""
+    import datetime as dt
+
+    import pandas as pd
+
+    pdfs = make_sources(n_persons=12, seed=31)
+    obs_pdf = pdfs["obs"]
+    wm = obs_pdf["date_created"].max()
+    dfs = to_spark(spark, pdfs)
+    root = str(tmp_path_factory.mktemp("skip"))
+    runner = PipelineRunner(spark, root)
+    runner.run(dfs, mode="rebuild")
+    runner.run(dfs, mode="sync")  # drain watermark stragglers
+
+    reads: list[str] = []
+    orig = PipelineRunner.read_target
+
+    def spy(self, table):
+        reads.append(table)
+        return orig(self, table)
+
+    monkeypatch.setattr(PipelineRunner, "read_target", spy)
+
+    # Pure no-op: nothing read, nothing logged.
+    log_rows = runner.watermarks._read().count()
+    runner.run(dfs, mode="sync")
+    assert reads == [], reads
+    assert runner.watermarks._read().count() == log_rows
+
+    # Orders-only wave: only flat_orders syncs (obs-derived stages and
+    # the latest rebuild — visit_summary's O(target) snapshot read
+    # included — all skip).
+    orders2 = pdfs["orders"].copy()
+    row = orders2[orders2["voided"] == 0].iloc[0].to_dict()
+    row.update(
+        order_id=int(orders2["order_id"].max()) + 1,
+        date_created=wm + dt.timedelta(days=2),
+    )
+    orders2 = pd.concat(
+        [orders2, pd.DataFrame([row])], ignore_index=True
+    )
+    dfs2 = to_spark(spark, dict(pdfs, orders=orders2))
+    reads.clear()
+    runner.run(dfs2, mode="sync")
+    assert set(reads) == {"flat_orders"}, reads
+
+    # The skipped state still equals a fresh rebuild.
+    fresh = PipelineRunner(spark, str(tmp_path_factory.mktemp("skip_f")))
+    fresh.run(dfs2, mode="rebuild")
+    for table in ("flat_orders", "flat_visit_summary"):
+        a = runner.read_target(table).toPandas()
+        b = fresh.read_target(table).toPandas()
+        cols = sorted(c for c in a.columns if c != "obs_map")
+        assert _sorted_rows(a, cols) == _sorted_rows(b, cols), table
+
+
+def test_undated_person_void_defeats_skip(spark, tmp_path_factory):
+    """The person-void fingerprint: flipping voided=1 WITHOUT a
+    date_voided (no timestamp signal at all) must still defeat the
+    stage skip and purge the person — set membership, not dates, is
+    what the fingerprint tracks."""
+    pdfs = make_sources(n_persons=12, seed=37)
+    dfs = to_spark(spark, pdfs)
+    root = str(tmp_path_factory.mktemp("fp"))
+    runner = PipelineRunner(spark, root)
+    runner.run(dfs, mode="rebuild")
+    runner.run(dfs, mode="sync")
+
+    vs = runner.read_target("flat_visit_summary").toPandas()
+    victim = int(vs["person_id"].iloc[0])
+    person2 = pdfs["person"].copy()
+    person2.loc[person2["person_id"] == victim, "voided"] = 1
+    # deliberately NO date_voided — the undatable void class
+    dfs2 = to_spark(spark, dict(pdfs, person=person2))
+    runner.run(dfs2, mode="sync")
+    for table in ("flat_obs", "flat_visit_summary"):
+        after = runner.read_target(table).toPandas()
+        assert victim not in set(after["person_id"].tolist()), table
+
+
+def test_masked_column_advance_defeats_skip(spark, tmp_path_factory):
+    """The change signal is PER COLUMN (engine._signal_covered): a new
+    obs whose date_created sits BELOW another change column's max (the
+    fixture has person voids dated past the data watermark) must still
+    defeat the skip — a single max-of-maxes would mask it and silently
+    skip real work.  (Caught live by the verify harness before the
+    per-column design.)"""
+    import datetime as dt
+
+    import pandas as pd
+
+    pdfs = make_sources(n_persons=15, seed=42)
+    obs_pdf = pdfs["obs"]
+    wm = obs_pdf["date_created"].max()
+    # Premise: some other signal column's max exceeds the new row's ts.
+    others = [
+        pdfs["person"]["date_voided"].max(),
+        pdfs["encounter"]["date_changed"].max(),
+    ]
+    new_ts = wm + dt.timedelta(days=1)
+    assert any(pd.notna(o) and o > new_ts for o in others), others
+
+    dfs = to_spark(spark, pdfs)
+    root = str(tmp_path_factory.mktemp("masked"))
+    runner = PipelineRunner(spark, root)
+    runner.run(dfs, mode="rebuild")
+    runner.run(dfs, mode="sync")
+
+    row = obs_pdf[obs_pdf["voided"] == 0].iloc[0].to_dict()
+    row.update(
+        obs_id=int(obs_pdf["obs_id"].max()) + 1, concept_id=5089,
+        value_coded=None, value_numeric=7.5, date_created=new_ts,
+    )
+    pdfs2 = dict(pdfs, obs=pd.concat(
+        [obs_pdf, pd.DataFrame([row])], ignore_index=True
+    ))
+    dfs2 = to_spark(spark, pdfs2)
+    runner.run(dfs2, mode="sync")
+    fresh = PipelineRunner(spark, str(tmp_path_factory.mktemp("masked_f")))
+    fresh.run(dfs2, mode="rebuild")
+    for table in ("flat_obs", "flat_visit_summary"):
+        a = runner.read_target(table).toPandas()
+        b = fresh.read_target(table).toPandas()
+        cols = sorted(c for c in a.columns if c != "obs_map")
+        assert _sorted_rows(a, cols) == _sorted_rows(b, cols), table
