@@ -64,17 +64,22 @@ class IvfIndex:
         required when creating; when opening an existing index it may be
         omitted (loaded from disk) — passing a DIFFERENT set raises."""
         self.path = path
-        self.cells_path = os.path.join(path, "cells")
-        # Restore a compact() crash's '.old' before is_empty can lie.
-        rescue_orphan(self.cells_path)
         self.cent_path = os.path.join(path, "_centroids.json")
         self.id_col = id_col
         self.vec_col = vec_col
         if os.path.exists(self.cent_path):
             with open(self.cent_path) as f:
-                stored = [
-                    (int(c), [float(x) for x in v]) for c, v in json.load(f)
-                ]
+                manifest = json.load(f)
+            # Back-compat: pre-epoch manifests are a bare centroid list
+            # with the data always under "cells".
+            if isinstance(manifest, list):
+                manifest = {
+                    "epoch": 0, "cells_dir": "cells", "centroids": manifest
+                }
+            stored = [
+                (int(c), [float(x) for x in v])
+                for c, v in manifest["centroids"]
+            ]
             if centroids is not None:
                 given = [
                     (int(c), [float(x) for x in v]) for c, v in centroids
@@ -82,21 +87,56 @@ class IvfIndex:
                 if given != stored:
                     raise ValueError(
                         f"index at {path} has pinned centroids; "
-                        "retrain = build a new index and re-ingest"
+                        "call retrain() for a quantizer refresh"
                     )
             self.centroids = stored
+            self.epoch = int(manifest["epoch"])
+            self.cells_path = os.path.join(path, manifest["cells_dir"])
         else:
             if centroids is None:
                 raise ValueError("creating an index requires centroids")
             self.centroids = [
                 (int(c), [float(x) for x in v]) for c, v in centroids
             ]
+            self.epoch = 0
+            self.cells_path = os.path.join(path, "cells")
+        # Restore a compact() crash's '.old' before is_empty can lie;
+        # drop cell directories no committed epoch references (retrain
+        # crash orphans — invisible, but disk they need not hold).
+        rescue_orphan(self.cells_path)
+        current = os.path.basename(self.cells_path)
+        if os.path.isdir(self.path):
+            for d in os.listdir(self.path):
+                if (
+                    d.startswith("cells")
+                    and d != current
+                    and not d.endswith(".old")
+                    and os.path.isdir(os.path.join(self.path, d))
+                ):
+                    shutil.rmtree(
+                        os.path.join(self.path, d), ignore_errors=True
+                    )
 
     def _commit_centroids(self) -> None:
         if not os.path.exists(self.cent_path):
             os.makedirs(self.path, exist_ok=True)
-            with open(self.cent_path, "w") as f:
-                json.dump(self.centroids, f)
+            self._write_manifest()
+
+    def _write_manifest(self) -> None:
+        """Atomic manifest write — the COMMIT POINT tying (epoch,
+        centroids, cells directory) together so readers never see a
+        quantizer/assignment mismatch."""
+        tmp = self.cent_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "epoch": self.epoch,
+                    "cells_dir": os.path.basename(self.cells_path),
+                    "centroids": self.centroids,
+                },
+                f,
+            )
+        os.replace(tmp, self.cent_path)
 
     def is_empty(self) -> bool:
         return not os.path.exists(self.cells_path)
@@ -208,6 +248,106 @@ class IvfIndex:
             raise
         shutil.rmtree(old, ignore_errors=True)
 
+
+    def retrain(
+        self,
+        spark: SparkSession,
+        sample_frac: float = 0.2,
+        iters: int = 8,
+    ) -> int:
+        """Quantizer refresh for a drifted/skewed corpus (the real fix
+        the max_cell_freq drop-cap only papers over): deterministic
+        Lloyd's k-means over a HASH-SAMPLED subset of the stored
+        vectors, then bulk reassignment of the whole table as one
+        cell-clustered shuffle, committed as a NEW centroid EPOCH.
+
+        Determinism (no RNG, no wall clock — the properties every
+        incremental contract here leans on): the sample is md5(id) <
+        frac, the k seeds are the k sample vectors with smallest
+        md5(id), and each Lloyd iteration is one deterministic
+        assign+mean pass (empty cells keep their previous center).
+        Within an epoch, batch-split ingestion still equals one-shot
+        assignment bit-for-bit — the epoch is IN the manifest, so a
+        reader can never pair new cells with old centroids: the staged
+        reassignment directory becomes visible only through the atomic
+        manifest swap (crash before it leaves the old epoch fully
+        intact; the orphaned staging dir is swept at next open).
+
+        Returns the new epoch number.  Cost: iters+1 passes over the
+        sample + ONE pass over the full table — the FAISS operating
+        model (retrain offline, re-assign, swap) expressed as jobs.
+        """
+        stored = self.cells(spark)
+        if stored is None:
+            raise ValueError(f"index at {self.path} is empty")
+        k = len(self.centroids)
+        h = F.conv(
+            F.substring(F.md5(F.col(self.id_col).cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        sample = (
+            stored.select(self.id_col, self.vec_col)
+            .withColumn("_h", h)
+            .filter(F.col("_h") < int(sample_frac * 16 ** 8))
+            # Pin: iters+2 jobs re-read this subtree otherwise.
+            .localCheckpoint()
+        )
+        seeds = (
+            sample.orderBy("_h", self.id_col).limit(k).collect()
+        )
+        if len(seeds) < k:
+            raise ValueError(
+                f"sample ({len(seeds)} rows) smaller than k={k}; "
+                "raise sample_frac"
+            )
+        cents = [
+            (i, [float(x) for x in r[self.vec_col]])
+            for i, r in enumerate(seeds)
+        ]
+        dims = len(cents[0][1])
+        for _ in range(iters):
+            assigned = sample.select(
+                _nearest_cells_expr(cents, self.vec_col, 1)
+                .getItem(0)
+                .alias("cell"),
+                *[
+                    F.col(self.vec_col)[i].alias(f"d{i}")
+                    for i in range(dims)
+                ],
+            )
+            # Bounded driver action: k mean rows per iteration.
+            means = {
+                int(r["cell"]): [float(r[f"d{i}"]) for i in range(dims)]
+                for r in assigned.groupBy("cell")
+                .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dims)])
+                .collect()
+            }
+            cents = [(c, means.get(c, v)) for c, v in cents]
+
+        new_epoch = self.epoch + 1
+        new_dir = os.path.join(self.path, f"cells.e{new_epoch}")
+        (
+            stored.select(self.id_col, self.vec_col)
+            .select(
+                F.col(self.id_col),
+                _nearest_cells_expr(cents, self.vec_col, 1)
+                .getItem(0)
+                .alias("cell"),
+                F.col(self.vec_col),
+            )
+            .repartition(max(k // 4, 1), F.col("cell"))
+            .sortWithinPartitions("cell")
+            .write.mode("overwrite")
+            .parquet(new_dir)
+        )
+        old_dir = self.cells_path
+        self.centroids, self.epoch, self.cells_path = (
+            cents, new_epoch, new_dir
+        )
+        self._write_manifest()  # the commit point
+        shutil.rmtree(old_dir, ignore_errors=True)
+        return new_epoch
 
     def pairs_above(
         self,
