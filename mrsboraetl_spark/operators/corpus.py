@@ -83,6 +83,17 @@ class CurationConfig:
     # curation wants when the same document was crawled from sources
     # of unequal quality.
     keeper_priority_col: str | None = None
+    # Monster-document bound, ON by default for the composed pipeline
+    # (unlike the standalone operators, where it stays opt-in): the
+    # thing curate_corpus is pointed at is raw crawl data, where a
+    # single 16M-token document costs a 60-80s straggler task in the
+    # repetition/shingling stages (superlinear past ~8M tokens —
+    # tests/adversarial_doc_probe.py).  Documents above the cap are
+    # ANALYZED on their first max_doc_tokens tokens only (quality,
+    # decontam, dedup all see the capped text); they are never dropped
+    # for length, their ORIGINAL text flows through to the outputs,
+    # and the audit marks them ``truncated=true``.  None opts out.
+    max_doc_tokens: int | None = 1_000_000
 
 
 def curate_corpus(
@@ -95,9 +106,11 @@ def curate_corpus(
     """Returns (kept, audit, packed):
 
     * ``kept``  — surviving documents with their ``split`` column;
-    * ``audit`` — (id, disposition) for EVERY input document, exactly
-      once: 'kept' | 'boilerplate' | 'quality' | 'contaminated' |
-      'duplicate';
+    * ``audit`` — (id, disposition, truncated) for EVERY input
+      document, exactly once: 'kept' | 'boilerplate' | 'quality' |
+      'contaminated' | 'duplicate'; ``truncated`` marks documents the
+      monster-doc cap analyzed on a prefix (see CurationConfig
+      .max_doc_tokens — never a drop reason);
     * ``packed`` — train-split packing assignment
       (id, stream, seq_idx, tok_offset, n_tokens).
 
@@ -139,9 +152,35 @@ def curate_corpus(
     else:
         boilerplate = ids.limit(0)
 
+    # 0c. monster-document bound (default ON; cfg.max_doc_tokens=None
+    # opts out): the ANALYSIS stages below see at most the first
+    # max_doc_tokens tokens of each document — bounding the worst
+    # straggler task of the repetition/shingling stages by the cap
+    # instead of by the largest document in the crawl — while the
+    # document itself survives with its ORIGINAL text and an audit
+    # flag.  The transform stages above already ran: the cap bounds
+    # analysis cost, it never rewrites output text.
+    wcol = text_col
+    truncated = ids.limit(0)
+    if cfg.max_doc_tokens is not None:
+        from mrsboraetl_spark.functions.text import tokens
+
+        ts = tokens(F.col(text_col))
+        docs = docs.withColumn("_full_tok", F.size(ts)).withColumn(
+            "_wtext",
+            F.when(
+                F.col("_full_tok") > cfg.max_doc_tokens,
+                F.array_join(F.slice(ts, 1, cfg.max_doc_tokens), " "),
+            ).otherwise(F.col(text_col)),
+        )
+        truncated = docs.filter(
+            F.col("_full_tok") > cfg.max_doc_tokens
+        ).select(F.col(id_col).alias("id"))
+        wcol = "_wtext"
+
     # 1. quality gate — verdict + reasons over the full corpus
     q = quality_filter(
-        docs, id_col, text_col, min_tokens=cfg.min_tokens, langs=cfg.langs
+        docs, id_col, wcol, min_tokens=cfg.min_tokens, langs=cfg.langs
     )
     q_keep_ids = q.filter(F.col("keep")).select("id")
     survivors = docs.join(
@@ -150,8 +189,16 @@ def curate_corpus(
 
     # 2. decontamination — only quality survivors are probed
     if eval_df is not None:
+        # contamination_counts reads text_col on BOTH sides; align the
+        # eval frame with the working column (eval docs are benchmark-
+        # sized — the cap is about crawl monsters, not them).
+        eval_for_probe = (
+            eval_df.withColumn(wcol, F.col(text_col))
+            if wcol != text_col
+            else eval_df
+        )
         contaminated = contamination_counts(
-            survivors, eval_df, id_col, text_col, n=cfg.decontam_n
+            survivors, eval_for_probe, id_col, wcol, n=cfg.decontam_n
         ).select(F.col(id_col).alias("id"))
         survivors = survivors.join(
             contaminated.withColumnRenamed("id", id_col),
@@ -165,7 +212,7 @@ def curate_corpus(
     pairs = lsh_verified_pairs(
         survivors,
         id_col,
-        text_col,
+        wcol,
         num_hashes=cfg.num_hashes,
         k=cfg.shingle_k,
         rows_per_band=cfg.rows_per_band,
@@ -190,8 +237,11 @@ def curate_corpus(
         dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
     )
 
-    # 4. split assignment on the final corpus
-    kept = split_assign(survivors, id_col, salt=cfg.split_salt)
+    # 4. split assignment on the final corpus (working columns dropped:
+    # outputs carry the original text)
+    kept = split_assign(survivors, id_col, salt=cfg.split_salt).drop(
+        "_wtext", "_full_tok"
+    )
 
     # 5. pack the train split
     packed = pack_sequences(
@@ -214,6 +264,9 @@ def curate_corpus(
             contaminated.select("id", F.lit(True).alias("_c")), "id", "left"
         )
         .join(dup_ids.select("id", F.lit(True).alias("_d")), "id", "left")
+        .join(
+            truncated.select("id", F.lit(True).alias("_t")), "id", "left"
+        )
         .select(
             "id",
             F.when(F.col("_b").isNotNull(), "boilerplate")
@@ -222,6 +275,7 @@ def curate_corpus(
             .when(F.col("_d").isNotNull(), "duplicate")
             .otherwise("kept")
             .alias("disposition"),
+            F.coalesce(F.col("_t"), F.lit(False)).alias("truncated"),
         )
     )
     return kept, audit, packed

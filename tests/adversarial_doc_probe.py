@@ -21,6 +21,14 @@ corpus.  Results land in PERF.md by hand.
 
 Usage: python tests/adversarial_doc_probe.py [sizes...]   # tokens
 Defaults: 1000000 4000000 16000000.
+
+``--corpus`` instead runs the COMPOSED pipeline probe (VERDICT r6 item
+4's done-criterion): a 16M-token document inside a 2000-doc corpus
+through curate_corpus, once under the default max_doc_tokens=1M cap and
+once with the cap opted out — the claim being that the capped run's
+wall is bounded (the monster is analyzed on its 1M-token prefix, the
+audit says truncated=true, the document itself survives), while the
+uncapped run pays the full superlinear straggler.
 """
 
 from __future__ import annotations
@@ -98,5 +106,64 @@ def main() -> None:
         )
 
 
+def corpus_cap_probe(n_tokens: int = 16_000_000) -> None:
+    from pyspark.sql import functions as F
+
+    from mrsboraetl_spark.operators.corpus import (
+        CurationConfig,
+        curate_corpus,
+    )
+    from mrsboraetl_spark.session import get_spark
+
+    spark = get_spark(app_name="adversarial_corpus_probe")
+    normal = spark.range(2000).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}x"), (F.col("id") * (j + 1) % 997))
+                for j in range(40)
+            ],
+        ).alias("text"),
+    )
+    monster_text = " ".join(
+        "spam" if i % 2 == 0 else "ham" for i in range(n_tokens)
+    )
+    monster = spark.createDataFrame(
+        [(10_000_000, monster_text)], "doc_id int, text string"
+    )
+    docs = normal.unionByName(monster).localCheckpoint()
+
+    for label, cfg in (
+        ("capped_1m_default", CurationConfig(min_tokens=5)),
+        ("uncapped", CurationConfig(min_tokens=5, max_doc_tokens=None)),
+    ):
+        t0 = time.time()
+        kept, audit, _packed = curate_corpus(docs, None, cfg=cfg)
+        rows = {
+            r.id: r
+            for r in audit.filter(F.col("id") == 10_000_000).collect()
+        }
+        n_kept = kept.count()
+        wall = time.time() - t0
+        r = rows[10_000_000]
+        print(
+            json.dumps(
+                {
+                    "mode": label,
+                    "monster_tokens": n_tokens,
+                    "wall_sec": round(wall, 1),
+                    "monster_disposition": r.disposition,
+                    "monster_truncated": bool(r.truncated),
+                    "n_kept": n_kept,
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if "--corpus" in sys.argv:
+        corpus_cap_probe()
+    else:
+        main()

@@ -243,3 +243,38 @@ def test_priority_keeper_policy_in_composed_pipeline(spark):
     for audit in (audit_min, audit_prio):
         assert audit.count() == 3
         assert audit.filter("disposition = 'duplicate'").count() == 1
+
+
+def test_monster_doc_capped_not_dropped(spark):
+    """The default monster-doc bound (CurationConfig.max_doc_tokens):
+    an over-cap document is ANALYZED on its prefix, flagged
+    truncated=true in the audit, keeps its ORIGINAL text in the kept
+    output, and is never silently dropped.  (The 16M-token wall-clock
+    claim lives in tests/adversarial_doc_probe.py; this pins the
+    semantics at a small cap.)"""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(200)]
+    normal = " ".join(rng.choice(vocab) for _ in range(80))
+    monster = " ".join(rng.choice(vocab) for _ in range(5000))
+    docs = spark.createDataFrame(
+        [(1, normal), (2, monster), (3, normal + " extra tail here")],
+        "doc_id int, text string",
+    )
+    cfg = CurationConfig(min_tokens=5, max_doc_tokens=500)
+    kept, audit, _ = curate_corpus(docs, None, cfg=cfg)
+
+    rows = {r.id: r for r in audit.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].truncated and rows[2].disposition == "kept"
+    assert not rows[1].truncated and not rows[3].truncated
+    out = {r.doc_id: r.text for r in kept.collect()}
+    assert out[2] == monster  # original text, not the analysis prefix
+    assert "_wtext" not in kept.columns and "_full_tok" not in kept.columns
+
+    # Opt-out restores the uncapped behavior: nothing flagged.
+    _, audit_off, _ = curate_corpus(
+        docs, None, cfg=CurationConfig(min_tokens=5, max_doc_tokens=None)
+    )
+    assert audit_off.filter(F.col("truncated")).count() == 0
