@@ -151,12 +151,31 @@ class AppendOnlyTable:
             shutil.rmtree(self._batch_dir(k), ignore_errors=True)
 
 
-def exactly_once_append_sink(table: AppendOnlyTable):
+def exactly_once_append_sink(
+    table: AppendOnlyTable,
+    compact_every_n: int | None = None,
+    compact_n_files: int | None = None,
+):
     """The foreachBatch callable: append each micro-batch unless its
-    batch id is already committed."""
+    batch id is already committed.
+
+    ``compact_every_n`` folds the committed batch directories into one
+    whenever their count reaches N — without it a long-lived stream
+    accrues one directory per micro-batch forever and reader fan-out
+    grows unbounded.  Safe exactly here because the sink is the single
+    writer (Structured Streaming serializes foreachBatch calls), so the
+    fold runs strictly between batches; the replay watermark is
+    untouched by compaction, so a replayed pre-compaction id still
+    no-ops (pytest pins this across the boundary)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        table.append_batch(batch_df, batch_id)
+        appended = table.append_batch(batch_df, batch_id)
+        if (
+            appended
+            and compact_every_n
+            and len(table.committed()) >= compact_every_n
+        ):
+            table.compact(batch_df.sparkSession, n_files=compact_n_files)
 
     return sink
 
@@ -165,12 +184,20 @@ def streaming_exactly_once_append(
     stream_df: DataFrame,
     table: AppendOnlyTable,
     checkpoint_dir: str,
+    compact_every_n: int | None = None,
+    compact_n_files: int | None = None,
 ):
     """Start (and return) the streaming query: exactly-once append of
-    each micro-batch into the table."""
+    each micro-batch into the table, auto-compacting every N batches."""
     return (
         stream_df.writeStream.outputMode("append")
-        .foreachBatch(exactly_once_append_sink(table))
+        .foreachBatch(
+            exactly_once_append_sink(
+                table,
+                compact_every_n=compact_every_n,
+                compact_n_files=compact_n_files,
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -408,3 +408,48 @@ def test_streaming_pipeline_sync_equals_batch_rebuild(spark, tmp_path):
         sa = sorted(map(tuple, a[cols].astype(str).itertuples(index=False)))
         sb = sorted(map(tuple, b[cols].astype(str).itertuples(index=False)))
         assert sa == sb, table
+
+
+def test_append_sink_auto_compacts_and_replay_survives(spark, tmp_path):
+    """compact_every_n wired into the sink callable (VERDICT r6 item 7):
+    directory count stays bounded as batches accrue, and a replayed
+    pre-compaction batch id still no-ops AFTER its directory was folded
+    away (the watermark, not the directory list, carries the
+    exactly-once contract across the boundary)."""
+    import os
+
+    from mrsboraetl_spark.streaming.append_sink import (
+        AppendOnlyTable,
+        exactly_once_append_sink,
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+    table = AppendOnlyTable(str(tmp_path / "facts"))
+    sink = exactly_once_append_sink(table, compact_every_n=3, compact_n_files=1)
+    for i in range(7):
+        sink(batch(i * 10, i * 10 + 10), i)
+        # the fold triggers at >=3 committed dirs, so the listing never
+        # exceeds compact_every_n
+        assert len(table.committed()) <= 3, table.committed()
+
+    got = table.read(spark)
+    assert got.count() == 70
+    assert got.select("id").distinct().count() == 70
+
+    # Replay EVERY prior batch id through the sink (checkpoint-recovery
+    # storm): all no-op — no dup, no loss, no re-compaction churn.
+    before = table.committed()
+    for i in range(7):
+        sink(batch(i * 10, i * 10 + 10), i)
+    assert table.committed() == before
+    assert table.read(spark).count() == 70
+
+    # A fresh id after the storm appends normally.
+    sink(batch(70, 75), 7)
+    assert table.read(spark).count() == 75
+    data_dirs = [
+        d for d in os.listdir(table.data_root) if d.startswith("batch=")
+    ]
+    assert len(data_dirs) == len(table.committed())
