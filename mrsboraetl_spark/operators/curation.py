@@ -859,69 +859,67 @@ def stratified_sample_exact(
         10,
     ).cast("bigint")
     hashed = df.withColumn("_h", h)
-    # Bounded driver action: one row per stratum.
-    counts = {
-        r["s"]: r["c"]
-        for r in hashed.groupBy(F.col(strata_col).alias("s"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
+    # Per-stratum thresholds as a broadcast RELATION, not a driver dict
+    # + chained CASE WHEN: a high-cardinality strata column (per-domain,
+    # per-source-shard) would blow driver memory and Catalyst codegen
+    # depth with the literal spelling, while a broadcast hash join takes
+    # millions of strata in stride.  NULL is a stratum like any other —
+    # the join is on eqNullSafe (<=>), still a hash join.
     space = float(16 ** 8)
-    thresholds = {
-        s: (
-            space  # stratum fits entirely: no filtering
-            if c <= n_per_stratum
-            else min(
-                space, prefilter_slack * n_per_stratum / c * space
+    counts = hashed.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    thr_df = counts.select(
+        "_s",
+        "_c",
+        F.when(F.col("_c") <= n_per_stratum, F.lit(space))  # whole stratum
+        .otherwise(
+            F.least(
+                F.lit(space),
+                F.lit(float(prefilter_slack * n_per_stratum))
+                / F.col("_c")
+                * F.lit(space),
             )
         )
-        for s, c in counts.items()
-    }
-    # NULL is a stratum like any other (the window oracle treats it as
-    # its own partition): match it with isNull, since `col == None`
-    # would be null and silently drop every null-stratum row.
-    def _is_stratum(s):
-        return (
-            F.col(strata_col).isNull()
-            if s is None
-            else (F.col(strata_col) == s)
-        )
-
-    thr = F.lit(None).cast("double")
-    for s, t in thresholds.items():
-        thr = F.when(_is_stratum(s), F.lit(t)).otherwise(thr)
-    survivors = hashed.filter(F.col("_h") < thr)
+        .alias("_thr"),
+    )
+    joined = hashed.join(
+        F.broadcast(thr_df),
+        F.col(strata_col).eqNullSafe(F.col("_s")),
+    )
+    survivors = joined.filter(F.col("_h") < F.col("_thr"))
     # Exactness guard: a stratum whose prefilter passed fewer than n
     # rows (possible only at exponentially small probability) falls
-    # back to its full population.
-    surv_counts = {
-        r["s"]: r["c"]
-        for r in survivors.groupBy(F.col(strata_col).alias("s"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    # A stratum whose prefilter passed NOTHING has no groupBy row at
-    # all — iterate the population counts, not the survivor counts.
-    short = [
-        s
-        for s, c in counts.items()
-        if c > n_per_stratum and surv_counts.get(s, 0) < n_per_stratum
-    ]
-    if short:
-        import functools
-
-        is_short = F.coalesce(
-            functools.reduce(
-                lambda a, b: a | b, [_is_stratum(s) for s in short]
-            ),
-            F.lit(False),
+    # back to its full population.  LEFT join + coalesce: a stratum
+    # whose prefilter passed NOTHING has no survivor-count row at all.
+    surv_counts = survivors.groupBy(F.col(strata_col).alias("_s2")).agg(
+        F.count(F.lit(1)).alias("_sc")
+    )
+    short = (
+        thr_df.join(
+            surv_counts, F.col("_s").eqNullSafe(F.col("_s2")), "left"
         )
-        survivors = survivors.filter(~is_short).unionByName(
-            hashed.filter(is_short)
+        .filter(
+            (F.col("_c") > n_per_stratum)
+            & (F.coalesce(F.col("_sc"), F.lit(0)) < n_per_stratum)
         )
+        .select(F.col("_s").alias("_short_s"), F.lit(True).alias("_short"))
+    )
+    kept = (
+        joined.join(
+            F.broadcast(short),
+            F.col(strata_col).eqNullSafe(F.col("_short_s")),
+            "left",
+        )
+        # short stratum: every row survives; otherwise the prefilter
+        .filter(
+            F.coalesce(F.col("_short"), F.lit(False))
+            | (F.col("_h") < F.col("_thr"))
+        )
+    )
     w = Window.partitionBy(strata_col).orderBy("_h", id_col)
     return (
-        survivors.withColumn("_rn", F.row_number().over(w))
+        kept.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_per_stratum)
-        .drop("_h", "_rn")
+        .drop("_h", "_rn", "_s", "_c", "_thr", "_short_s", "_short")
     )

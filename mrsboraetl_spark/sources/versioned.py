@@ -169,6 +169,13 @@ class VersionedTable:
         if e is not None and "files" in e:
             return list(e["files"])
         d = os.path.join(self.root, f"v{v}")
+        if not os.path.isdir(d):
+            # A kept full-snapshot version whose directory was already
+            # removed by an earlier vacuum with a smaller keep_last: a
+            # later vacuum(keep_last=K) walking the referenced set must
+            # skip it, not crash — its files can no longer be referenced
+            # by anything.
+            return []
         return [
             f"v{v}/{f}"
             for f in sorted(os.listdir(d))
@@ -264,9 +271,16 @@ class VersionedTable:
         base_files = self._files_of(self.version())
         abs_files = [os.path.join(self.root, f) for f in base_files]
         base = spark.read.parquet(*abs_files)
-        if set(base.columns) != set(delta.columns):
+        if dict(base.dtypes) != dict(delta.dtypes):
+            # Full dtype comparison, not just column names: a same-named
+            # column with a different type would write new files whose
+            # schema diverges from the reused base files listed in the
+            # SAME manifest version — a read-time merge failure (or
+            # silent coercion) discovered long after the commit.
             raise ValueError(
-                "merge_delta requires equal schemas; use "
+                "merge_delta requires identical schemas (names AND "
+                f"types); base={sorted(base.dtypes)} "
+                f"delta={sorted(delta.dtypes)} — use "
                 "merge(evolve_schema=True) for schema changes"
             )
         key_rows = delta.select(*keys).distinct()

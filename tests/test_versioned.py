@@ -80,6 +80,11 @@ def test_pipeline_versioned_layout_matches_default(spark, tmp_path):
     plain = PipelineRunner(spark, str(tmp_path / "plain"))
     plain.run(dfs, mode="rebuild")
     vers = PipelineRunner(spark, str(tmp_path / "vers"), versioned=True)
+    # This test's point is that a same-data resync COMMITS a second
+    # version per table; pin the stage-level no-op short-circuit off so
+    # the incremental path actually runs (the skip behavior itself is
+    # pinned in test_pipeline.test_noop_sync_skips_every_stage).
+    vers._STAGE_SKIP = False
     vers.run(dfs, mode="rebuild")
     vers.run(dfs, mode="sync")
 
@@ -255,12 +260,39 @@ def test_merge_delta_empty_table_and_schema_guard(spark, tmp_path):
         spark, spark.createDataFrame([(1, "a")], "pk int, v string"), ["pk"]
     )
     assert v0 == 0 and vt.read(spark).count() == 1
-    with _pytest.raises(ValueError, match="equal schemas"):
+    with _pytest.raises(ValueError, match="identical schemas"):
         vt.merge_delta(
             spark,
             spark.createDataFrame([(2, "b", 1)], "pk int, v string, extra int"),
             ["pk"],
         )
+    # Same column NAMES but a different type must also refuse: reused
+    # base files and new delta files land in ONE manifest version, so a
+    # type divergence only surfaces at read time (or as silent coercion).
+    with _pytest.raises(ValueError, match="identical schemas"):
+        vt.merge_delta(
+            spark,
+            spark.createDataFrame([(2, "b")], "pk bigint, v string"),
+            ["pk"],
+        )
+
+
+def test_vacuum_regrown_keep_last_skips_dropped_versions(spark, tmp_path):
+    """A vacuum with a LARGER keep_last than an earlier one references
+    versions whose directories are already gone — it must skip them,
+    not crash (ADVICE r6: _files_of FileNotFoundError)."""
+    from mrsboraetl_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt_regrow"))
+    for i in range(5):
+        vt.commit(
+            spark.createDataFrame([(1, f"v{i}")], "pk int, v string")
+        )
+    assert vt.vacuum(keep_last=1) == [0, 1, 2, 3]
+    # keep_last=4 references v1..v4; v1-v3 dirs were dropped above.
+    dropped = vt.vacuum(keep_last=4)
+    assert dropped == []
+    assert [r.v for r in vt.read(spark).collect()] == ["v4"]
 
 
 def test_merge_delta_manifest_stats_prune_the_probe(spark, tmp_path):
