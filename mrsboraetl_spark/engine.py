@@ -34,7 +34,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mrsboraetl_spark.config import TABLE_VERSIONS
+from mrsboraetl_spark.config import SYNTHETIC_ENCOUNTER_OFFSET, TABLE_VERSIONS
 from mrsboraetl_spark.plans.flat_lab_obs import (
     build_flat_lab_obs,
     incremental_flat_lab_obs,
@@ -198,13 +198,29 @@ class PipelineRunner:
     # lift of VersionedTable.merge_delta's per-file accounting
     # (sources/versioned.py:236-252) and the engine's stand-in for the
     # reference's PK-index lookup cost (flat_obs_v1.0.sql:46-50).
-    # Columns per table = the keys its incremental plan probes on.
+    # Columns per table = the keys its incremental plan probes on,
+    # mapped to an optional UPPER SENTINEL: values at or above it are
+    # synthetic rows (flat_obs's encounter-less groups get
+    # SYNTHETIC_ENCOUNTER_OFFSET + n ids) and are EXCLUDED from the
+    # recorded range — one [min, max] over a bimodal real∪synthetic
+    # population covers every key and prunes nothing.  Sound because
+    # probe keys are real source ids; the reader still routes any
+    # key >= sentinel to all months (conservative, never exercised).
     # flat_lab_obs is absent by design: its (person, day) key CONTAINS
     # the partition datetime, so its plan never probes the target.
     _BOUNDS_COLS = {
-        "flat_obs": ("encounter_id", "person_id"),
-        "flat_orders": ("encounter_id", "person_id"),
-        "flat_visit_summary": ("encounter_id", "person_id"),
+        "flat_obs": {
+            "encounter_id": SYNTHETIC_ENCOUNTER_OFFSET,
+            "person_id": None,
+        },
+        "flat_orders": {
+            "encounter_id": SYNTHETIC_ENCOUNTER_OFFSET,
+            "person_id": None,
+        },
+        "flat_visit_summary": {
+            "encounter_id": SYNTHETIC_ENCOUNTER_OFFSET,
+            "person_id": None,
+        },
     }
     # Underscore prefix: invisible to Spark's file discovery, like the
     # demoted _old.M directories.
@@ -256,15 +272,22 @@ class PipelineRunner:
             json.dump(bounds, f, sort_keys=True)
         os.replace(tmp, p)
 
-    def _compute_month_bounds(self, parquet_dir: str, cols) -> dict:
-        """Exact per-month [min, max] of each bounds column, from the
-        staged parquet itself (a column-pruned O(staged-data) scan —
-        bounded by what the surrounding write already shuffled).
-        Bounded driver action: one row per storage month."""
+    def _compute_month_bounds(self, parquet_dir: str, cols: dict) -> dict:
+        """Exact per-month [min, max] of each bounds column over its
+        REAL (below-sentinel) rows, from the staged parquet itself (a
+        column-pruned O(staged-data) scan — bounded by what the
+        surrounding write already shuffled).  Bounded driver action:
+        one row per storage month.  A month whose real population is
+        empty for a column omits it — unconditionally a candidate."""
         df = self.spark.read.parquet(parquet_dir)
         aggs = []
-        for c in cols:
-            aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
+        for c, sentinel in cols.items():
+            v = (
+                F.when(F.col(c) < sentinel, F.col(c))
+                if sentinel is not None
+                else F.col(c)
+            )
+            aggs += [F.min(v).alias(f"{c}__lo"), F.max(v).alias(f"{c}__hi")]
         out: dict = {}
         for r in df.groupBy(self.PARTITION_COL).agg(*aggs).collect():
             ent = {}
@@ -313,6 +336,7 @@ class PipelineRunner:
         def reader(keys_df, key_col):
             if key_col not in cols:
                 return None
+            sentinel = cols[key_col]
             always = [
                 m for m in existing if key_col not in bounds.get(m, {})
             ]
@@ -326,21 +350,30 @@ class PipelineRunner:
                 bdf = self.spark.createDataFrame(
                     ranged, schema="p_month string, lo long, hi long"
                 )
+                k = F.col("_k")
+                # One job: left join keeps keys with no range hit, and
+                # the same pass flags any ABOVE-SENTINEL key (a
+                # synthetic id the bounds deliberately exclude —
+                # conservative: such a key defeats pruning entirely).
+                over_expr = (
+                    (k >= sentinel) if sentinel is not None else F.lit(False)
+                )
                 hits = (
-                    keys_df.select(
-                        F.col(key_col).cast("long").alias("_k")
-                    )
+                    keys_df.select(F.col(key_col).cast("long").alias("_k"))
                     .distinct()
                     .join(
                         F.broadcast(bdf),
-                        (F.col("_k") >= F.col("lo"))
-                        & (F.col("_k") <= F.col("hi")),
+                        (k >= F.col("lo")) & (k <= F.col("hi")),
+                        "left",
                     )
-                    .select("p_month")
-                    .distinct()
+                    .select("p_month", over_expr.alias("_over"))
                     .collect()
                 )
-                cand |= {r["p_month"] for r in hits}
+                if any(r["_over"] for r in hits):
+                    return self.read_target_months(table, existing)
+                cand |= {
+                    r["p_month"] for r in hits if r["p_month"] is not None
+                }
             return self.read_target_months(table, sorted(cand))
 
         return reader
@@ -587,6 +620,7 @@ class PipelineRunner:
             data_wm=max(filter(None, [max_obs, max_enc]), default=None),
             change_signal=obs_enc_sig,
             allow_skip=allow_skip,
+            vp_stable=person_stable,
         )
         self._stage(
             "flat_orders",
@@ -604,6 +638,7 @@ class PipelineRunner:
                 "person_voided": person_voided,
             },
             allow_skip=allow_skip,
+            vp_stable=person_stable,
         )
         lab_ran = self._stage(
             "flat_lab_obs",
@@ -618,6 +653,7 @@ class PipelineRunner:
                 "obs_voided": obs_voided,
             },
             allow_skip=allow_skip,
+            vp_stable=person_stable,
         )
 
         vs_version = TABLE_VERSIONS["flat_visit_summary"]
@@ -659,6 +695,7 @@ class PipelineRunner:
                 # block above; _stage only maintains the signal store
                 change_signal=obs_enc_sig,
                 allow_skip=False,
+                vp_stable=person_stable,
             )
 
         # Latest snapshot: always a full overwrite of a small per-patient
@@ -768,7 +805,7 @@ class PipelineRunner:
 
     def _stage(
         self, table: str, plan, data_wm, change_signal=None,
-        allow_skip=True,
+        allow_skip=True, vp_stable=False,
     ) -> bool:
         """One pipeline stage; returns whether it actually ran.
 
@@ -843,6 +880,24 @@ class PipelineRunner:
             reader = self._make_probe_reader(table)
             if reader is not None:
                 out["probe_reader"] = reader
+            # The voided-person probe's processed point (see
+            # plans/_probe.recently_voided): voids dated <= the last
+            # completed run's person_voided signal were purged then (or
+            # excluded by the rebuild that seeded the store) and need no
+            # re-probe; the data watermark can't serve — voids never
+            # advance it.
+            vp_cut = (self._load_signal(version) or {}).get(
+                "person_voided"
+            )
+            if vp_cut is not None:
+                out["vp_cutoff"] = vp_cut
+            # Unchanged void-set fingerprint => every current void was
+            # already purged by the completed run that saved it (a new
+            # or flipped void always changes the fingerprint first), so
+            # the plans skip the voided-person month probe outright —
+            # the undated-void class would otherwise re-open every
+            # month its wide person-id range can't exclude, forever.
+            out["vp_stable"] = vp_stable
         merged = plan(target, wm, out)
         months_df = out.get("affected_months")
         if part_src and months_df is not None and target is not None:

@@ -28,6 +28,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pin(df: DataFrame, out: dict | None, key: str) -> DataFrame:
+    """Materialize a delta-sized frame once per sync and reuse it across
+    the plan's many consumers (probe range-join, month semi-join,
+    recompute semi-join, anti-delete — each evaluated twice under the
+    engine's two-phase delta write; without the pin every evaluation
+    re-reads the source parquet).  Only active under the engine's
+    ``pin_recomputed`` request — the partitioned two-phase path, where
+    an eager localCheckpoint is already the accepted trade (see the
+    ``recomputed`` pin); other layouts keep pure lineage.
+    localCheckpoint preserves size stats (PERF.md), so a pinned
+    delta-key frame stays broadcast-eligible."""
+    if out is None:
+        return df
+    if key in out:
+        return out[key]
+    if out.get("pin_recomputed"):
+        df = df.localCheckpoint()
+        out[key] = df
+    return df
+
+
 def month_probe(
     target: DataFrame,
     out: dict | None,
@@ -47,19 +68,43 @@ def month_probe(
     return target.select(*cols)
 
 
-def recently_voided(person: DataFrame, wm) -> DataFrame:
+def recently_voided(
+    person: DataFrame, wm, cutoff=None, stable=False
+) -> DataFrame:
     """Voided persons that can still have un-purged target rows: those
-    voided since the watermark (plus undatable NULL-date_voided rows,
-    always probed).  Persons voided before the watermark had their
-    target months located and purged by the first sync that saw them —
-    the purge itself (anti_delete on ALL voided persons) is unchanged;
-    only the month-location probe is scoped, so a steady-state sync
-    with no fresh voids probes nothing at all.  Sources without a
-    date_voided column fall back to the full voided set (conservative:
-    extra probe read, never a missed month)."""
+    voided since the last PROCESSED point (plus undatable
+    NULL-date_voided rows, always probed).  Persons voided before it
+    had their target months located and purged by the first sync that
+    saw them (or were excluded by the rebuild outright) — the purge
+    itself (anti_delete on ALL voided persons) is unchanged; only the
+    month-location probe is scoped, so a steady-state sync with no
+    fresh voids probes nothing at all.
+
+    ``cutoff`` is the stage's stored ``person_voided`` signal
+    high-water mark (engine ``out["vp_cutoff"]``) — the precise
+    processed point, seeded by the rebuild.  The data watermark ``wm``
+    is the fallback: correct but loose, since voids never advance it,
+    so a void dated past the final data watermark would otherwise be
+    re-probed (opening every month directory its wide person-id range
+    can't exclude) on every sync forever.
+
+    ``stable`` is the engine's void-set fingerprint verdict
+    (``out["vp_stable"]``): the fingerprint is order-independent over
+    the whole voided-person set and saved only after a fully completed
+    run, so an unchanged fingerprint proves every current void —
+    including the UNDATED (NULL date_voided) class no timestamp can
+    scope — was already purged by the run that saved it.  Stable =>
+    nothing to probe at all; unstable => undated voids are probed
+    conservatively (any of them might be the new one).  Sources
+    without a date_voided column fall back to the full voided set when
+    unstable (conservative: extra probe read, never a missed
+    month)."""
     vp = person.filter(F.col("voided") == 1)
+    if stable:
+        return vp.select("person_id").limit(0)
     if "date_voided" not in person.columns:
         return vp.select("person_id")
+    since = F.lit(cutoff).cast("timestamp") if cutoff is not None else wm
     return vp.filter(
-        F.col("date_voided").isNull() | (F.col("date_voided") > wm)
+        F.col("date_voided").isNull() | (F.col("date_voided") > since)
     ).select("person_id")

@@ -32,6 +32,7 @@ from mrsboraetl_spark.functions.obsmap import (
     typed_value,
 )
 from mrsboraetl_spark.operators.upsert import anti_delete, replace_into
+from mrsboraetl_spark.plans._probe import pin as _pin
 
 def _obs_aggregates() -> list:
     """The shared per-group aggregate list: obs blob, obs_datetimes blob,
@@ -177,6 +178,14 @@ def incremental_flat_obs(
         )
         .distinct()
     )
+    # The delta-key frames are consumed by four-plus jobs per sync
+    # (recompute semi-join, month probe, month semi-join, anti-delete —
+    # each twice under the two-phase delta write), and every evaluation
+    # re-reads the source parquet.  Under the engine's pin request
+    # (partitioned two-phase sync only) materialize them once — they
+    # are delta-sized, so the pin is tiny and keeps them broadcastable.
+    affected_enc = _pin(affected_enc, out, "affected_enc")
+    affected_noenc = _pin(affected_noenc, out, "affected_noenc")
 
     # Recompute whole groups from base state, restricted to affected keys.
     # Under the engine's two-phase delta-scoped sync this plan is built
@@ -242,7 +251,13 @@ def incremental_flat_obs(
             # first saw them), so a steady-state sync probes nothing
             # here at all.  The merged-output purge below still uses
             # the full voided set.
-            vp_recent = recently_voided(person, wm)
+            vp_recent = _pin(
+                recently_voided(
+                    person, wm, cutoff=out.get("vp_cutoff"),
+                    stable=out.get("vp_stable", False),
+                ),
+                out, "vp_recent",
+            )
             vp_probe = month_probe(
                 target, out, vp_recent, "person_id",
                 ["person_id", "encounter_datetime"],

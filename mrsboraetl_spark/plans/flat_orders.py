@@ -107,6 +107,11 @@ def incremental_flat_orders(
         .select("encounter_id")
     )
     affected = voided_keys.unionByName(new_keys).distinct()
+    # Delta-key pin (see plans/_probe.pin): four-plus consumers per
+    # sync, each otherwise re-reading the orders parquet.
+    from mrsboraetl_spark.plans._probe import pin as _pin
+
+    affected = _pin(affected, out, "affected_keys")
 
     # Pin across the engine's two-phase delta-scoped sync (see
     # incremental_flat_obs): the recompute is target-independent.
@@ -142,7 +147,13 @@ def incremental_flat_orders(
                 target, out, affected, "encounter_id",
                 ["encounter_id", "encounter_datetime"],
             )
-            vp_recent = recently_voided(person, wm)
+            vp_recent = _pin(
+                recently_voided(
+                    person, wm, cutoff=out.get("vp_cutoff"),
+                    stable=out.get("vp_stable", False),
+                ),
+                out, "vp_recent",
+            )
             vp_probe = month_probe(
                 target, out, vp_recent, "person_id",
                 ["person_id", "encounter_datetime"],

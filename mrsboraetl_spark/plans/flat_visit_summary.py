@@ -160,6 +160,13 @@ def incremental_flat_visit_summary(
             ).select("person_id")
         )
     queue = queue.distinct()
+    # Delta-key pin (see plans/_probe.pin): the queue feeds the two
+    # recompute semi-joins, the month probes, and the retraction —
+    # each otherwise re-deriving it from scratch (including a flat_obs
+    # scan) per evaluation.
+    from mrsboraetl_spark.plans._probe import pin as _pin
+
+    queue = _pin(queue, out, "queue_keys")
     # Pin across the engine's two-phase delta-scoped sync (see
     # incremental_flat_obs): the recompute is target-independent.
     if out is not None and "recomputed" in out:
@@ -200,7 +207,13 @@ def incremental_flat_visit_summary(
                 target, out, queue, "person_id",
                 ["person_id", "encounter_datetime"],
             )
-            vp_recent = recently_voided(person, wm)
+            vp_recent = _pin(
+                recently_voided(
+                    person, wm, cutoff=out.get("vp_cutoff"),
+                    stable=out.get("vp_stable", False),
+                ),
+                out, "vp_recent",
+            )
             vp_probe = month_probe(
                 target, out, vp_recent, "person_id",
                 ["person_id", "encounter_datetime"],

@@ -31,6 +31,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -124,7 +125,48 @@ def run_probe(n: int) -> None:
             df.cache().count()
 
     results = {"n_persons": n, "n_delta_obs": len(new_rows)}
-    for mode in ("delta_bounds", "delta_no_bounds", "full_rewrite"):
+    # The decisive probe-read metric is WHICH month directories the
+    # phase-1 retraction probe opens (whole-sync executor input bytes
+    # are dominated by source reads at this SF and cannot isolate it):
+    # with bounds, reader() routes through read_target_months on the
+    # candidate list; without, the probe is a full-target scan.  Spy on
+    # both and account the opened directories' on-disk size.
+    probed_months: list[tuple[str, tuple]] = []
+    orig_rtm = PipelineRunner.read_target_months
+
+    def spy_rtm(self, table, months):
+        probed_months.append((table, tuple(months)))
+        return orig_rtm(self, table, months)
+
+    PipelineRunner.read_target_months = spy_rtm
+
+    def month_dir_stats(runner, root):
+        """(#dirs opened by probes, their MB) vs (#dirs, MB) on disk."""
+        opened_mb = 0.0
+        opened = 0
+        total = 0
+        total_mb = 0.0
+        by_table: dict = {}
+        for t, ms in probed_months:
+            by_table.setdefault(t, set()).update(ms)
+        for t in runner._BOUNDS_COLS:
+            tdir = runner._path(t)
+            if not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                if not d.startswith("p_month="):
+                    continue
+                total += 1
+                sz = tree_bytes(os.path.join(tdir, d))
+                total_mb += sz
+                if d.split("=", 1)[1] in by_table.get(t, ()):
+                    opened += 1
+                    opened_mb += sz
+        return opened, round(opened_mb / 1e6, 2), total, round(
+            total_mb / 1e6, 2
+        )
+
+    for mode in ("warmup", "delta_bounds", "delta_no_bounds", "full_rewrite"):
         root = tempfile.mkdtemp(prefix=f"dwp_{mode}_")
         runner = PipelineRunner(spark, root, partitioned=True)
         if mode == "full_rewrite":
@@ -132,6 +174,12 @@ def run_probe(n: int) -> None:
         t0 = time.time()
         runner.run(dfs, mode="rebuild")
         rebuild_s = time.time() - t0
+        if mode == "warmup":
+            # First pipeline run on a cold JVM pays the C2 JIT storm
+            # (PERF.md); burn it here so the three measured modes are
+            # comparable.
+            shutil.rmtree(root, ignore_errors=True)
+            continue
         target_bytes = tree_bytes(root)
         if mode == "delta_no_bounds":
             # r6 behavior: no sidecar -> full-target phase-1 probe
@@ -143,8 +191,13 @@ def run_probe(n: int) -> None:
         time.sleep(0.05)  # mtime resolution guard
         t_sync = time.time()
         r0 = executor_input_bytes(spark)
+        probed_months.clear()
         runner.run(dfs2, mode="sync")
         sync_s = time.time() - t0
+        opened, opened_mb, n_dirs, dirs_mb = month_dir_stats(runner, root)
+        if mode == "delta_no_bounds":
+            # no reader: every probe IS a full scan of the target dirs
+            opened, opened_mb = n_dirs, dirs_mb
         results[mode] = {
             "rebuild_sec": round(rebuild_s, 1),
             "target_mb": round(target_bytes / 1e6, 2),
@@ -153,12 +206,17 @@ def run_probe(n: int) -> None:
             "sync_read_mb": round(
                 (executor_input_bytes(spark) - r0) / 1e6, 2
             ),
+            "probe_month_dirs_opened": opened,
+            "probe_month_dirs_mb": opened_mb,
+            "month_dirs_total": n_dirs,
+            "month_dirs_total_mb": dirs_mb,
         }
+    PipelineRunner.read_target_months = orig_rtm
     d = results["delta_bounds"]["sync_write_mb"]
     f = results["full_rewrite"]["sync_write_mb"]
     results["write_amplification_ratio"] = round(f / d, 1) if d else None
-    rb = results["delta_bounds"]["sync_read_mb"]
-    rn = results["delta_no_bounds"]["sync_read_mb"]
+    rb = results["delta_bounds"]["probe_month_dirs_mb"]
+    rn = results["delta_no_bounds"]["probe_month_dirs_mb"]
     results["probe_read_reduction_ratio"] = (
         round(rn / rb, 1) if rb else None
     )

@@ -36,15 +36,24 @@ def built(spark, tmp_path_factory):
 
 
 def test_bounds_sidecar_exact_after_rebuild(spark, built):
+    from mrsboraetl_spark.config import SYNTHETIC_ENCOUNTER_OFFSET
+
     runner = built["runner"]
     bounds = runner._load_bounds("flat_obs")
     assert bounds, "rebuild must write the bounds sidecar"
+    # encounter bounds cover the REAL population only (synthetic ids at
+    # SYNTHETIC_ENCOUNTER_OFFSET+ would stretch the range over every
+    # probe key); person bounds have no synthetic class.
+    real_enc = F.when(
+        F.col("encounter_id") < SYNTHETIC_ENCOUNTER_OFFSET,
+        F.col("encounter_id"),
+    )
     actual = (
         spark.read.parquet(runner._path("flat_obs"))
         .groupBy("p_month")
         .agg(
-            F.min("encounter_id").alias("elo"),
-            F.max("encounter_id").alias("ehi"),
+            F.min(real_enc).alias("elo"),
+            F.max(real_enc).alias("ehi"),
             F.min("person_id").alias("plo"),
             F.max("person_id").alias("phi"),
         )
@@ -53,7 +62,10 @@ def test_bounds_sidecar_exact_after_rebuild(spark, built):
     assert {r["p_month"] for r in actual} == set(bounds)
     for r in actual:
         ent = bounds[r["p_month"]]
-        assert ent["encounter_id"] == [r["elo"], r["ehi"]]
+        if r["elo"] is None:
+            assert "encounter_id" not in ent  # synthetic-only month
+        else:
+            assert ent["encounter_id"] == [r["elo"], r["ehi"]]
         assert ent["person_id"] == [r["plo"], r["phi"]]
 
 
@@ -64,30 +76,67 @@ def test_probe_reader_prunes_to_candidate_months(spark, built):
     bounds = runner._load_bounds("flat_obs")
     # A key inside exactly one month's range must prune to month(s)
     # whose range contains it; a key beyond every range reads nothing.
+    from mrsboraetl_spark.config import SYNTHETIC_ENCOUNTER_OFFSET
+
     target = spark.read.parquet(runner._path("flat_obs"))
-    row = target.select("encounter_id", "p_month").first()
+    row = (
+        target.filter(F.col("encounter_id") < SYNTHETIC_ENCOUNTER_OFFSET)
+        .select("encounter_id", "p_month")
+        .first()
+    )
     keys = spark.createDataFrame(
         [(int(row["encounter_id"]),)], "encounter_id long"
     )
     hit = reader(keys, "encounter_id")
+    # Candidate set = months whose real-population range contains the
+    # key, plus synthetic-only months that omit the column from the
+    # sidecar (unconditional candidates in the reader).
     got_months = {
         m for m, ent in bounds.items()
-        if ent["encounter_id"][0] <= row["encounter_id"] <= ent["encounter_id"][1]
+        if "encounter_id" not in ent
+        or ent["encounter_id"][0] <= row["encounter_id"] <= ent["encounter_id"][1]
     }
     assert got_months  # at least the row's own month
     assert hit.count() > 0
-    # every returned row's key range belongs to a candidate month
-    beyond = max(ent["encounter_id"][1] for ent in bounds.values()) + 10_000
+    # A key beyond every recorded range (but BELOW the synthetic
+    # sentinel, so the conservative path stays off) reads only the
+    # unconditional synthetic-only months, if any.
+    beyond = max(
+        ent["encounter_id"][1]
+        for ent in bounds.values()
+        if "encounter_id" in ent
+    ) + 10_000
+    assert beyond < SYNTHETIC_ENCOUNTER_OFFSET
     miss = reader(
         spark.createDataFrame([(beyond,)], "encounter_id long"),
         "encounter_id",
     )
-    assert miss.count() == 0
+    uncond = [m for m, ent in bounds.items() if "encounter_id" not in ent]
+    expected_miss = (
+        target.filter(F.col("p_month").isin(uncond)).count() if uncond else 0
+    )
+    assert miss.count() == expected_miss
 
 
 def test_probe_reader_unbounded_column_returns_none(built):
     reader = built["runner"]._make_probe_reader("flat_obs")
     assert reader(None, "not_a_bounds_col") is None
+
+
+def test_probe_reader_synthetic_key_defeats_pruning(spark, built):
+    """A probe key at/above the synthetic-id sentinel lies outside every
+    recorded (real-population) range — the reader must go conservative
+    and read every month, never prune on bounds that exclude it."""
+    from mrsboraetl_spark.config import SYNTHETIC_ENCOUNTER_OFFSET
+
+    runner = built["runner"]
+    reader = runner._make_probe_reader("flat_obs")
+    keys = spark.createDataFrame(
+        [(SYNTHETIC_ENCOUNTER_OFFSET + 5,)], "encounter_id long"
+    )
+    res = reader(keys, "encounter_id")
+    full = spark.read.parquet(runner._path("flat_obs")).count()
+    assert res.count() == full
 
 
 def test_sync_probe_reads_scale_with_delta(spark, built, monkeypatch):
