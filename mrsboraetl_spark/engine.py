@@ -355,10 +355,15 @@ class PipelineRunner:
                 # the same pass flags any ABOVE-SENTINEL key (a
                 # synthetic id the bounds deliberately exclude —
                 # conservative: such a key defeats pruning entirely).
+                # The join output is aggregated SPARK-SIDE to a single
+                # row — collect_set of matched months (≤ #month dirs)
+                # plus one boolean — so the driver transfer is
+                # month-bounded no matter how many distinct keys the
+                # delta carries (a catch-up sync can probe millions).
                 over_expr = (
                     (k >= sentinel) if sentinel is not None else F.lit(False)
                 )
-                hits = (
+                hit = (
                     keys_df.select(F.col(key_col).cast("long").alias("_k"))
                     .distinct()
                     .join(
@@ -366,14 +371,15 @@ class PipelineRunner:
                         (k >= F.col("lo")) & (k <= F.col("hi")),
                         "left",
                     )
-                    .select("p_month", over_expr.alias("_over"))
-                    .collect()
+                    .agg(
+                        F.collect_set("p_month").alias("_months"),
+                        F.max(over_expr).alias("_over"),
+                    )
+                    .collect()[0]
                 )
-                if any(r["_over"] for r in hits):
+                if hit["_over"]:
                     return self.read_target_months(table, existing)
-                cand |= {
-                    r["p_month"] for r in hits if r["p_month"] is not None
-                }
+                cand |= set(hit["_months"] or ())
             return self.read_target_months(table, sorted(cand))
 
         return reader

@@ -118,6 +118,43 @@ def test_probe_reader_prunes_to_candidate_months(spark, built):
     assert miss.count() == expected_miss
 
 
+def test_probe_driver_transfer_is_month_bounded(spark, built, monkeypatch):
+    """A many-key delta must NOT collect one row per key: the probe
+    aggregates Spark-side (collect_set of matched months + one
+    above-sentinel flag) and transfers a single row to the driver —
+    the only O(delta) driver action flagged in round 7."""
+    # PySpark 4 dispatches to the classic DataFrame subclass, which
+    # overrides collect — patch the concrete class, not the facade.
+    try:
+        import pyspark.sql.classic.dataframe as _dfmod
+    except ImportError:  # pragma: no cover - pyspark < 4
+        import pyspark.sql.dataframe as _dfmod
+
+    runner = built["runner"]
+    reader = runner._make_probe_reader("flat_obs")
+    assert reader is not None
+    # 5,000 distinct probe keys — a catch-up-sized delta relative to
+    # this fixture; pre-fix the probe collected 5,000 rows here.
+    keys = spark.range(0, 5000).select(F.col("id").alias("encounter_id"))
+    sizes: list[int] = []
+    orig = _dfmod.DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_dfmod.DataFrame, "collect", spy)
+    hit = reader(keys, "encounter_id")
+    assert hit is not None
+    assert sizes, "probe must run at least one collect"
+    n_months = len(runner._load_bounds("flat_obs"))
+    assert max(sizes) <= 1 + n_months, (
+        f"probe collected {max(sizes)} rows for a 5,000-key delta — "
+        "driver transfer must be month-bounded, not key-bounded"
+    )
+
+
 def test_probe_reader_unbounded_column_returns_none(built):
     reader = built["runner"]._make_probe_reader("flat_obs")
     assert reader(None, "not_a_bounds_col") is None
