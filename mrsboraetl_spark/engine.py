@@ -106,10 +106,16 @@ class PipelineRunner:
 
         return VersionedTable(os.path.join(self.root, f"{table}.v"))
 
-    def read_target(self, table: str) -> DataFrame | None:
+    def _recover_fs(self, table: str) -> bool:
+        """Crash-window filesystem recovery for a target, WITHOUT
+        reading any data: promote a demoted ``.old`` whole table and
+        rescue ``_old.M`` month directories.  Returns True when the
+        live path exists afterwards.  Every skip decision must route
+        through this (not a bare existence test): a stage left demoted
+        by a crashed swap would otherwise stay invisible to external
+        path readers across arbitrarily many skipping syncs."""
         if self.versioned:
-            vt = self._versioned(table)
-            return None if vt.version() < 0 else vt.read(self.spark)
+            return self._versioned(table).version() >= 0
         path = self._path(table)
         old = path + ".old"
         if not os.path.exists(path) and os.path.exists(old):
@@ -118,8 +124,8 @@ class PipelineRunner:
             # the next run is an incremental, not a silent cold rebuild.
             os.replace(old, path)
         if not os.path.exists(path):
-            return None
-        if self.partitioned and os.path.exists(path):
+            return False
+        if self.partitioned:
             # Rescue months orphaned by a _write_months crash: the swap
             # demotes p_month=M to _old.M (underscore prefix => invisible
             # to Spark's partition discovery) before promoting the new
@@ -147,6 +153,15 @@ class PipelineRunner:
                         shutil.rmtree(
                             os.path.join(path, entry), ignore_errors=True
                         )
+        return True
+
+    def read_target(self, table: str) -> DataFrame | None:
+        if self.versioned:
+            vt = self._versioned(table)
+            return None if vt.version() < 0 else vt.read(self.spark)
+        if not self._recover_fs(table):
+            return None
+        path = self._path(table)
         df = self.spark.read.parquet(path)
         if self.partitioned and self.PARTITION_COL in df.columns:
             # Incremental plans expect the exact stage schema; the
@@ -672,7 +687,7 @@ class PipelineRunner:
             )
             and not obs_ran
             and not lab_ran
-            and self._target_exists("flat_visit_summary")
+            and self._recover_fs("flat_visit_summary")
         ):
             # visit_summary's change classes (encounter edits, upstream
             # flat_obs advance, obs voids, person voids) are all covered
@@ -698,8 +713,13 @@ class PipelineRunner:
                 # (flat_visit_summary_v1.0.sql:16,93-99)
                 data_wm=vs_wm_snapshot,
                 # the skip decision for this stage is the upstream-aware
-                # block above; _stage only maintains the signal store
-                change_signal=obs_enc_sig,
+                # block above; the signal is committed BELOW, only after
+                # the latest-summary snapshot (visit summary's sole
+                # downstream) has also been written — a signal saved
+                # here would, across a crash before the latest write,
+                # skip visit summary on every later sync while the
+                # latest table never reconciles with it.
+                change_signal=None,
                 allow_skip=False,
                 vp_stable=person_stable,
             )
@@ -707,7 +727,7 @@ class PipelineRunner:
         # Latest snapshot: always a full overwrite of a small per-patient
         # table (fixes quirk 8's duplicate-on-rerun INSERT) — skipped
         # only when its sole input did not change this run.
-        if vs_ran or not self._target_exists("flat_latest_hiv_summary"):
+        if vs_ran or not self._recover_fs("flat_latest_hiv_summary"):
             started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             vs = self.read_target("flat_visit_summary")
             self._write(
@@ -717,18 +737,15 @@ class PipelineRunner:
                 TABLE_VERSIONS["flat_latest_hiv_summary"], started,
                 self._max_ts(vs, "max_date_created"),
             )
+        if vs_ran:
+            # Both tables of the visit-summary cascade are now
+            # committed; only now may future syncs skip the pair.
+            self._save_signal(vs_version, obs_enc_sig)
 
         # Commit the person-void fingerprint only after EVERY stage
         # completed: a crashed run leaves the old fingerprint, so the
         # next run re-processes (idempotent) rather than skips.
         self._save_person_fingerprint(person_fp)
-
-    def _target_exists(self, table: str) -> bool:
-        if self.versioned:
-            return self._versioned(table).version() >= 0
-        return os.path.exists(self._path(table)) or os.path.exists(
-            self._path(table) + ".old"
-        )
 
     # ------------------------------------------- person-void fingerprint
 
@@ -862,7 +879,10 @@ class PipelineRunner:
             self._STAGE_SKIP
             and allow_skip
             and change_signal is not None
-            and self._target_exists(table)
+            # _recover_fs, not a bare existence test: a skip honored on
+            # a `.old`-demoted table would leave it invisible to
+            # external path readers across every skipping sync.
+            and self._recover_fs(table)
             and self._signal_covered(
                 change_signal, self._load_signal(version)
             )

@@ -266,6 +266,13 @@ class IvfIndex:
         frac, the k seeds are the k sample vectors with smallest
         md5(id), and each Lloyd iteration is one deterministic
         assign+mean pass (empty cells keep their previous center).
+        The per-cell means are ROUNDED to fixed precision (6 dp, the
+        repo's oracle-rounding convention) before adoption: F.avg's
+        floating-point partial aggregation is order-sensitive across
+        partitionings, so unrounded centroids could differ between
+        environments; rounding absorbs that drift (determinism is
+        per-plan at the boundary case where a true mean sits exactly
+        on a rounding edge — in practice identical across configs).
         Within an epoch, batch-split ingestion still equals one-shot
         assignment bit-for-bit — the epoch is IN the manifest, so a
         reader can never pair new cells with old centroids: the staged
@@ -320,7 +327,12 @@ class IvfIndex:
             means = {
                 int(r["cell"]): [float(r[f"d{i}"]) for i in range(dims)]
                 for r in assigned.groupBy("cell")
-                .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dims)])
+                .agg(
+                    *[
+                        F.round(F.avg(f"d{i}"), 6).alias(f"d{i}")
+                        for i in range(dims)
+                    ]
+                )
                 .collect()
             }
             cents = [(c, means.get(c, v)) for c, v in cents]

@@ -82,11 +82,13 @@ def recently_voided(
 
     ``cutoff`` is the stage's stored ``person_voided`` signal
     high-water mark (engine ``out["vp_cutoff"]``) — the precise
-    processed point, seeded by the rebuild.  The data watermark ``wm``
-    is the fallback: correct but loose, since voids never advance it,
-    so a void dated past the final data watermark would otherwise be
-    re-probed (opening every month directory its wide person-id range
-    can't exclude) on every sync forever.
+    processed point, seeded by the rebuild.  Until one exists (the
+    one-sync window after upgrading a pre-signal store) the FULL
+    voided set is probed: the data watermark cannot serve as a scope —
+    voids never advance it, so a late-arriving void legitimately dated
+    at or before it would be excluded from the month probe and its
+    rows in otherwise-untouched months would survive that sync
+    unpurged.
 
     ``stable`` is the engine's void-set fingerprint verdict
     (``out["vp_stable"]``): the fingerprint is order-independent over
@@ -102,9 +104,9 @@ def recently_voided(
     vp = person.filter(F.col("voided") == 1)
     if stable:
         return vp.select("person_id").limit(0)
-    if "date_voided" not in person.columns:
+    if "date_voided" not in person.columns or cutoff is None:
         return vp.select("person_id")
-    since = F.lit(cutoff).cast("timestamp") if cutoff is not None else wm
+    since = F.lit(cutoff).cast("timestamp")
     return vp.filter(
         F.col("date_voided").isNull() | (F.col("date_voided") > since)
     ).select("person_id")

@@ -1600,3 +1600,19 @@ for _name, _fn in (
 ):
     register(_name, UNREGISTERED_ORACLES.pop(_name))(_fn)
 del _name, _fn
+
+
+# --------------------------------------------- r8 registry promotions
+# (VERDICT r7 item 5.)  The redaction and percentile families were the
+# only first-class curation signals without driver rows; both oracles
+# are non-vacuous (redaction injects 3 PII classes per doc on both
+# engines; percentiles are exact, ulp-matched to quantile_cont).  Slots
+# freed by join_composite_key (J2's shape driver-covered via
+# anti_join_daykey) and streaming_session_window (I5 keeps two driver
+# rows) — both still oracle-checked under pytest.
+for _name, _fn in (
+    ("curation_redact_pii", curation_redact_pii),
+    ("profile_source_percentiles", profile_source_percentiles),
+):
+    register(_name, UNREGISTERED_ORACLES.pop(_name))(_fn)
+del _name, _fn

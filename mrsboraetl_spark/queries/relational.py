@@ -214,19 +214,22 @@ def join_multi_dims(spark, sf_dir):
     )
 
 
-@register(
-    "join_composite_key",
-    """
+UNREGISTERED_ORACLES["join_composite_key"] = """
     SELECT e.event_id, d.n AS day_events
     FROM events e
     JOIN (
       SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     ) d ON e.user_id = d.user_id AND CAST(e.ts AS DATE) = d.day
-    """,
-)
+    """
+
+
 def join_composite_key(spark, sf_dir):
-    """J2 composite-key equi-join on (person, datetime)-style pair."""
+    """J2 composite-key equi-join on (person, datetime)-style pair.
+    Demoted r8 (VERDICT r7 item 5) to free a slot for
+    curation_redact_pii: J2's composite-key shape keeps driver evidence
+    via anti_join_daykey's composite day-key; oracle-checked via
+    UNREGISTERED_ORACLES."""
     ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     daily = ev.groupBy("user_id", "day").agg(F.count("*").alias("day_events"))
     return ev.join(daily, ["user_id", "day"]).select("event_id", "day_events")

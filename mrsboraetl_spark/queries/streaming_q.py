@@ -66,9 +66,7 @@ def streaming_dedup_count(spark, sf_dir):
     return drain_to_batch(stream, "complete")
 
 
-@register(
-    "streaming_session_window",
-    """
+UNREGISTERED_ORACLES["streaming_session_window"] = """
     WITH seq AS (
       SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -92,15 +90,20 @@ def streaming_dedup_count(spark, sf_dir):
            CAST(sum(n) AS BIGINT) AS n_events,
            max(n) AS max_session_events
     FROM per GROUP BY user_id
-    """,
-)
+    """
+
+
 def streaming_session_window(spark, sf_dir):
     """Native session_window streaming aggregation (30-min inactivity gap),
     drained in complete mode, rolled up per user.  Oracle = lag-based gap
     sessionization; Spark closes a session when the gap is >= the timeout
     (window end is exclusive at last_ts + gap), so the oracle's split
     predicate is >= 1800s — NOT the strict > the batch sessionize_events
-    entry uses (see tests/test_streaming.py boundary caveat)."""
+    entry uses (see tests/test_streaming.py boundary caveat).  Demoted
+    r8 (VERDICT r7 item 5) to free a slot for
+    profile_source_percentiles: I5 keeps two driver rows
+    (streaming_tumbling_daily, streaming_stateful_user_stats);
+    oracle-checked via UNREGISTERED_ORACLES."""
     from mrsboraetl_spark.streaming import drain_to_batch, stream_events
 
     stream = (

@@ -63,11 +63,9 @@ UNREGISTERED = [
     # Round-5 session 2: lexical search, sketches, packing (decontamination
     # went straight into the driver registry)
     "curation_pack_sequences",
-    "profile_source_percentiles",
     "curation_oov_fraction",
     # Round-5 session 4: sub-document boilerplate removal, PII redaction,
     # deterministic epoch shuffle
-    "curation_redact_pii",
     "curation_unigram_logprob",
     "curation_oversample_mix",
     "decontam_attribution_pairs",
@@ -78,6 +76,11 @@ UNREGISTERED = [
     "dedup_exact_then_near",
     "dedup_embedding_lsh",
     "streaming_dedup_count",
+    # Demoted r8 (VERDICT r7 item 5 promotions: curation_redact_pii,
+    # profile_source_percentiles); J2 keeps driver evidence via
+    # anti_join_daykey, I5 via the remaining streaming pair
+    "join_composite_key",
+    "streaming_session_window",
 ]
 
 

@@ -396,3 +396,85 @@ def test_masked_column_advance_defeats_skip(spark, tmp_path_factory):
         b = fresh.read_target(table).toPandas()
         cols = sorted(c for c in a.columns if c != "obs_map")
         assert _sorted_rows(a, cols) == _sorted_rows(b, cols), table
+
+
+def test_crash_before_latest_write_reconciles_next_sync(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The visit-summary change signal must commit only after the
+    latest-summary snapshot (its sole downstream) is written: a crash
+    between the two writes would otherwise store a covered signal, so
+    every later sync skips visit summary AND skips latest (inputs
+    unchanged, target exists) — latest stays stale until unrelated new
+    source data happens to force visit summary to run."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import mrsboraetl_spark.engine as eng
+
+    pdfs = make_sources(n_persons=15, seed=37)
+    obs_pdf = pdfs["obs"]
+    wm = obs_pdf["date_created"].max()
+    dfs = to_spark(spark, pdfs)
+    root = str(tmp_path_factory.mktemp("crashlatest"))
+    runner = PipelineRunner(spark, root)
+    runner.run(dfs, mode="rebuild")
+    runner.run(dfs, mode="sync")  # drain watermark stragglers
+
+    # An obs delta that changes visit summary, with a crash injected
+    # between the visit-summary write and the latest-summary write.
+    row = obs_pdf[obs_pdf["voided"] == 0].iloc[0].to_dict()
+    row.update(
+        obs_id=int(obs_pdf["obs_id"].max()) + 1,
+        date_created=wm + dt.timedelta(days=3),
+        date_voided=pd.NaT,
+    )
+    obs2 = pd.concat([obs_pdf, pd.DataFrame([row])], ignore_index=True)
+    dfs2 = to_spark(spark, dict(pdfs, obs=obs2))
+
+    real_build = eng.build_flat_latest_hiv_summary
+
+    def boom(vs):
+        raise RuntimeError("injected crash before latest write")
+
+    monkeypatch.setattr(eng, "build_flat_latest_hiv_summary", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        runner.run(dfs2, mode="sync")
+    monkeypatch.setattr(
+        eng, "build_flat_latest_hiv_summary", real_build
+    )
+
+    # Same inputs, next sync: latest must reconcile with visit summary.
+    runner.run(dfs2, mode="sync")
+    vs = runner.read_target("flat_visit_summary")
+    latest = runner.read_target("flat_latest_hiv_summary").toPandas()
+    expected = real_build(vs).toPandas()
+    cols = sorted(c for c in expected.columns if c != "obs_map")
+    assert _sorted_rows(latest, cols) == _sorted_rows(expected, cols)
+
+
+def test_skip_recovers_demoted_old_table(spark, tmp_path_factory):
+    """A stage left `.old`-demoted by a crashed whole-table swap must be
+    promoted back even on a sync that SKIPS the stage: the skip
+    short-circuit routes through _recover_fs, so external consumers
+    reading the path directly never see a missing table across
+    arbitrarily many skipping no-op syncs."""
+    import os
+
+    pdfs = make_sources(n_persons=12, seed=41)
+    dfs = to_spark(spark, pdfs)
+    root = str(tmp_path_factory.mktemp("demoted"))
+    runner = PipelineRunner(spark, root)
+    runner.run(dfs, mode="rebuild")
+    runner.run(dfs, mode="sync")  # drain stragglers; signals stored
+
+    path = runner._path("flat_orders")
+    os.replace(path, path + ".old")  # simulate crash mid-swap
+    before = runner.watermarks._read().count()
+    runner.run(dfs, mode="sync")  # pure no-op: every stage skips
+    assert os.path.exists(path), "skip must promote the demoted table"
+    assert not os.path.exists(path + ".old")
+    # Still a skip (no watermark logged), and the table reads clean.
+    assert runner.watermarks._read().count() == before
+    assert runner.read_target("flat_orders").count() > 0
