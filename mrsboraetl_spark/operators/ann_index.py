@@ -249,6 +249,50 @@ class IvfIndex:
         shutil.rmtree(old, ignore_errors=True)
 
 
+    def skew_ratio(self, spark: SparkSession) -> float:
+        """Hottest cell's occupancy over the ALL-CENTROID mean
+        (total/n_centroids) — the retrain trigger's metric.  Bounded
+        driver action (<= n_centroids rows).  1.0 = perfectly balanced;
+        a fully degenerate quantizer scores ~n_centroids (one cell
+        holds everything).  The mean is over all centroids, NOT the
+        nonempty cells: a median/mean of nonempty occupancies would
+        score the fully-collapsed case — one giant cell, the rest empty
+        — a perfect 1.0.  max, not p99: the hot CELL is the quadratic
+        join partition, and over <= a few thousand centroids p99 is the
+        max anyway."""
+        counts = [
+            r["n"] for r in self.cell_occupancy(spark).collect()
+        ]
+        total = sum(counts)
+        if total == 0:
+            return 1.0
+        mean = total / max(len(self.centroids), 1)
+        return float(max(counts)) / mean
+
+    def retrain_if_skewed(
+        self,
+        spark: SparkSession,
+        threshold: float,
+        sample_frac: float = 0.2,
+        iters: int = 8,
+    ) -> bool:
+        """Retrain the quantizer when ``skew_ratio`` reaches
+        ``threshold``; returns whether a retrain ran.  The policy half
+        of ``retrain``, shared by the streaming drain
+        (streaming/ann.py) and any batch maintenance loop so both make
+        the identical decision on the identical corpus — the
+        stream-equals-batch pin extends through the trigger.  A corpus
+        still too small to seed k centroids at ``sample_frac`` skips
+        (deterministic: the hash sample is a pure function of the
+        stored ids, so the same corpus always takes the same branch)."""
+        if self.is_empty() or self.skew_ratio(spark) < threshold:
+            return False
+        try:
+            self.retrain(spark, sample_frac=sample_frac, iters=iters)
+        except ValueError:
+            return False
+        return True
+
     def retrain(
         self,
         spark: SparkSession,

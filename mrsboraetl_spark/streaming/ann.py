@@ -29,9 +29,26 @@ def streaming_ingest_vectors(
     vec_stream: DataFrame,
     index: IvfIndex,
     checkpoint_dir: str,
+    retrain_skew_threshold: float | None = None,
+    retrain_sample_frac: float = 0.2,
+    retrain_iters: int = 8,
 ):
     """Start (and return) the streaming query: assign + append each
-    micro-batch of vectors into ``index``."""
+    micro-batch of vectors into ``index``.
+
+    ``retrain_skew_threshold``: when set, each completed ingest checks
+    the index's cell-occupancy skew (``IvfIndex.skew_ratio``, a bounded
+    <= n_centroids-row driver action) and retrains the quantizer when
+    max/median occupancy reaches the threshold — so a long-lived stream
+    whose embedding distribution drifts away from the pinned centroids
+    heals itself instead of degrading every cell-keyed probe into one
+    hot partition.  The retrain commits a new centroid EPOCH atomically
+    (manifest swap); batches after it are assigned under the new
+    centroids, and once occupancy is flat the trigger stays quiet — a
+    single skewed regime causes exactly one retrain, not one per batch.
+    The check runs strictly before the batch's ``_done`` marker: a
+    crash between retrain and marker replays the batch into the new
+    epoch (at-least-once, same contract as the append itself)."""
     markers = os.path.join(index.path, "_done")
     os.makedirs(markers, exist_ok=True)
 
@@ -40,6 +57,13 @@ def streaming_ingest_vectors(
         if os.path.exists(marker):
             return
         index.ingest(batch_df)
+        if retrain_skew_threshold is not None:
+            index.retrain_if_skewed(
+                batch_df.sparkSession,
+                retrain_skew_threshold,
+                sample_frac=retrain_sample_frac,
+                iters=retrain_iters,
+            )
         with open(marker, "w") as f:
             f.write("done")
 
