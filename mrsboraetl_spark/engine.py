@@ -237,6 +237,39 @@ class PipelineRunner:
             "person_id": None,
         },
     }
+    # Per-month Bloom membership sidecar (r8, VERDICT r7 item 3),
+    # stored inside the same JSON under "bloom:<col>" month keys.
+    # Range bounds cannot prune person-keyed probes BY CONSTRUCTION:
+    # person ids are uniform across storage months, so every month's
+    # [min, max] covers ~every probe key — observed pruning came almost
+    # entirely from the time-correlated encounter_id.  A membership
+    # structure fixes that: the voided-person purge / visit-summary
+    # queue probes open only the months actually holding a probed
+    # person.  Build and probe share one deterministic double-hash
+    # (xxhash64 + odd-stepped crc32, j positions mod m) evaluated
+    # JVM-side in both directions; the driver only ever transfers
+    # month-bounded word lists.  False positives open an extra month
+    # (harmless); the widen-before-swap union (bitwise OR — exact for
+    # Blooms with equal (m, j)) keeps false NEGATIVES impossible across
+    # crash windows, same discipline as the ranges.  m is sized per
+    # month from the observed distinct count (~16 bits/key, capped):
+    # a month that outgrows the cap saturates toward all-ones and
+    # prunes nothing — conservative, never wrong; raise the cap (or
+    # move the sidecar to parquet) for production-scale months.
+    _BLOOM_COLS = {
+        "flat_obs": ("person_id",),
+        "flat_orders": ("person_id",),
+        "flat_visit_summary": ("person_id",),
+    }
+    _BLOOM_J = 7
+    _BLOOM_MIN_BITS = 1 << 10
+    _BLOOM_MAX_BITS = 1 << 17
+    # Bloom-probing a delta costs |keys| * months * j exploded rows —
+    # distributed and codegen'd, but pointless past the point where the
+    # delta spans most months anyway; a larger delta skips the Bloom
+    # and keeps the range verdict.
+    _BLOOM_PROBE_MAX_KEYS = 1_000_000
+
     # Underscore prefix: invisible to Spark's file discovery, like the
     # demoted _old.M directories.
     _BOUNDS_FILE = "_month_bounds.json"
@@ -314,10 +347,125 @@ class PipelineRunner:
         return out
 
     @staticmethod
+    def _bloom_pos_expr():
+        """The shared Bloom position expression: bit index of hash
+        round ``_i`` for key ``_k`` in an ``_m``-bit filter.  Build and
+        probe MUST evaluate this identical expression (JVM long
+        arithmetic wraps identically on both sides), so it lives in one
+        place.  Double hashing: pos_i = (xxhash64(k) + i * step) mod m
+        with an odd crc32-derived step (odd => the stride cycles the
+        whole power-of-two table)."""
+        h1 = F.xxhash64(F.col("_k"))
+        step = F.crc32(F.col("_k").cast("string")) * F.lit(2) + F.lit(1)
+        return F.pmod(h1 + F.col("_i") * step, F.col("_m"))
+
+    def _bloom_m_bits(self, n_distinct: int) -> int:
+        """Power-of-two filter size targeting ~16 bits/key, clamped."""
+        target = max(self._BLOOM_MIN_BITS, 16 * max(int(n_distinct), 1))
+        return min(1 << (target - 1).bit_length(), self._BLOOM_MAX_BITS)
+
+    def _compute_month_blooms(
+        self, parquet_dir: str, col: str, sentinel
+    ) -> dict:
+        """{month: {"m": bits, "j": rounds, "w": hex-words}} over the
+        REAL (below-sentinel) non-null values of ``col`` in the staged
+        parquet.  Two jobs: an approx-distinct per month (sizes m),
+        then explode j positions per value and OR the 64-bit words
+        JVM-side (partial aggregation makes the shuffle volume the
+        OCCUPIED word count, not the value count).  Bounded driver
+        action: <= months * m/64 word rows, in practice <= j * distinct
+        keys."""
+        import struct
+
+        df = (
+            self.spark.read.parquet(parquet_dir)
+            .select(
+                self.PARTITION_COL,
+                F.col(col).cast("long").alias("_k"),
+            )
+            .where(F.col("_k").isNotNull())
+        )
+        if sentinel is not None:
+            df = df.where(F.col("_k") < sentinel)
+        sizes = {
+            str(r[self.PARTITION_COL]): int(r["n"])
+            for r in df.groupBy(self.PARTITION_COL)
+            .agg(F.approx_count_distinct("_k").alias("n"))
+            .collect()
+        }
+        if not sizes:
+            return {}
+        m_of = {mo: self._bloom_m_bits(n) for mo, n in sizes.items()}
+        m_expr = None
+        for mo, mm in m_of.items():
+            cond = F.col(self.PARTITION_COL) == mo
+            m_expr = (
+                F.when(cond, F.lit(mm))
+                if m_expr is None
+                else m_expr.when(cond, F.lit(mm))
+            )
+        rows = (
+            df.withColumn("_m", m_expr.cast("long"))
+            .withColumn(
+                "_i",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(self._BLOOM_J - 1))
+                ),
+            )
+            .withColumn("_pos", self._bloom_pos_expr())
+            .select(
+                self.PARTITION_COL,
+                F.floor(F.col("_pos") / 64).cast("long").alias("word"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(pmod(_pos, 64) AS INT))"
+                ).alias("mask"),
+            )
+            .groupBy(self.PARTITION_COL, "word")
+            .agg(F.bit_or("mask").alias("bits"))
+            .collect()
+        )
+        words = {
+            mo: bytearray(mm // 8) for mo, mm in m_of.items()
+        }
+        for r in rows:
+            mo = str(r[self.PARTITION_COL])
+            struct.pack_into(
+                ">Q",
+                words[mo],
+                int(r["word"]) * 8,
+                int(r["bits"]) & 0xFFFFFFFFFFFFFFFF,
+            )
+        return {
+            mo: {"m": m_of[mo], "j": self._BLOOM_J, "w": bytes(w).hex()}
+            for mo, w in words.items()
+        }
+
+    def _compute_month_sidecar(
+        self, parquet_dir: str, bounds_cols, bloom_cols=()
+    ) -> dict:
+        """Full per-month sidecar for a staged directory: [min, max]
+        ranges for ``bounds_cols`` plus "bloom:<col>" membership
+        filters for ``bloom_cols`` (sentinels shared with the range
+        config)."""
+        out = self._compute_month_bounds(parquet_dir, bounds_cols)
+        for c in bloom_cols:
+            blooms = self._compute_month_blooms(
+                parquet_dir, c, dict(bounds_cols).get(c)
+            )
+            for mo, ent in blooms.items():
+                out.setdefault(mo, {})[f"bloom:{c}"] = ent
+        return out
+
+    @staticmethod
     def _widen_bounds(old: dict | None, new: dict, cols) -> dict:
         """Union of two month entries: per column, the covering range —
         or the column OMITTED when either side lacks it (an absent
-        column means 'cannot prune on this', never 'empty range')."""
+        column means 'cannot prune on this', never 'empty range').
+        Bloom entries ("bloom:<col>") union by bitwise OR — EXACT set
+        union for equal (m, j); a parameter mismatch (the month's
+        filter was resized) omits the entry, unprunable until the
+        post-swap exact pass rewrites it."""
         if old is None:
             return new
         merged = {}
@@ -325,6 +473,23 @@ class PipelineRunner:
             a, b = old.get(c), new.get(c)
             if a is not None and b is not None:
                 merged[c] = [min(a[0], b[0]), max(a[1], b[1])]
+        for key in set(old) | set(new):
+            if not key.startswith("bloom:"):
+                continue
+            a, b = old.get(key), new.get(key)
+            if (
+                a is not None
+                and b is not None
+                and a["m"] == b["m"]
+                and a["j"] == b["j"]
+            ):
+                u = bytes(
+                    x | y
+                    for x, y in zip(
+                        bytes.fromhex(a["w"]), bytes.fromhex(b["w"])
+                    )
+                )
+                merged[key] = {"m": a["m"], "j": a["j"], "w": u.hex()}
         return merged
 
     def _make_probe_reader(self, table: str):
@@ -361,6 +526,7 @@ class PipelineRunner:
                 if key_col in bounds.get(m, {})
             ]
             cand = set(always)
+            n_keys = None
             if ranged:
                 bdf = self.spark.createDataFrame(
                     ranged, schema="p_month string, lo long, hi long"
@@ -389,15 +555,132 @@ class PipelineRunner:
                     .agg(
                         F.collect_set("p_month").alias("_months"),
                         F.max(over_expr).alias("_over"),
+                        F.count_distinct(k).alias("_nk"),
                     )
                     .collect()[0]
                 )
                 if hit["_over"]:
                     return self.read_target_months(table, existing)
                 cand |= set(hit["_months"] or ())
+                n_keys = int(hit["_nk"] or 0)
+            # Bloom refinement: months the range verdict kept but whose
+            # membership filter proves hold NO probed key are dropped
+            # (ranges can't prune uniformly-distributed keys like
+            # person_id; the Bloom can).  Only months WITH a recorded
+            # filter are ever dropped — absence means unprunable.
+            bloom_key = f"bloom:{key_col}"
+            blooms = {
+                m: bounds[m][bloom_key]
+                for m in cand
+                if isinstance(bounds.get(m, {}).get(bloom_key), dict)
+            }
+            if blooms:
+                if n_keys is None:
+                    n_keys = (
+                        keys_df.select(key_col).distinct().count()
+                    )
+                if 0 < n_keys <= self._BLOOM_PROBE_MAX_KEYS:
+                    keep = self._bloom_hit_months(
+                        keys_df, key_col, sentinel, blooms
+                    )
+                    if keep is not None:
+                        cand = {
+                            m for m in cand
+                            if m not in blooms or m in keep
+                        }
             return self.read_target_months(table, sorted(cand))
 
         return reader
+
+    def _bloom_hit_months(
+        self, keys_df, key_col: str, sentinel, blooms: dict
+    ):
+        """Months whose Bloom filter tests positive for at least one
+        probe key — or None when pruning must be abandoned (a key at or
+        above the synthetic sentinel was probed: such keys were
+        excluded from the filters at build time).  The whole test runs
+        JVM-side (explode j positions per key x month, broadcast-join
+        the occupied words, all-bits-set per (key, month)); the driver
+        receives ONE row: the surviving month set + the over flag —
+        same month-bounded transfer contract as the range probe."""
+        import struct
+
+        spec = F.array(
+            *[
+                F.struct(
+                    F.lit(mo).alias("_mo"),
+                    F.lit(int(e["m"])).cast("long").alias("_m"),
+                    F.lit(int(e["j"])).alias("_j"),
+                )
+                for mo, e in blooms.items()
+            ]
+        )
+        wrows = []
+        for mo, e in blooms.items():
+            raw = bytes.fromhex(e["w"])
+            for wi in range(len(raw) // 8):
+                bits = struct.unpack_from(">q", raw, wi * 8)[0]
+                if bits:
+                    wrows.append((mo, wi, bits))
+        wdf = self.spark.createDataFrame(
+            wrows or [("", -1, 0)], "mo string, word long, bits long"
+        )
+        over_expr = (
+            (F.col("_k") >= sentinel)
+            if sentinel is not None
+            else F.lit(False)
+        )
+        exp = (
+            keys_df.select(F.col(key_col).cast("long").alias("_k"))
+            .distinct()
+            .select("_k", over_expr.alias("_over"), F.explode(spec).alias("_s"))
+            .select("_k", "_over", "_s._mo", "_s._m", "_s._j")
+            .withColumn(
+                "_i",
+                F.explode(F.sequence(F.lit(0), F.col("_j") - 1)),
+            )
+            .withColumn("_pos", self._bloom_pos_expr())
+            .withColumn(
+                "_word", F.floor(F.col("_pos") / 64).cast("long")
+            )
+        )
+        row = (
+            exp.join(
+                F.broadcast(wdf),
+                (F.col("_mo") == F.col("mo"))
+                & (F.col("_word") == F.col("word")),
+                "left",
+            )
+            .withColumn(
+                "_set",
+                F.when(
+                    F.col("bits").isNotNull()
+                    & (
+                        F.expr(
+                            "bits & shiftleft(CAST(1 AS BIGINT),"
+                            " CAST(pmod(_pos, 64) AS INT))"
+                        )
+                        != 0
+                    ),
+                    1,
+                ).otherwise(0),
+            )
+            .groupBy("_mo", "_k", "_j")
+            .agg(
+                F.sum("_set").alias("_n"),
+                F.max("_over").alias("_o"),
+            )
+            .agg(
+                F.collect_set(
+                    F.when(F.col("_n") == F.col("_j"), F.col("_mo"))
+                ).alias("_keep"),
+                F.max("_o").alias("_over"),
+            )
+            .collect()[0]
+        )
+        if row["_over"]:
+            return None
+        return set(row["_keep"] or ())
 
     def _write(self, df: DataFrame, table: str) -> None:
         """Full write: cluster, stage, atomic whole-table swap."""
@@ -426,10 +709,13 @@ class PipelineRunner:
         writer.parquet(tmp)
         bounds_cols = self._BOUNDS_COLS.get(table, ()) if part_src else ()
         if bounds_cols:
-            # Exact bounds, staged INSIDE tmp so the swap below carries
-            # data + sidecar atomically.
+            # Exact bounds + Blooms, staged INSIDE tmp so the swap
+            # below carries data + sidecar atomically.
             self._write_bounds(
-                tmp, self._compute_month_bounds(tmp, bounds_cols)
+                tmp,
+                self._compute_month_sidecar(
+                    tmp, bounds_cols, self._BLOOM_COLS.get(table, ())
+                ),
             )
         # Promote via rename-aside: demote old -> promote tmp -> drop old.
         # A crash between the two os.replace calls leaves nothing at `path`
@@ -464,11 +750,12 @@ class PipelineRunner:
         self._write_months(
             delta, self._path(table), months,
             bounds_cols=self._BOUNDS_COLS.get(table, ()),
+            bloom_cols=self._BLOOM_COLS.get(table, ()),
         )
 
     def _write_months(
         self, df: DataFrame, path: str, months: list[str],
-        bounds_cols=(),
+        bounds_cols=(), bloom_cols=(),
     ) -> None:
         """Rewrite ONLY the given ``p_month`` directories of an existing
         partitioned target from ``df`` (already filtered to those months,
@@ -504,7 +791,9 @@ class PipelineRunner:
         staged_bounds: dict = {}
         old_bounds: dict = {}
         if bounds_cols:
-            staged_bounds = self._compute_month_bounds(tmp, bounds_cols)
+            staged_bounds = self._compute_month_sidecar(
+                tmp, bounds_cols, bloom_cols
+            )
             try:
                 with open(os.path.join(path, self._BOUNDS_FILE)) as f:
                     old_bounds = json.load(f)
@@ -557,6 +846,25 @@ class PipelineRunner:
         row = df.agg(*[F.max(c).alias(c) for c in cols]).first()
         return [row[c] if row else None for c in cols]
 
+    def _signal_maxes(self, path: str | None, df: DataFrame, *cols):
+        """Per-column max, answered from parquet FOOTER statistics when
+        the source was handed to ``run`` as a path (the reference's
+        indexed-MAX cost model, flat_obs_v1.0.sql:63: metadata only, no
+        data scan); any column the footers cannot prove falls back to
+        the one-pass scan.  Footer-derived values are byte-identical to
+        scan-derived ones (pinned in tests/test_sources.py)."""
+        vals: dict = {}
+        if path is not None:
+            from mrsboraetl_spark.sources.footer_stats import (
+                parquet_column_maxes,
+            )
+
+            vals = parquet_column_maxes(path, cols)
+        missing = [c for c in cols if c not in vals]
+        if missing:
+            vals.update(zip(missing, self._maxes(df, *missing)))
+        return [vals[c] for c in cols]
+
     @staticmethod
     def _signal_covered(new: dict, stored: dict | None) -> bool:
         """True when ``stored`` (a past run's per-column signal) covers
@@ -577,9 +885,23 @@ class PipelineRunner:
                 return False
         return True
 
-    def run(self, sources: dict[str, DataFrame], mode: str = "sync") -> None:
-        """Run all stages in dependency order."""
+    def run(self, sources: dict, mode: str = "sync") -> None:
+        """Run all stages in dependency order.
+
+        ``sources`` values may be DataFrames or parquet directory PATHS
+        (str).  Paths unlock the footer-statistics change signal
+        (_signal_maxes): a no-op sync then reads source FOOTERS plus
+        nothing — executor input scales with the delta, not the source
+        — where a DataFrame source pays the column scan for its
+        signal."""
         assert mode in ("sync", "rebuild")
+        paths = {
+            k: v for k, v in sources.items() if isinstance(v, str)
+        }
+        sources = {
+            k: self.spark.read.parquet(v) if isinstance(v, str) else v
+            for k, v in sources.items()
+        }
         obs, enc = sources["obs"], sources["encounter"]
         orders, person = sources["orders"], sources["person"]
 
@@ -595,12 +917,14 @@ class PipelineRunner:
         # skipped outright (no plan, no probes, no write): the
         # stage-level no-op short-circuit that keeps a wave touching one
         # source from paying all five stages.
-        max_obs, obs_voided = self._maxes(obs, "date_created", "date_voided")
-        max_enc, enc_changed = self._maxes(
-            enc, "date_created", "date_changed"
+        max_obs, obs_voided = self._signal_maxes(
+            paths.get("obs"), obs, "date_created", "date_voided"
         )
-        max_orders, orders_voided = self._maxes(
-            orders, "date_created", "date_voided"
+        max_enc, enc_changed = self._signal_maxes(
+            paths.get("encounter"), enc, "date_created", "date_changed"
+        )
+        max_orders, orders_voided = self._signal_maxes(
+            paths.get("orders"), orders, "date_created", "date_voided"
         )
         # person carries no created/changed lineage; voids are its only
         # change class — and the purge is UNCONDITIONAL (not watermark-

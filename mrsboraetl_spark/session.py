@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark's default INT96 timestamps carry NO min/max footer
+        # statistics: every timestamp-filtered scan loses row-group
+        # pruning, and the engine's footer-derived change signals
+        # (sources/footer_stats.py) would have nothing to read.  The
+        # modern physical type restores both — at 100 TB, watermark
+        # range filters (`> wm`) skip whole row groups on sorted data.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         # Dozens of wide codegen'd plans (blob packing, minhash, decode

@@ -1,0 +1,138 @@
+"""Change signals from parquet FOOTER statistics — no data scan.
+
+The engine's stage-level no-op skip needs max(date_created) /
+max(date_voided) per source every sync.  Computing those with a
+column scan means a sync whose delta is 4 rows still reads every
+value of 2 columns of every source — the reference pays an indexed
+MySQL MAX instead ("takes about 10 seconds" on the full table,
+flat_obs_v1.0.sql:63, because it walks an index, not the rows).  The
+parquet equivalent of that index is the footer: every row group
+already carries min/max/null_count per column, so the true column max
+is the max over row-group maxes — a metadata-only read of each file's
+footer (a few KB per file), never the pages.
+
+Correctness contract: a column's footer-derived max is returned ONLY
+when every row group of every file PROVES its contribution — exact
+min/max statistics present, or a provable all-null chunk
+(null_count == num_values, contributing nothing).  Any file missing
+the column, or any chunk without usable statistics, withdraws the
+column entirely and the caller falls back to the scan — slower, never
+wrong.  Timestamps are normalized to naive UTC, matching what a
+UTC-pinned Spark session's scan-derived max collects (the engine
+compares and stores signals in that form).
+
+The JDBC half of the same cost model lives in
+``jdbc_column_maxes``: MAX pushed down as a one-row dbtable subquery,
+so the source database walks its PK/secondary index instead of
+shipping the table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+
+def _to_naive_utc(v):
+    if isinstance(v, dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _parquet_files(path: str) -> list[str]:
+    """Data files under ``path`` (recursing through partition dirs),
+    skipping underscore/dot-prefixed sidecars and staging dirs the
+    same way Spark's file discovery does."""
+    out: list[str] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [
+            d for d in dirs
+            if not d.startswith(("_", "."))
+            and not d.endswith((".tmp", ".old"))
+        ]
+        out += [
+            os.path.join(root, n)
+            for n in names
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        ]
+    return out
+
+
+def parquet_column_maxes(path: str, cols) -> dict:
+    """{col: max-or-None} for every column of ``cols`` whose maximum is
+    PROVABLE from footer statistics alone; columns that are not are
+    simply absent (caller falls back to a scan).  A present column
+    mapped to None is a proven all-null column — the same signal a
+    scan would return.  Cost: one footer read per file."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return {}
+    files = _parquet_files(path)
+    if not files:
+        return {}
+    out = {c: None for c in cols}
+    usable = set(cols)
+    for f in files:
+        if not usable:
+            break
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:
+            return {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            idx = {
+                rg.column(i).path_in_schema: i
+                for i in range(rg.num_columns)
+            }
+            for c in list(usable):
+                if c not in idx:
+                    usable.discard(c)
+                    continue
+                col = rg.column(idx[c])
+                st = col.statistics
+                if st is not None and st.has_min_max:
+                    mx = _to_naive_utc(st.max)
+                    if out[c] is None or mx > out[c]:
+                        out[c] = mx
+                elif (
+                    st is not None
+                    and st.null_count is not None
+                    and st.null_count == col.num_values
+                ):
+                    # provably all-null chunk: contributes nothing
+                    continue
+                else:
+                    usable.discard(c)
+    return {c: out[c] for c in usable}
+
+
+def jdbc_column_maxes(
+    spark,
+    url: str,
+    table: str,
+    cols,
+    properties: dict | None = None,
+    dialect: str = "ansi",
+) -> dict:
+    """{col: max-or-None} via a pushed-down one-row aggregate — the
+    source database answers MAX from its indexes instead of shipping
+    the table through the JDBC pipe (the reference's indexed-MAX cost
+    model, flat_obs_v1.0.sql:63).  Identifiers are quoted per dialect
+    (ANSI double quotes; MySQL's default sql_mode needs backticks —
+    the same hazard sources/readers.jdbc_pushdown_subquery documents).
+    ``table`` passes through VERBATIM (quote it yourself if its stored
+    name needs case preservation — Spark's own JDBC writer leaves the
+    table name unquoted, so a Derby table written as ``obs`` lives as
+    ``OBS`` with quoted-lowercase columns)."""
+    q = '"{}"'.format if dialect == "ansi" else "`{}`".format
+    select = ", ".join(f"MAX({q(c)}) AS {q(c)}" for c in cols)
+    sub = f"(SELECT {select} FROM {table}) signal_probe"
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", sub
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    row = reader.load().collect()[0]
+    return {c: row[c] for c in cols}

@@ -120,6 +120,20 @@ def run_probe(n: int) -> None:
 
     dfs = to_spark(spark, pdfs)
     dfs2 = to_spark(spark, pdfs2)
+    # Parquet copies of the sources for the path-sources mode (r8): fed
+    # as PATHS, the engine answers its change signal from footers and a
+    # sync's executor input drops to delta + footers, not the source.
+    src_root = tempfile.mkdtemp(prefix="dwp_src_")
+    paths: dict = {}
+    paths2: dict = {}
+    for name, df in dfs.items():
+        p = os.path.join(src_root, f"v1_{name}")
+        df.write.parquet(p)
+        paths[name] = p
+    for name, df in dfs2.items():
+        p = os.path.join(src_root, f"v2_{name}")
+        df.write.parquet(p)
+        paths2[name] = p
     for d in (dfs, dfs2):
         for df in d.values():
             df.cache().count()
@@ -166,13 +180,21 @@ def run_probe(n: int) -> None:
             total_mb / 1e6, 2
         )
 
-    for mode in ("warmup", "delta_bounds", "delta_no_bounds", "full_rewrite"):
+    for mode in (
+        "warmup",
+        "delta_bounds",
+        "delta_bounds_paths",
+        "delta_no_bounds",
+        "full_rewrite",
+    ):
         root = tempfile.mkdtemp(prefix=f"dwp_{mode}_")
         runner = PipelineRunner(spark, root, partitioned=True)
         if mode == "full_rewrite":
             runner._DELTA_WRITE_MAX_FRACTION = -1  # force the fallback
+        src_rebuild = paths if mode == "delta_bounds_paths" else dfs
+        src_sync = paths2 if mode == "delta_bounds_paths" else dfs2
         t0 = time.time()
-        runner.run(dfs, mode="rebuild")
+        runner.run(src_rebuild, mode="rebuild")
         rebuild_s = time.time() - t0
         if mode == "warmup":
             # First pipeline run on a cold JVM pays the C2 JIT storm
@@ -192,7 +214,7 @@ def run_probe(n: int) -> None:
         t_sync = time.time()
         r0 = executor_input_bytes(spark)
         probed_months.clear()
-        runner.run(dfs2, mode="sync")
+        runner.run(src_sync, mode="sync")
         sync_s = time.time() - t0
         opened, opened_mb, n_dirs, dirs_mb = month_dir_stats(runner, root)
         if mode == "delta_no_bounds":
@@ -220,6 +242,13 @@ def run_probe(n: int) -> None:
     results["probe_read_reduction_ratio"] = (
         round(rn / rb, 1) if rb else None
     )
+    pr = results["delta_bounds_paths"]["sync_read_mb"]
+    results["path_source_read_cut_ratio"] = (
+        round(results["delta_bounds"]["sync_read_mb"] / pr, 1)
+        if pr
+        else None
+    )
+    shutil.rmtree(src_root, ignore_errors=True)
     print(json.dumps(results), flush=True)
 
 

@@ -129,3 +129,16 @@ def test_mysql_guard_handles_backslash_escaped_quotes():
         "obs", "a = 'don\\'t say \"hi\"'", dialect="mysql"
     )
     assert '"hi"' in ok
+
+
+def test_jdbc_pushdown_max_signal(spark, jdbc_url):
+    """r8 (VERDICT r7 item 4): the change-signal MAX is pushed down as
+    a one-row dbtable subquery — the source database answers from its
+    indexes instead of shipping the table through the JDBC pipe."""
+    from mrsboraetl_spark.sources.footer_stats import jdbc_column_maxes
+
+    got = jdbc_column_maxes(
+        spark, jdbc_url, "obs", ("obs_id", "person_id"),
+        properties={"driver": DRIVER},
+    )
+    assert got == {"obs_id": 999, "person_id": 49}

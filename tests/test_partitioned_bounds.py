@@ -352,3 +352,116 @@ def test_widen_bounds_missing_column_is_unprunable():
     assert w["encounter_id"] == [5, 20]
     assert "person_id" not in w  # absent = cannot prune, never 'empty'
     assert PipelineRunner._widen_bounds(None, b, cols) == b
+
+
+def test_bloom_sidecar_prunes_person_probe(spark, built):
+    """r8 (VERDICT r7 item 3): per-month [min,max] on person_id prunes
+    ~nothing by construction (person ids are uniform across months);
+    the per-month Bloom sidecar lets person-keyed probes open only the
+    months actually holding a probed person — superset-exact (every
+    row of the probed person is in the pruned read) and genuinely
+    pruning (fewer months than the whole target)."""
+    runner = built["runner"]
+    bounds = runner._load_bounds("flat_obs")
+    ent = next(iter(bounds.values()))
+    assert "bloom:person_id" in ent, sorted(ent)
+    b = ent["bloom:person_id"]
+    assert b["m"] % 64 == 0 and len(b["w"]) == b["m"] // 4  # hex chars
+
+    tgt = spark.read.parquet(runner._path("flat_obs"))
+    victim = int(tgt.select("person_id").first()["person_id"])
+    mine = tgt.filter(F.col("person_id") == victim)
+    true_rows, true_months = (
+        mine.count(),
+        mine.select("p_month").distinct().count(),
+    )
+    assert true_months < len(bounds)  # premise: person is month-local
+
+    reader = runner._make_probe_reader("flat_obs")
+    keys = spark.createDataFrame([(victim,)], "person_id long")
+    hit = reader(keys, "person_id")
+    assert hit.filter(F.col("person_id") == victim).count() == true_rows
+    assert hit.count() < tgt.count(), "bloom pruned nothing"
+
+    # A person the corpus never saw: every blooming month is pruned.
+    miss = reader(
+        spark.createDataFrame([(99_999_999,)], "person_id long"),
+        "person_id",
+    )
+    assert miss.count() == 0
+
+
+def test_bloom_widen_is_exact_union_or_omission():
+    """Widen-before-swap for Blooms: equal (m, j) => bitwise OR (the
+    EXACT set union, so no key of either side can test negative);
+    resized filters cannot be merged => the entry is omitted, leaving
+    the month unprunable (conservative) until the exact pass."""
+    w = PipelineRunner._widen_bounds
+    a = {"bloom:person_id": {"m": 1024, "j": 7, "w": "0f" + "00" * 127}}
+    b = {"bloom:person_id": {"m": 1024, "j": 7, "w": "f0" + "00" * 127}}
+    merged = w(a, b, {})
+    assert merged["bloom:person_id"]["w"].startswith("ff")
+    # parameter mismatch: omit, never guess
+    c = {"bloom:person_id": {"m": 2048, "j": 7, "w": "ff" + "00" * 255}}
+    assert "bloom:person_id" not in w(a, c, {})
+    # one-sided: omit
+    assert "bloom:person_id" not in w(a, {}, {})
+    # old None: the staged entry stands alone
+    assert w(None, b, {}) is b
+
+
+def test_bloom_probe_driver_transfer_is_month_bounded(
+    spark, built, monkeypatch
+):
+    """The Bloom hit test transfers ONE row to the driver (surviving
+    month set + over flag) regardless of how many keys are probed —
+    the same contract the range probe was held to this round."""
+    try:
+        import pyspark.sql.classic.dataframe as _dfmod
+    except ImportError:  # pragma: no cover - pyspark < 4
+        import pyspark.sql.dataframe as _dfmod
+
+    runner = built["runner"]
+    bounds = runner._load_bounds("flat_obs")
+    blooms = {
+        m: e["bloom:person_id"]
+        for m, e in bounds.items()
+        if "bloom:person_id" in e
+    }
+    assert blooms
+    keys = spark.range(0, 3000).select(F.col("id").alias("person_id"))
+    sizes: list[int] = []
+    orig = _dfmod.DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_dfmod.DataFrame, "collect", spy)
+    keep = runner._bloom_hit_months(keys, "person_id", None, blooms)
+    assert keep is not None
+    assert sizes and max(sizes) == 1, sizes
+
+
+def test_bloom_synthetic_key_abandons_pruning(spark, built):
+    """A probed key at/above the synthetic sentinel was excluded from
+    the filters at build time — the hit test must refuse to prune."""
+    from mrsboraetl_spark.config import SYNTHETIC_ENCOUNTER_OFFSET
+
+    runner = built["runner"]
+    bounds = runner._load_bounds("flat_obs")
+    blooms = {
+        m: e["bloom:person_id"]
+        for m, e in bounds.items()
+        if "bloom:person_id" in e
+    }
+    keys = spark.createDataFrame(
+        [(SYNTHETIC_ENCOUNTER_OFFSET + 5,)], "person_id long"
+    )
+    assert (
+        runner._bloom_hit_months(
+            keys, "person_id", SYNTHETIC_ENCOUNTER_OFFSET, blooms
+        )
+        is None
+    )

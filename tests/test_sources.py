@@ -55,3 +55,90 @@ def test_csv_permissive_keeps_good_rows(spark, tmp_path):
     df = read_csv_table(spark, str(p), schema=schema)
     good = df.filter(F.col("a").isNotNull()).collect()
     assert {(r.a, r.b) for r in good} == {(1, 2), (4, 5)}
+
+
+def test_footer_stats_match_scan_exactly(spark, tmp_path):
+    """r8 (VERDICT r7 item 4): the change-signal maxes derived from
+    parquet footer statistics must be BYTE-IDENTICAL to the scan's —
+    including the mostly-null date_voided column and a proven all-null
+    column — so the engine can answer its per-sync signal from
+    metadata alone."""
+    from mrsboraetl_spark.engine import PipelineRunner
+    from mrsboraetl_spark.sources.footer_stats import parquet_column_maxes
+    from tests.fixtures import make_sources, to_spark
+
+    pdfs = make_sources(n_persons=20, seed=13)
+    obs_pdf = pdfs["obs"].copy()
+    # guarantee the sparse column has at least one non-null value
+    obs_pdf.loc[obs_pdf.index[0], "date_voided"] = (
+        obs_pdf["date_created"].max()
+    )
+    obs = to_spark(spark, dict(pdfs, obs=obs_pdf))["obs"].withColumn(
+        "all_null_ts", F.lit(None).cast("timestamp")
+    )
+    path = str(tmp_path / "obs_src")
+    obs.repartition(4).write.parquet(path)
+
+    cols = ("date_created", "date_voided", "all_null_ts")
+    got = parquet_column_maxes(path, cols)
+    assert set(got) == set(cols), "every column must be footer-provable"
+    df = spark.read.parquet(path)
+    want = dict(zip(cols, PipelineRunner._maxes(df, *cols)))
+    assert got == want, (got, want)
+    assert got["all_null_ts"] is None
+    assert got["date_voided"] is not None  # sparse but non-null
+
+    # A column absent from one file (schema evolution) is withdrawn —
+    # never guessed; the caller's scan fallback covers it.
+    obs.drop("date_voided").limit(5).write.mode("append").parquet(path)
+    got2 = parquet_column_maxes(path, cols)
+    assert "date_voided" not in got2
+    assert got2["date_created"] is not None
+
+
+def test_engine_path_sources_equal_dataframe_sources(
+    spark, tmp_path, monkeypatch
+):
+    """run() fed parquet PATHS must land byte-identical targets and
+    signals as run() fed DataFrames of the same data — and a no-op
+    sync with path sources must scan NO source column (the signal is
+    answered from footers; _maxes is never called for obs/enc/orders)."""
+    from mrsboraetl_spark.engine import PipelineRunner
+    from tests.fixtures import make_sources, to_spark
+
+    pdfs = make_sources(n_persons=15, seed=17)
+    dfs = to_spark(spark, pdfs)
+    src_paths = {}
+    for name, df in dfs.items():
+        p = str(tmp_path / f"src_{name}")
+        df.write.parquet(p)
+        src_paths[name] = p
+
+    r_path = PipelineRunner(spark, str(tmp_path / "by_path"))
+    r_path.run(src_paths, mode="rebuild")
+    r_df = PipelineRunner(spark, str(tmp_path / "by_df"))
+    r_df.run(dfs, mode="rebuild")
+    for t in ("flat_obs", "flat_orders", "flat_visit_summary"):
+        a = r_path.read_target(t).toPandas()
+        b = r_df.read_target(t).toPandas()
+        # map-typed obs_map is unhashable for pandas sorting; its
+        # content parity is covered by the pipeline suites
+        cols = sorted(c for c in a.columns if c != "obs_map")
+        sa = sorted(map(repr, a[cols].itertuples(index=False)))
+        sb = sorted(map(repr, b[cols].itertuples(index=False)))
+        assert sa == sb, t
+
+    # No-op sync from paths: the signal must not scan a source column.
+    r_path.run(src_paths, mode="sync")  # drain stragglers
+    calls: list[str] = []
+    orig = PipelineRunner._maxes
+
+    def spy(df, *cols):
+        calls.append(cols)
+        return orig(df, *cols)
+
+    monkeypatch.setattr(PipelineRunner, "_maxes", staticmethod(spy))
+    r_path.run(src_paths, mode="sync")
+    assert calls == [], (
+        f"no-op sync with path sources scanned columns: {calls}"
+    )
