@@ -350,14 +350,22 @@ class PipelineRunner:
     def _bloom_pos_expr():
         """The shared Bloom position expression: bit index of hash
         round ``_i`` for key ``_k`` in an ``_m``-bit filter.  Build and
-        probe MUST evaluate this identical expression (JVM long
-        arithmetic wraps identically on both sides), so it lives in one
-        place.  Double hashing: pos_i = (xxhash64(k) + i * step) mod m
-        with an odd crc32-derived step (odd => the stride cycles the
-        whole power-of-two table)."""
-        h1 = F.xxhash64(F.col("_k"))
-        step = F.crc32(F.col("_k").cast("string")) * F.lit(2) + F.lit(1)
-        return F.pmod(h1 + F.col("_i") * step, F.col("_m"))
+        probe MUST evaluate this identical expression, so it lives in
+        one place.  Double hashing: pos_i = (xxhash64(k) + i * step)
+        mod m with an odd crc32-derived step (odd => the stride cycles
+        the whole power-of-two table).  Both terms are reduced mod m
+        BEFORE the addition — the same value by modular identity, but
+        every intermediate stays < j*m + m (< 2^21), so the expression
+        can never overflow a long: the naive ``h1 + i*step`` throws
+        ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode whenever
+        xxhash64 lands near Long.MAX (~1 in 1e9 keys — a guaranteed
+        sync-killer at production id scale)."""
+        m = F.col("_m")
+        h1 = F.pmod(F.xxhash64(F.col("_k")), m)
+        step = F.pmod(
+            F.crc32(F.col("_k").cast("string")) * F.lit(2) + F.lit(1), m
+        )
+        return F.pmod(h1 + F.col("_i") * step, m)
 
     def _bloom_m_bits(self, n_distinct: int) -> int:
         """Power-of-two filter size targeting ~16 bits/key, clamped."""
@@ -852,14 +860,26 @@ class PipelineRunner:
         indexed-MAX cost model, flat_obs_v1.0.sql:63: metadata only, no
         data scan); any column the footers cannot prove falls back to
         the one-pass scan.  Footer-derived values are byte-identical to
-        scan-derived ones (pinned in tests/test_sources.py)."""
+        scan-derived ones (pinned in tests/test_sources.py).  The
+        footers are read from the DataFrame's OWN pinned file listing,
+        never a fresh directory walk: against a live source, a file
+        landing between the listing and the signal read would be
+        covered by the stored signal yet unprocessed by every stage —
+        rows skipped forever (the snapshot-before-stage rule)."""
         vals: dict = {}
         if path is not None:
+            from urllib.parse import unquote, urlparse
+
             from mrsboraetl_spark.sources.footer_stats import (
                 parquet_column_maxes,
             )
 
-            vals = parquet_column_maxes(path, cols)
+            files = [
+                unquote(urlparse(f).path)
+                for f in df.inputFiles()
+                if f.endswith(".parquet")
+            ]
+            vals = parquet_column_maxes(path, cols, files=files)
         missing = [c for c in cols if c not in vals]
         if missing:
             vals.update(zip(missing, self._maxes(df, *missing)))

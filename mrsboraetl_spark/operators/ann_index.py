@@ -152,13 +152,28 @@ class IvfIndex:
             F.col(self.vec_col),
         )
 
-    def ingest(self, new_vectors: DataFrame) -> None:
+    def ingest(
+        self, new_vectors: DataFrame, return_cell_counts: bool = False
+    ) -> dict | None:
         """Assign the batch to cells and append — O(|batch|), the index
-        is never re-read."""
+        is never re-read.  ``return_cell_counts``: also return
+        {cell: n} for THIS batch (<= n_centroids rows, one extra
+        O(|batch|) agg over the pinned assignment) — lets a streaming
+        caller maintain running occupancy without ever re-scanning the
+        index (see streaming/ann.py's retrain trigger)."""
         self._commit_centroids()
-        self.assign_cells(new_vectors).write.mode("append").parquet(
-            self.cells_path
-        )
+        assigned = self.assign_cells(new_vectors)
+        if not return_cell_counts:
+            assigned.write.mode("append").parquet(self.cells_path)
+            return None
+        assigned = assigned.localCheckpoint()
+        assigned.write.mode("append").parquet(self.cells_path)
+        return {
+            int(r["cell"]): int(r["n"])
+            for r in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
 
     def cells(self, spark: SparkSession) -> DataFrame | None:
         if self.is_empty():

@@ -69,7 +69,7 @@ def month_probe(
 
 
 def recently_voided(
-    person: DataFrame, wm, cutoff=None, stable=False
+    person: DataFrame, cutoff=None, stable=False
 ) -> DataFrame:
     """Voided persons that can still have un-purged target rows: those
     voided since the last PROCESSED point (plus undatable

@@ -149,7 +149,7 @@ def incremental_flat_orders(
             )
             vp_recent = _pin(
                 recently_voided(
-                    person, wm, cutoff=out.get("vp_cutoff"),
+                    person, cutoff=out.get("vp_cutoff"),
                     stable=out.get("vp_stable", False),
                 ),
                 out, "vp_recent",

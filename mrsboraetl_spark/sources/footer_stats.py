@@ -58,17 +58,28 @@ def _parquet_files(path: str) -> list[str]:
     return out
 
 
-def parquet_column_maxes(path: str, cols) -> dict:
+def parquet_column_maxes(path: str, cols, files=None) -> dict:
     """{col: max-or-None} for every column of ``cols`` whose maximum is
     PROVABLE from footer statistics alone; columns that are not are
     simply absent (caller falls back to a scan).  A present column
     mapped to None is a proven all-null column — the same signal a
-    scan would return.  Cost: one footer read per file."""
+    scan would return.  Cost: one footer read per file.
+
+    ``files``: explicit file list to read footers from — pass the
+    consuming DataFrame's OWN pinned listing (``df.inputFiles()``) when
+    the signal must cover exactly what the stages will process: a
+    fresh directory walk could see a part-file that landed after the
+    DataFrame pinned its index, and a signal covering unprocessed rows
+    makes every later sync skip them forever (the snapshot-before-
+    stage ordering the engine documents).  String/binary columns are
+    never answered from footers: parquet writers TRUNCATE their
+    statistics (the recorded max can exceed the true max), which would
+    overstate a signal and skip a real change."""
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow is baked in
         return {}
-    files = _parquet_files(path)
+    files = _parquet_files(path) if files is None else list(files)
     if not files:
         return {}
     out = {c: None for c in cols}
@@ -91,6 +102,14 @@ def parquet_column_maxes(path: str, cols) -> dict:
                     usable.discard(c)
                     continue
                 col = rg.column(idx[c])
+                if col.physical_type in (
+                    "BYTE_ARRAY",
+                    "FIXED_LEN_BYTE_ARRAY",
+                ):
+                    # truncatable statistics: max may be an upper
+                    # bound, not a value — never provable
+                    usable.discard(c)
+                    continue
                 st = col.statistics
                 if st is not None and st.has_min_max:
                     mx = _to_naive_utc(st.max)

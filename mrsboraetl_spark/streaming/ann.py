@@ -37,33 +37,76 @@ def streaming_ingest_vectors(
     micro-batch of vectors into ``index``.
 
     ``retrain_skew_threshold``: when set, each completed ingest checks
-    the index's cell-occupancy skew (``IvfIndex.skew_ratio``, a bounded
-    <= n_centroids-row driver action) and retrains the quantizer when
-    max/median occupancy reaches the threshold — so a long-lived stream
-    whose embedding distribution drifts away from the pinned centroids
-    heals itself instead of degrading every cell-keyed probe into one
-    hot partition.  The retrain commits a new centroid EPOCH atomically
-    (manifest swap); batches after it are assigned under the new
-    centroids, and once occupancy is flat the trigger stays quiet — a
-    single skewed regime causes exactly one retrain, not one per batch.
-    The check runs strictly before the batch's ``_done`` marker: a
-    crash between retrain and marker replays the batch into the new
-    epoch (at-least-once, same contract as the append itself)."""
+    cell-occupancy skew — the HOTTEST cell over the all-centroid mean,
+    the exact ``IvfIndex.skew_ratio`` metric — and retrains the
+    quantizer at the threshold, so a long-lived stream whose embedding
+    distribution drifts away from the pinned centroids heals itself
+    instead of degrading every cell-keyed probe into one hot partition.
+    The per-batch check costs O(|batch|), NOT O(index): occupancy is
+    accumulated driver-side from each batch's own assignment counts
+    (<= n_centroids ints), seeded by a single index scan at stream
+    start and re-seeded only after a retrain — the ingest contract
+    ("the index is never re-read") holds on the hot path.  Because the
+    index is append-only between retrains, the accumulated counts ARE
+    the occupancy, so the trigger makes the identical decision a
+    ``retrain_if_skewed`` full scan would (pytest-pinned).  The retrain
+    commits a new centroid EPOCH atomically (manifest swap); batches
+    after it are assigned under the new centroids, and once occupancy
+    is flat the trigger stays quiet — a single skewed regime causes
+    exactly one retrain, not one per batch.  The check runs strictly
+    before the batch's ``_done`` marker: a crash between retrain and
+    marker replays the batch into the new epoch (at-least-once, same
+    contract as the append itself)."""
     markers = os.path.join(index.path, "_done")
     os.makedirs(markers, exist_ok=True)
+    state: dict = {"counts": None}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(markers, str(batch_id))
         if os.path.exists(marker):
             return
-        index.ingest(batch_df)
-        if retrain_skew_threshold is not None:
-            index.retrain_if_skewed(
-                batch_df.sparkSession,
-                retrain_skew_threshold,
-                sample_frac=retrain_sample_frac,
-                iters=retrain_iters,
+        if retrain_skew_threshold is None:
+            index.ingest(batch_df)
+        else:
+            spark = batch_df.sparkSession
+            if state["counts"] is None:
+                state["counts"] = (
+                    {}
+                    if index.is_empty()
+                    else {
+                        int(r["cell"]): int(r["n"])
+                        for r in index.cell_occupancy(spark).collect()
+                    }
+                )
+            batch_counts = index.ingest(
+                batch_df, return_cell_counts=True
             )
+            for c, n in (batch_counts or {}).items():
+                state["counts"][c] = state["counts"].get(c, 0) + n
+            total = sum(state["counts"].values())
+            ratio = (
+                max(state["counts"].values())
+                * max(len(index.centroids), 1)
+                / total
+                if total
+                else 1.0
+            )
+            if ratio >= retrain_skew_threshold:
+                try:
+                    index.retrain(
+                        spark,
+                        sample_frac=retrain_sample_frac,
+                        iters=retrain_iters,
+                    )
+                except ValueError:
+                    # corpus still too small to seed k centroids at
+                    # this sample_frac (same skip as retrain_if_skewed)
+                    pass
+                else:
+                    state["counts"] = {
+                        int(r["cell"]): int(r["n"])
+                        for r in index.cell_occupancy(spark).collect()
+                    }
         with open(marker, "w") as f:
             f.write("done")
 

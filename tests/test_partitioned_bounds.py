@@ -465,3 +465,24 @@ def test_bloom_synthetic_key_abandons_pruning(spark, built):
         )
         is None
     )
+
+
+def test_bloom_hash_survives_ansi_overflow_keys(spark):
+    """r8 review finding: `xxhash64(k) + i*step` overflows a long for
+    keys whose xxhash64 lands near Long.MAX (person_id 887018216 →
+    9223372033475171967) and Spark 4's default ANSI mode turns that
+    into ARITHMETIC_OVERFLOW — a permanent sync-killer at production
+    id scale.  The position expression reduces both terms mod m before
+    the addition (identical value by modular identity, every
+    intermediate < 2^21)."""
+    df = spark.createDataFrame(
+        [(887018216, i) for i in range(7)], "_k long, _i int"
+    ).withColumn("_m", F.lit(1 << 17).cast("long"))
+    rows = df.select(
+        "_i", PipelineRunner._bloom_pos_expr().alias("pos")
+    ).collect()
+    assert len(rows) == 7
+    assert all(0 <= r["pos"] < (1 << 17) for r in rows)
+    # the stride must stay odd (full cycle of the power-of-two table):
+    # 7 rounds of the same key hit 7 distinct positions
+    assert len({r["pos"] for r in rows}) == 7
