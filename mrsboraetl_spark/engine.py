@@ -269,6 +269,12 @@ class PipelineRunner:
     # delta spans most months anyway; a larger delta skips the Bloom
     # and keeps the range verdict.
     _BLOOM_PROBE_MAX_KEYS = 1_000_000
+    # Deltas this small additionally push the key set into the probe
+    # scan as an In filter (row-group skipping inside the candidate
+    # months).  Must stay <= the session's parquet
+    # pushdown.inFilterThreshold or the filter silently stops reaching
+    # the scan.
+    _PROBE_ISIN_MAX = 64
 
     # Underscore prefix: invisible to Spark's file discovery, like the
     # demoted _old.M directories.
@@ -596,7 +602,30 @@ class PipelineRunner:
                             m for m in cand
                             if m not in blooms or m in keep
                         }
-            return self.read_target_months(table, sorted(cand))
+            out_df = self.read_target_months(table, sorted(cand))
+            # Small-delta row-group skipping (the PERF.md "isin file
+            # skipping" item): month pruning got the probe down to
+            # candidate DIRECTORIES; for a handful of keys, a pushed-
+            # down In filter lets the PK-sorted row-group statistics
+            # skip inside them too (session raises the parquet
+            # inFilterThreshold accordingly).  Exact, not a superset
+            # trick: the probe's consumers look up exactly these keys.
+            # Gated on the already-computed distinct count, so the key
+            # collect is a bounded driver action (<= _PROBE_ISIN_MAX
+            # rows); big deltas skip it and keep the join-only path.
+            if n_keys is not None and 0 < n_keys <= self._PROBE_ISIN_MAX:
+                ks = [
+                    int(r["_k"])
+                    for r in keys_df.select(
+                        F.col(key_col).cast("long").alias("_k")
+                    )
+                    .distinct()
+                    .limit(self._PROBE_ISIN_MAX + 1)
+                    .collect()
+                ]
+                if 0 < len(ks) <= self._PROBE_ISIN_MAX:
+                    out_df = out_df.filter(F.col(key_col).isin(ks))
+            return out_df
 
         return reader
 

@@ -55,6 +55,11 @@ def get_spark(
         # modern physical type restores both — at 100 TB, watermark
         # range filters (`> wm`) skip whole row groups on sorted data.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Let small key sets reach the parquet scan as an In filter
+        # (default threshold 10): the engine's small-delta probes push
+        # up to _PROBE_ISIN_MAX keys so PK-sorted row-group statistics
+        # can skip inside candidate month directories.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "100")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         # Dozens of wide codegen'd plans (blob packing, minhash, decode

@@ -111,11 +111,11 @@ def test_probe_reader_prunes_to_candidate_months(spark, built):
         spark.createDataFrame([(beyond,)], "encounter_id long"),
         "encounter_id",
     )
-    uncond = [m for m, ent in bounds.items() if "encounter_id" not in ent]
-    expected_miss = (
-        target.filter(F.col("p_month").isin(uncond)).count() if uncond else 0
-    )
-    assert miss.count() == expected_miss
+    # Directory-level: only the unconditional synthetic-only months are
+    # even opened.  Row-level (r8): the small-delta In pushdown then
+    # filters to exactly the probed key — absent from those months, so
+    # the probe returns zero rows (previously their full content).
+    assert miss.count() == 0
 
 
 def test_probe_driver_transfer_is_month_bounded(spark, built, monkeypatch):
@@ -486,3 +486,37 @@ def test_bloom_hash_survives_ansi_overflow_keys(spark):
     # the stride must stay odd (full cycle of the power-of-two table):
     # 7 rounds of the same key hit 7 distinct positions
     assert len({r["pos"] for r in rows}) == 7
+
+
+def test_small_delta_probe_pushes_isin_to_scan(spark, built):
+    """r8 (PERF.md 'isin file skipping' item): a probe for a handful of
+    keys pushes the key set into the parquet scan as an In filter, so
+    PK-sorted row-group statistics skip inside the candidate month
+    directories — and the probe result is EXACTLY the probed keys'
+    rows (the filter is semantics-preserving: probe consumers look up
+    exactly these keys)."""
+    runner = built["runner"]
+    reader = runner._make_probe_reader("flat_obs")
+    tgt = spark.read.parquet(runner._path("flat_obs"))
+    victims = [
+        int(r["person_id"])
+        for r in tgt.select("person_id").distinct().limit(3).collect()
+    ]
+    keys = spark.createDataFrame([(v,) for v in victims], "person_id long")
+    hit = reader(keys, "person_id")
+    want = tgt.filter(F.col("person_id").isin(victims)).count()
+    assert hit.count() == want
+    assert (
+        hit.filter(~F.col("person_id").isin(victims)).count() == 0
+    ), "small-delta probe must return only probed-key rows"
+    plan = hit._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters: [In(person_id" in plan, plan[:2000]
+
+    # Past the gate, the probe keeps the join-only path (no driver
+    # collect of the key set, no giant In expression).
+    many = spark.range(0, runner._PROBE_ISIN_MAX * 10).select(
+        F.col("id").alias("person_id")
+    )
+    wide = reader(many, "person_id")
+    plan = wide._jdf.queryExecution().sparkPlan().toString()
+    assert "In(person_id" not in plan

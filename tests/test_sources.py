@@ -142,3 +142,49 @@ def test_engine_path_sources_equal_dataframe_sources(
     assert calls == [], (
         f"no-op sync with path sources scanned columns: {calls}"
     )
+
+
+def test_partitioned_engine_with_path_sources_noop_sync(
+    spark, tmp_path, monkeypatch
+):
+    """The full at-scale configuration — partitioned p_month layout +
+    path sources + Bloom/bounds sidecars + footer signals — must make
+    a no-op sync read NOTHING: no source column scan (footer-answered
+    signal), no target month directory (stage skip), no watermark
+    row logged."""
+    from mrsboraetl_spark.engine import PipelineRunner
+    from tests.fixtures import make_sources, to_spark
+
+    pdfs = make_sources(n_persons=15, seed=19)
+    dfs = to_spark(spark, pdfs)
+    src = {}
+    for name, df in dfs.items():
+        p = str(tmp_path / f"src_{name}")
+        df.write.parquet(p)
+        src[name] = p
+
+    r = PipelineRunner(spark, str(tmp_path / "store"), partitioned=True)
+    r.run(src, mode="rebuild")
+    r.run(src, mode="sync")  # drain stragglers; signals stored
+    assert r._load_bounds("flat_obs"), "partitioned rebuild writes sidecars"
+
+    maxes_calls: list = []
+    months_reads: list = []
+    orig_maxes = PipelineRunner._maxes
+    orig_rtm = PipelineRunner.read_target_months
+
+    def spy_maxes(df, *cols):
+        maxes_calls.append(cols)
+        return orig_maxes(df, *cols)
+
+    def spy_rtm(self, table, months):
+        months_reads.append((table, tuple(months)))
+        return orig_rtm(self, table, months)
+
+    monkeypatch.setattr(PipelineRunner, "_maxes", staticmethod(spy_maxes))
+    monkeypatch.setattr(PipelineRunner, "read_target_months", spy_rtm)
+    log_rows = r.watermarks._read().count()
+    r.run(src, mode="sync")
+    assert maxes_calls == [], maxes_calls
+    assert months_reads == [], months_reads
+    assert r.watermarks._read().count() == log_rows
