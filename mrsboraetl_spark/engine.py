@@ -541,6 +541,18 @@ class PipelineRunner:
             ]
             cand = set(always)
             n_keys = None
+            # ONE normalized key frame for all three probe mechanisms
+            # (range join, Bloom test, isin collect).  NULL keys are
+            # dropped here: a null matches no range, no Bloom bit, and
+            # no target row (probe consumers equi-join on the key), but
+            # it would crash the isin collect's int() — and a nullable
+            # source key column (orders.encounter_id) makes null probe
+            # keys a routine occurrence, not a corner case.
+            kdf = (
+                keys_df.select(F.col(key_col).cast("long").alias("_k"))
+                .where(F.col("_k").isNotNull())
+                .distinct()
+            )
             if ranged:
                 bdf = self.spark.createDataFrame(
                     ranged, schema="p_month string, lo long, hi long"
@@ -559,9 +571,7 @@ class PipelineRunner:
                     (k >= sentinel) if sentinel is not None else F.lit(False)
                 )
                 hit = (
-                    keys_df.select(F.col(key_col).cast("long").alias("_k"))
-                    .distinct()
-                    .join(
+                    kdf.join(
                         F.broadcast(bdf),
                         (k >= F.col("lo")) & (k <= F.col("hi")),
                         "left",
@@ -590,12 +600,10 @@ class PipelineRunner:
             }
             if blooms:
                 if n_keys is None:
-                    n_keys = (
-                        keys_df.select(key_col).distinct().count()
-                    )
+                    n_keys = kdf.count()
                 if 0 < n_keys <= self._BLOOM_PROBE_MAX_KEYS:
                     keep = self._bloom_hit_months(
-                        keys_df, key_col, sentinel, blooms
+                        kdf, sentinel, blooms
                     )
                     if keep is not None:
                         cand = {
@@ -616,12 +624,9 @@ class PipelineRunner:
             if n_keys is not None and 0 < n_keys <= self._PROBE_ISIN_MAX:
                 ks = [
                     int(r["_k"])
-                    for r in keys_df.select(
-                        F.col(key_col).cast("long").alias("_k")
-                    )
-                    .distinct()
-                    .limit(self._PROBE_ISIN_MAX + 1)
-                    .collect()
+                    for r in kdf.limit(
+                        self._PROBE_ISIN_MAX + 1
+                    ).collect()
                 ]
                 if 0 < len(ks) <= self._PROBE_ISIN_MAX:
                     out_df = out_df.filter(F.col(key_col).isin(ks))
@@ -629,17 +634,17 @@ class PipelineRunner:
 
         return reader
 
-    def _bloom_hit_months(
-        self, keys_df, key_col: str, sentinel, blooms: dict
-    ):
+    def _bloom_hit_months(self, kdf, sentinel, blooms: dict):
         """Months whose Bloom filter tests positive for at least one
         probe key — or None when pruning must be abandoned (a key at or
         above the synthetic sentinel was probed: such keys were
-        excluded from the filters at build time).  The whole test runs
-        JVM-side (explode j positions per key x month, broadcast-join
-        the occupied words, all-bits-set per (key, month)); the driver
-        receives ONE row: the surviving month set + the over flag —
-        same month-bounded transfer contract as the range probe."""
+        excluded from the filters at build time).  ``kdf`` is the
+        reader's normalized key frame (one non-null long ``_k`` per
+        distinct probe key).  The whole test runs JVM-side (explode j
+        positions per key x month, broadcast-join the occupied words,
+        all-bits-set per (key, month)); the driver receives ONE row:
+        the surviving month set + the over flag — same month-bounded
+        transfer contract as the range probe."""
         import struct
 
         spec = F.array(
@@ -668,8 +673,7 @@ class PipelineRunner:
             else F.lit(False)
         )
         exp = (
-            keys_df.select(F.col(key_col).cast("long").alias("_k"))
-            .distinct()
+            kdf
             .select("_k", over_expr.alias("_over"), F.explode(spec).alias("_s"))
             .select("_k", "_over", "_s._mo", "_s._m", "_s._j")
             .withColumn(

@@ -69,7 +69,7 @@ def test_bounds_sidecar_exact_after_rebuild(spark, built):
         assert ent["person_id"] == [r["plo"], r["phi"]]
 
 
-def test_probe_reader_prunes_to_candidate_months(spark, built):
+def test_probe_reader_prunes_to_candidate_months(spark, built, monkeypatch):
     runner = built["runner"]
     reader = runner._make_probe_reader("flat_obs")
     assert reader is not None
@@ -107,14 +107,28 @@ def test_probe_reader_prunes_to_candidate_months(spark, built):
         if "encounter_id" in ent
     ) + 10_000
     assert beyond < SYNTHETIC_ENCOUNTER_OFFSET
+    # Directory-level: only the unconditional synthetic-only months are
+    # even opened (spied — the In pushdown below would mask a month-
+    # pruning regression if we only counted rows).  Row-level (r8): the
+    # small-delta In filter then reduces the probed content to exactly
+    # the probed key — absent from those months, so zero rows.
+    opened: list = []
+    orig_rtm = type(runner).read_target_months
+
+    def spy_rtm(self, table, months):
+        opened.append(tuple(months))
+        return orig_rtm(self, table, months)
+
+    monkeypatch.setattr(type(runner), "read_target_months", spy_rtm)
     miss = reader(
         spark.createDataFrame([(beyond,)], "encounter_id long"),
         "encounter_id",
     )
-    # Directory-level: only the unconditional synthetic-only months are
-    # even opened.  Row-level (r8): the small-delta In pushdown then
-    # filters to exactly the probed key — absent from those months, so
-    # the probe returns zero rows (previously their full content).
+    monkeypatch.undo()
+    uncond = sorted(
+        m for m, ent in bounds.items() if "encounter_id" not in ent
+    )
+    assert opened == [tuple(uncond)], (opened, uncond)
     assert miss.count() == 0
 
 
@@ -429,7 +443,11 @@ def test_bloom_probe_driver_transfer_is_month_bounded(
         if "bloom:person_id" in e
     }
     assert blooms
-    keys = spark.range(0, 3000).select(F.col("id").alias("person_id"))
+    kdf = (
+        spark.range(0, 3000)
+        .select(F.col("id").cast("long").alias("_k"))
+        .distinct()
+    )
     sizes: list[int] = []
     orig = _dfmod.DataFrame.collect
 
@@ -439,7 +457,7 @@ def test_bloom_probe_driver_transfer_is_month_bounded(
         return rows
 
     monkeypatch.setattr(_dfmod.DataFrame, "collect", spy)
-    keep = runner._bloom_hit_months(keys, "person_id", None, blooms)
+    keep = runner._bloom_hit_months(kdf, None, blooms)
     assert keep is not None
     assert sizes and max(sizes) == 1, sizes
 
@@ -456,12 +474,12 @@ def test_bloom_synthetic_key_abandons_pruning(spark, built):
         for m, e in bounds.items()
         if "bloom:person_id" in e
     }
-    keys = spark.createDataFrame(
-        [(SYNTHETIC_ENCOUNTER_OFFSET + 5,)], "person_id long"
+    kdf = spark.createDataFrame(
+        [(SYNTHETIC_ENCOUNTER_OFFSET + 5,)], "_k long"
     )
     assert (
         runner._bloom_hit_months(
-            keys, "person_id", SYNTHETIC_ENCOUNTER_OFFSET, blooms
+            kdf, SYNTHETIC_ENCOUNTER_OFFSET, blooms
         )
         is None
     )
@@ -520,3 +538,25 @@ def test_small_delta_probe_pushes_isin_to_scan(spark, built):
     wide = reader(many, "person_id")
     plan = wide._jdf.queryExecution().sparkPlan().toString()
     assert "In(person_id" not in plan
+
+
+def test_probe_with_null_keys_neither_crashes_nor_misses(spark, built):
+    """r8 review finding: orders.encounter_id is nullable and
+    flat_orders' affected-key frame carries the nulls through, so a
+    routine small delta can contain a NULL probe key.  A null matches
+    no target row (probe consumers equi-join on the key); it must be
+    dropped by the reader's normalization — not crash the isin
+    collect's int(), and not defeat the valid keys' pruning."""
+    runner = built["runner"]
+    reader = runner._make_probe_reader("flat_obs")
+    tgt = spark.read.parquet(runner._path("flat_obs"))
+    victim = int(tgt.select("person_id").first()["person_id"])
+    keys = spark.createDataFrame(
+        [(None,), (victim,)], "person_id long"
+    )
+    hit = reader(keys, "person_id")
+    want = tgt.filter(F.col("person_id") == victim).count()
+    assert hit.count() == want and want > 0
+    # all-null delta: nothing to probe, nothing read
+    only_null = spark.createDataFrame([(None,)], "person_id long")
+    assert reader(only_null, "person_id").count() == 0
