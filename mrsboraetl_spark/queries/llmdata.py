@@ -457,9 +457,11 @@ def ann_ivf_topk(spark, sf_dir):
 
 # ------------------------------------------------------------ text analysis
 
-@register(
-    "text_lang_id",
-    f"""
+# Demoted r9 (VERDICT r8 item 4: slot freed for the curation
+# promotions; the text family keeps driver evidence via
+# text_doc_metrics + text_winnow_fingerprint) — oracle moves to
+# UNREGISTERED_ORACLES below, pytest-hash-checked.
+_TEXT_LANG_ID_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
     hits AS (
       SELECT doc_id,
@@ -480,10 +482,12 @@ def ann_ivf_topk(spark, sf_dir):
                      AND greatest(h_en, h_es, h_fr, h_de) > 0 THEN 'de'
                 ELSE 'und' END AS lang_pred
     FROM hits
-    """,
-)
+    """
+
+
 def text_lang_id(spark, sf_dir):
-    """Stopword-hit language ID with fixed tie priority en>es>fr>de."""
+    """Stopword-hit language ID with fixed tie priority en>es>fr>de.
+    Demoted r9 (driver cap); oracle-checked via UNREGISTERED_ORACLES."""
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
@@ -900,8 +904,7 @@ def curation_oov_fraction(spark, sf_dir):
     document's tokens outside the corpus top-20 vocabulary (the test
     corpus has 31 distinct tokens, so the tail 11 carry real OOV mass
     and the check is non-vacuous).  Top-V is TakeOrderedAndProject, the
-    probe a broadcast hash join.  Unregistered (driver cap);
-    oracle-checked via UNREGISTERED_ORACLES."""
+    probe a broadcast hash join.  Promoted r9 (VERDICT r8 item 4)."""
     from mrsboraetl_spark.operators.curation import oov_fraction
 
     docs = table(spark, sf_dir, "documents")
@@ -1342,8 +1345,7 @@ def curation_unigram_logprob(spark, sf_dir):
     off-distribution tokens raise the score.  One token-keyed count agg
     + one token equi-join; the corpus total enters as ln(S) via the
     algebraic split -ln(c/S) = ln(S) - ln(c) (bounded 1-row action, no
-    nested-loop scalar join).  Unregistered (driver cap);
-    oracle-checked."""
+    nested-loop scalar join).  Promoted r9 (VERDICT r8 item 4)."""
     from mrsboraetl_spark.operators.curation import unigram_logprob
 
     docs = table(spark, sf_dir, "documents")
@@ -1613,6 +1615,23 @@ del _name, _fn
 for _name, _fn in (
     ("curation_redact_pii", curation_redact_pii),
     ("profile_source_percentiles", profile_source_percentiles),
+):
+    register(_name, UNREGISTERED_ORACLES.pop(_name))(_fn)
+del _name, _fn
+
+
+# --------------------------------------------- r9 registry promotions
+# (VERDICT r8 item 4.)  The last two oracle-checked curation signals
+# without driver rows: the CCNet-style OOV fraction and the unigram-LM
+# negative log-likelihood.  Slots freed by text_lang_id (text family
+# keeps text_doc_metrics + text_winnow_fingerprint driver-green) and
+# union_distinct_queue (U2's dedup-union shape driver-covered via
+# filters_in_null_distinct + union_all_pad) — both still
+# oracle-checked under pytest.
+UNREGISTERED_ORACLES["text_lang_id"] = _TEXT_LANG_ID_ORACLE
+for _name, _fn in (
+    ("curation_oov_fraction", curation_oov_fraction),
+    ("curation_unigram_logprob", curation_unigram_logprob),
 ):
     register(_name, UNREGISTERED_ORACLES.pop(_name))(_fn)
 del _name, _fn

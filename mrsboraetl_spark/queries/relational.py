@@ -569,9 +569,10 @@ def union_all_pad(spark, sf_dir):
 
 def union_distinct_queue(spark, sf_dir):
     """U2 queue dedup-union (flat_visit_summary_v1.0.sql:86-99).
-    Demoted r6, RE-promoted r7 (VERDICT r6 item 8): with it registered,
-    every §2 operator family carries direct driver-gate evidence
-    (union_all_pad covers U1's pad shape, not the distinct dedup)."""
+    Demoted r6, re-promoted r7, demoted again r9 (VERDICT r8 item 4:
+    slot freed for the curation_oov_fraction/unigram_logprob
+    promotions; the U2 shape keeps driver evidence via
+    filters_in_null_distinct's DISTINCT + union_all_pad's union)."""
     o = table(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
@@ -730,8 +731,5 @@ def json_props_extract(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
-# r7: U2 back in the driver gate (VERDICT r6 item 8) — post-hoc like
-# llmdata's promotions because its oracle lives in UNREGISTERED_ORACLES.
-register(
-    "union_distinct_queue", UNREGISTERED_ORACLES.pop("union_distinct_queue")
-)(union_distinct_queue)
+# r9: union_distinct_queue demoted again (VERDICT r8 item 4) — its
+# oracle stays in UNREGISTERED_ORACLES for the pytest hash check.

@@ -31,6 +31,10 @@ SUBSET = [
     "dedup_exact",
     "text_doc_metrics",
     "decontam_ngram_overlap",
+    # r9 promotions (VERDICT r8 item 4): keep the fresh driver rows
+    # pytest-covered too
+    "curation_oov_fraction",
+    "curation_unigram_logprob",
 ]
 
 # Operators kept out of the 50-entry driver registry still get the same
@@ -63,10 +67,8 @@ UNREGISTERED = [
     # Round-5 session 2: lexical search, sketches, packing (decontamination
     # went straight into the driver registry)
     "curation_pack_sequences",
-    "curation_oov_fraction",
     # Round-5 session 4: sub-document boilerplate removal, PII redaction,
     # deterministic epoch shuffle
-    "curation_unigram_logprob",
     "curation_oversample_mix",
     "decontam_attribution_pairs",
     # Demoted r7 (VERDICT r6 item 3 promotions + the U2 re-promotion);
@@ -81,6 +83,12 @@ UNREGISTERED = [
     # anti_join_daykey, I5 via the remaining streaming pair
     "join_composite_key",
     "streaming_session_window",
+    # Demoted r9 (VERDICT r8 item 4 promotions: curation_oov_fraction,
+    # curation_unigram_logprob); the text family keeps two driver rows,
+    # U2's shape stays covered via filters_in_null_distinct +
+    # union_all_pad
+    "text_lang_id",
+    "union_distinct_queue",
 ]
 
 
