@@ -102,6 +102,11 @@ def parquet_column_maxes(path: str, cols, files=None) -> dict:
                     usable.discard(c)
                     continue
                 col = rg.column(idx[c])
+                if col.num_values == 0 and rg.num_rows == 0:
+                    # zero-row chunk (empty file / empty row group from
+                    # another writer): provably contributes nothing —
+                    # no statistics needed to know that
+                    continue
                 if col.physical_type in (
                     "BYTE_ARRAY",
                     "FIXED_LEN_BYTE_ARRAY",

@@ -188,3 +188,117 @@ def test_partitioned_engine_with_path_sources_noop_sync(
     assert maxes_calls == [], maxes_calls
     assert months_reads == [], months_reads
     assert r.watermarks._read().count() == log_rows
+
+
+def test_footer_signal_ignores_zero_row_group_file(spark, tmp_path):
+    """r9 (VERDICT r8 item 6a): a zero-row parquet file (no row groups
+    at all — e.g. an empty partition flushed by another writer) must
+    neither crash the footer read nor perturb the signal: contributes
+    nothing, exactly like the scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mrsboraetl_spark.engine import PipelineRunner
+    from mrsboraetl_spark.sources.footer_stats import parquet_column_maxes
+    from tests.fixtures import make_sources, to_spark
+
+    pdfs = make_sources(n_persons=10, seed=23)
+    obs = to_spark(spark, pdfs)["obs"]
+    path = str(tmp_path / "obs_src")
+    obs.write.parquet(path)
+
+    # Land an empty file with the same schema via pyarrow (not Spark).
+    schema = pq.ParquetFile(
+        next(
+            str(p) for p in (tmp_path / "obs_src").iterdir()
+            if p.name.endswith(".parquet")
+        )
+    ).schema_arrow
+    pq.write_table(
+        pa.table({f.name: pa.array([], f.type) for f in schema}, schema=schema),
+        f"{path}/part-empty.parquet",
+    )
+
+    cols = ("date_created", "date_voided")
+    got = parquet_column_maxes(path, cols)
+    df = spark.read.parquet(path)
+    want = dict(zip(cols, PipelineRunner._maxes(df, *cols)))
+    assert got.get("date_created") == want["date_created"], (got, want)
+
+
+def test_footer_signal_withdraws_statless_file(spark, tmp_path):
+    """r9 (VERDICT r8 item 6b): a file written WITHOUT column
+    statistics (non-Spark writer, write_statistics=False) withdraws the
+    column from the footer answer — the engine then falls back to the
+    scan and still returns the true max, never skipping a real
+    change."""
+    import pyarrow.parquet as pq
+
+    from mrsboraetl_spark.engine import PipelineRunner
+    from mrsboraetl_spark.sources.footer_stats import parquet_column_maxes
+    from tests.fixtures import make_sources, to_spark
+
+    pdfs = make_sources(n_persons=10, seed=29)
+    obs = to_spark(spark, pdfs)["obs"]
+    path = str(tmp_path / "obs_src")
+    obs.write.parquet(path)
+
+    # Rewrite one data file with statistics stripped: the TRUE max of
+    # date_created may live in this very file, so answering from the
+    # remaining footers would understate the signal and skip a change.
+    victim = next(
+        str(p) for p in (tmp_path / "obs_src").iterdir()
+        if p.name.endswith(".parquet")
+    )
+    tbl = pq.read_table(victim)
+    pq.write_table(tbl, victim, write_statistics=False)
+    # Spark's local FS keeps a .crc sidecar per file; the in-place
+    # rewrite (what a real non-Spark writer replacing a file looks
+    # like) invalidates it — drop it so the scan fallback can read.
+    import os
+
+    crc = os.path.join(os.path.dirname(victim), f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    got = parquet_column_maxes(path, ("date_created", "date_voided"))
+    assert "date_created" not in got, "statless chunk must withdraw the column"
+
+    # Engine-level fallback: the signal still equals the scan's answer.
+    r = PipelineRunner(spark, str(tmp_path / "store"))
+    df = spark.read.parquet(path)
+    sig = r._signal_maxes(path, df, "date_created")
+    want = PipelineRunner._maxes(df, "date_created")
+    assert sig == want and sig[0] is not None, (sig, want)
+
+
+def test_footer_signal_pins_listing_against_live_writer(spark, tmp_path):
+    """r9 (VERDICT r8 item 6c): the pinned-listing race.  A part-file
+    that lands AFTER the consuming DataFrame resolved its file index —
+    a live writer appending mid-sync — must NOT be covered by the
+    signal: the stages will not process those rows this run, and a
+    signal covering them would make every later sync skip them forever
+    (the snapshot-before-stage ordering _signal_maxes documents)."""
+    import datetime as dt
+
+    from mrsboraetl_spark.engine import PipelineRunner
+    from tests.fixtures import make_sources, to_spark
+
+    pdfs = make_sources(n_persons=10, seed=31)
+    obs = to_spark(spark, pdfs)["obs"]
+    path = str(tmp_path / "obs_src")
+    obs.write.parquet(path)
+
+    df = spark.read.parquet(path)  # pins the file index
+    df.inputFiles()  # force index resolution before the append
+    pinned_max = PipelineRunner._maxes(df, "date_created")[0]
+
+    late = dt.datetime(2031, 1, 1, 12, 0, 0)
+    obs.limit(1).withColumn(
+        "date_created", F.lit(late).cast("timestamp")
+    ).write.mode("append").parquet(path)
+
+    r = PipelineRunner(spark, str(tmp_path / "store"))
+    sig = r._signal_maxes(path, df, "date_created")[0]
+    assert sig == pinned_max, (sig, pinned_max)
+    assert sig < late, "signal must not cover the unprocessed late file"
