@@ -887,34 +887,64 @@ class PipelineRunner:
         row = df.agg(*[F.max(c).alias(c) for c in cols]).first()
         return [row[c] if row else None for c in cols]
 
-    def _signal_maxes(self, path: str | None, df: DataFrame, *cols):
-        """Per-column max, answered from parquet FOOTER statistics when
-        the source was handed to ``run`` as a path (the reference's
-        indexed-MAX cost model, flat_obs_v1.0.sql:63: metadata only, no
-        data scan); any column the footers cannot prove falls back to
-        the one-pass scan.  Footer-derived values are byte-identical to
-        scan-derived ones (pinned in tests/test_sources.py).  The
-        footers are read from the DataFrame's OWN pinned file listing,
-        never a fresh directory walk: against a live source, a file
-        landing between the listing and the signal read would be
-        covered by the stored signal yet unprocessed by every stage —
-        rows skipped forever (the snapshot-before-stage rule)."""
+    def _signal_maxes(self, src, df, *cols):
+        """Per-column max, answered WITHOUT a data scan when the source
+        declaration allows it (the reference's indexed-MAX cost model,
+        flat_obs_v1.0.sql:63):
+
+        * parquet path (str) — from FOOTER statistics, read from the
+          DataFrame's OWN pinned file listing, never a fresh directory
+          walk: against a live source, a file landing between the
+          listing and the signal read would be covered by the stored
+          signal yet unprocessed by every stage — rows skipped forever
+          (the snapshot-before-stage rule);
+        * JdbcSource — a pushed-down one-row MAX subquery the source
+          database answers from its indexes (jdbc_column_maxes); the
+          signal is read BEFORE any stage executes, so a row arriving
+          later is above the stored signal and re-processed next sync
+          (the reference's own refresh-then-run model,
+          flat_obs_v1.0.sql:60).
+
+        Any column neither mechanism can prove falls back to the
+        one-pass scan; derived values are byte-identical to scan values
+        (pinned in tests/test_sources.py, tests/test_jdbc_pipeline.py).
+        ``df`` may be a zero-arg callable (lazy source): it is resolved
+        only when a mechanism actually needs the DataFrame, so a fully
+        pushed-down JDBC signal opens no table read at all."""
+        from mrsboraetl_spark.sources.readers import JdbcSource
+
         vals: dict = {}
-        if path is not None:
+        if isinstance(src, JdbcSource):
+            from mrsboraetl_spark.sources.footer_stats import (
+                jdbc_column_maxes,
+            )
+
+            try:
+                vals = jdbc_column_maxes(
+                    self.spark, src.url, src.table, cols,
+                    src.props(), src.dialect,
+                )
+            except Exception:
+                # pushdown unavailable (missing column, dialect quirk):
+                # the scan fallback below answers — slower, never wrong
+                vals = {}
+        elif isinstance(src, str):
             from urllib.parse import unquote, urlparse
 
             from mrsboraetl_spark.sources.footer_stats import (
                 parquet_column_maxes,
             )
 
+            df = df() if callable(df) else df
             files = [
                 unquote(urlparse(f).path)
                 for f in df.inputFiles()
                 if f.endswith(".parquet")
             ]
-            vals = parquet_column_maxes(path, cols, files=files)
+            vals = parquet_column_maxes(src, cols, files=files)
         missing = [c for c in cols if c not in vals]
         if missing:
+            df = df() if callable(df) else df
             vals.update(zip(missing, self._maxes(df, *missing)))
         return [vals[c] for c in cols]
 
@@ -941,22 +971,37 @@ class PipelineRunner:
     def run(self, sources: dict, mode: str = "sync") -> None:
         """Run all stages in dependency order.
 
-        ``sources`` values may be DataFrames or parquet directory PATHS
-        (str).  Paths unlock the footer-statistics change signal
-        (_signal_maxes): a no-op sync then reads source FOOTERS plus
-        nothing — executor input scales with the delta, not the source
-        — where a DataFrame source pays the column scan for its
-        signal."""
+        ``sources`` values may be DataFrames, parquet directory PATHS
+        (str), or ``JdbcSource`` declarations.  Paths unlock the
+        footer-statistics change signal (_signal_maxes): a no-op sync
+        then reads source FOOTERS plus nothing.  JdbcSource unlocks the
+        pushed-down one-row MAX signal plus LAZY table resolution: a
+        no-op sync against the replica issues only one-row index
+        queries — no table read, not even a schema probe (pinned in
+        tests/test_jdbc_pipeline.py).  A plain DataFrame source pays
+        the column scan for its signal."""
+        from mrsboraetl_spark.sources.readers import JdbcSource
+
         assert mode in ("sync", "rebuild")
-        paths = {
-            k: v for k, v in sources.items() if isinstance(v, str)
+        raw = dict(sources)
+        resolved = {
+            k: v
+            for k, v in raw.items()
+            if not isinstance(v, (str, JdbcSource))
         }
-        sources = {
-            k: self.spark.read.parquet(v) if isinstance(v, str) else v
-            for k, v in sources.items()
-        }
-        obs, enc = sources["obs"], sources["encounter"]
-        orders, person = sources["orders"], sources["person"]
+
+        def src(k: str) -> DataFrame:
+            # Lazy: a skipped stage never resolves its sources.  For
+            # parquet paths resolution also pins the file listing the
+            # footer signal must cover (snapshot-before-stage).
+            if k not in resolved:
+                v = raw[k]
+                resolved[k] = (
+                    self.spark.read.parquet(v)
+                    if isinstance(v, str)
+                    else v.load(self.spark)
+                )
+            return resolved[k]
 
         # Snapshot the source data watermarks BEFORE any stage runs, like
         # the reference's @last_date_created (flat_obs_v1.0.sql:25-27):
@@ -971,24 +1016,30 @@ class PipelineRunner:
         # stage-level no-op short-circuit that keeps a wave touching one
         # source from paying all five stages.
         max_obs, obs_voided = self._signal_maxes(
-            paths.get("obs"), obs, "date_created", "date_voided"
+            raw.get("obs"), lambda: src("obs"),
+            "date_created", "date_voided",
         )
         max_enc, enc_changed = self._signal_maxes(
-            paths.get("encounter"), enc, "date_created", "date_changed"
+            raw.get("encounter"), lambda: src("encounter"),
+            "date_created", "date_changed",
         )
         max_orders, orders_voided = self._signal_maxes(
-            paths.get("orders"), orders, "date_created", "date_voided"
+            raw.get("orders"), lambda: src("orders"),
+            "date_created", "date_voided",
         )
         # person carries no created/changed lineage; voids are its only
         # change class — and the purge is UNCONDITIONAL (not watermark-
         # filtered), so a timestamp signal alone would be blind to an
         # UNDATED void (voided flipped, date_voided never set).  The
         # engine therefore keeps a tiny persisted fingerprint of the
-        # voided-person SET (count + order-independent id checksum, one
-        # agg sharing the person scan): any membership change defeats
+        # voided-person SET (count + order-independent id checksums, one
+        # agg sharing the person scan — or ONE pushed-down one-row
+        # aggregate for a JdbcSource): any membership change defeats
         # the skip regardless of dates, while max(date_voided) — when
         # the column exists — feeds the normal timestamp signal.
-        person_voided, person_fp = self._person_void_state(person)
+        person_voided, person_fp = self._person_void_signal(
+            raw.get("person"), lambda: src("person")
+        )
         person_stable = person_fp == self._load_person_fingerprint()
 
         # Skipping needs BOTH a stable void set and sync mode; the raw
@@ -1009,9 +1060,14 @@ class PipelineRunner:
 
         obs_ran = self._stage(
             "flat_obs",
-            lambda target, wm, out: build_flat_obs(obs, enc, person)
+            lambda target, wm, out: build_flat_obs(
+                src("obs"), src("encounter"), src("person")
+            )
             if mode == "rebuild" or target is None
-            else incremental_flat_obs(target, obs, enc, person, wm, out=out),
+            else incremental_flat_obs(
+                target, src("obs"), src("encounter"), src("person"),
+                wm, out=out,
+            ),
             # greatest of encounter/obs max date_created — the reference's
             # @last_date_created (flat_obs_v1.0.sql:26-28); obs-only would
             # perpetually re-queue encounters edited after the last obs.
@@ -1022,10 +1078,13 @@ class PipelineRunner:
         )
         self._stage(
             "flat_orders",
-            lambda target, wm, out: build_flat_orders(orders, enc, person)
+            lambda target, wm, out: build_flat_orders(
+                src("orders"), src("encounter"), src("person")
+            )
             if mode == "rebuild" or target is None
             else incremental_flat_orders(
-                target, orders, enc, person, wm, out=out
+                target, src("orders"), src("encounter"), src("person"),
+                wm, out=out,
             ),
             data_wm=max_orders,
             # the orders plan queues off orders changes only (encounter
@@ -1040,9 +1099,9 @@ class PipelineRunner:
         )
         lab_ran = self._stage(
             "flat_lab_obs",
-            lambda target, wm, out: build_flat_lab_obs(obs)
+            lambda target, wm, out: build_flat_lab_obs(src("obs"))
             if mode == "rebuild" or target is None
-            else incremental_flat_lab_obs(target, obs, wm, out=out),
+            else incremental_flat_lab_obs(target, src("obs"), wm, out=out),
             # greatest of encounter/obs max (flat_lab_obs_v1.0.sql:37-39)
             data_wm=max(filter(None, [max_obs, max_enc]), default=None),
             # no person purge in the lab plan; obs is its only input
@@ -1079,12 +1138,13 @@ class PipelineRunner:
             self._stage(
                 "flat_visit_summary",
                 lambda target, wm, out: build_flat_visit_summary(
-                    flat_obs, flat_lab, person
+                    flat_obs, flat_lab, src("person")
                 )
                 if mode == "rebuild" or target is None
                 else incremental_flat_visit_summary(
-                    target, flat_obs, flat_lab, person, enc, wm,
-                    obs_for_retractions=obs, out=out,
+                    target, flat_obs, flat_lab, src("person"),
+                    src("encounter"), wm,
+                    obs_for_retractions=src("obs"), out=out,
                 ),
                 # cascade (I4): keyed off upstream flat_obs.max_date_created
                 # (flat_visit_summary_v1.0.sql:16,93-99)
@@ -1129,17 +1189,60 @@ class PipelineRunner:
     def _person_fp_path(self) -> str:
         return os.path.join(self.root, "_person_void_fp.json")
 
+    def _person_void_signal(self, src, person):
+        """(max date_voided | None, fingerprint), routed by source
+        form: a JdbcSource is answered by ONE pushed-down one-row
+        aggregate (sources/footer_stats.jdbc_person_void_state — the
+        person table never ships through the pipe); anything else by
+        the one-scan Spark aggregate.  Both compute the identical
+        portable fingerprint, so switching source forms never fakes a
+        void-set change (pinned in tests/test_jdbc_pipeline.py).
+        ``person`` may be a zero-arg callable (lazy source), resolved
+        only when the Spark-side scan is actually needed."""
+        from mrsboraetl_spark.sources.readers import JdbcSource
+
+        if isinstance(src, JdbcSource):
+            from mrsboraetl_spark.sources.footer_stats import (
+                jdbc_person_void_state,
+            )
+
+            for with_date in (True, False):
+                # A source without date_voided fails the first probe
+                # loudly (never silently); the dateless retry keeps the
+                # fingerprint pushed down and only the timestamp signal
+                # degrades to None — same as the scan path's behavior.
+                try:
+                    return jdbc_person_void_state(
+                        self.spark, src.url, src.table,
+                        src.props(), src.dialect, with_date=with_date,
+                    )
+                except Exception:
+                    continue
+            # pushdown unavailable entirely: resolve and scan
+        person = person() if callable(person) else person
+        return self._person_void_state(person)
+
     def _person_void_state(self, person: DataFrame):
         """(max date_voided | None, fingerprint) in ONE scan of person.
-        The fingerprint is order-independent (count + summed crc32 of
-        the voided ids), so any change to the voided-person set —
-        including an undated void or an un-void — changes it."""
+        The fingerprint is order-independent — count, sum of ids, and
+        sum of squared ids mod VOID_FP_MOD over the voided set — so any
+        change to the voided-person set, including an undated void or
+        an un-void, changes it.  This exact form is also expressible as
+        one ANSI-SQL/MySQL aggregate (jdbc_person_void_state), so JDBC
+        and DataFrame/path source forms produce the same stored
+        fingerprint.  pmod == SQL MOD for the non-negative ids sources
+        use; intermediates stay < 2^62 for ids < 2^31 over billions of
+        rows (ANSI-overflow-safe, the r8 Bloom lesson)."""
+        from mrsboraetl_spark.sources.footer_stats import VOID_FP_MOD
+
         voided = F.col("voided") == 1
+        pid = F.col("person_id").cast("long")
         aggs = [
             F.sum(F.when(voided, 1).otherwise(0)).alias("n"),
+            F.sum(F.when(voided, pid)).alias("s1"),
             F.sum(
-                F.when(voided, F.crc32(F.col("person_id").cast("string")))
-            ).alias("crc"),
+                F.when(voided, F.pmod(pid * pid, F.lit(VOID_FP_MOD)))
+            ).alias("s2"),
         ]
         has_date = "date_voided" in person.columns
         if has_date:
@@ -1147,7 +1250,8 @@ class PipelineRunner:
         row = person.agg(*aggs).first()
         fp = {
             "n": int(row["n"] or 0),
-            "crc": int(row["crc"] or 0),
+            "s1": int(row["s1"] or 0),
+            "s2": int(row["s2"] or 0),
         }
         return (row["dv"] if has_date else None), fp
 

@@ -153,10 +153,70 @@ def jdbc_column_maxes(
     q = '"{}"'.format if dialect == "ansi" else "`{}`".format
     select = ", ".join(f"MAX({q(c)}) AS {q(c)}" for c in cols)
     sub = f"(SELECT {select} FROM {table}) signal_probe"
+    row = _one_row(spark, url, sub, properties)
+    # Same naive-UTC form the engine's scan-derived signals use, so a
+    # deployment can switch source forms without a signal mismatch.
+    return {c: _to_naive_utc(row[c]) for c in cols}
+
+
+# Modulus for the portable person-void fingerprint: both the Spark-side
+# aggregate (engine._person_void_state) and the pushed-down SQL below
+# compute sum(mod(id*id, VOID_FP_MOD)), so a deployment can switch
+# between DataFrame/path/JDBC source forms without the fingerprint
+# spuriously changing (a mismatch only costs one conservative re-sync).
+# Chosen < 2^31 so id^2 mod m sums stay far from BIGINT overflow even
+# over billions of voided rows, and expressible in ANSI SQL + MySQL +
+# Spark with identical semantics for the non-negative ids sources use.
+VOID_FP_MOD = 2_147_483_647
+
+
+def _one_row(spark, url: str, dbtable: str, properties: dict | None):
     reader = spark.read.format("jdbc").option("url", url).option(
-        "dbtable", sub
+        "dbtable", dbtable
     )
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
-    row = reader.load().collect()[0]
-    return {c: row[c] for c in cols}
+    return reader.load().collect()[0]
+
+
+def jdbc_person_void_state(
+    spark,
+    url: str,
+    table: str,
+    properties: dict | None = None,
+    dialect: str = "ansi",
+    with_date: bool = True,
+):
+    """(max date_voided | None, fingerprint) of the voided-person set,
+    answered by ONE pushed-down one-row aggregate — the JDBC half of
+    the engine's undated-void defense (engine._person_void_state), so a
+    steady-state sync against the replica never ships the person table.
+    The fingerprint {n, s1, s2} is order-independent (count, sum of
+    ids, sum of squared ids mod VOID_FP_MOD) and computed identically
+    by the Spark-side scan, so the two source forms interoperate on the
+    same stored state.  ``with_date=False`` omits the MAX(date_voided)
+    column for sources without it (caller retries on error — a missing
+    column fails the whole probe loudly, never silently)."""
+    q = '"{}"'.format if dialect == "ansi" else "`{}`".format
+    big = "BIGINT" if dialect == "ansi" else "SIGNED"
+    pid = q("person_id")
+    parts = [
+        'COUNT(*) AS "n"' if dialect == "ansi" else "COUNT(*) AS `n`",
+        f'SUM({pid}) AS {q("s1")}',
+        f"SUM(MOD(CAST({pid} AS {big}) * {pid}, {VOID_FP_MOD}))"
+        f' AS {q("s2")}',
+    ]
+    if with_date:
+        parts.append(f'MAX({q("date_voided")}) AS {q("dv")}')
+    sub = (
+        f"(SELECT {', '.join(parts)} FROM {table}"
+        f' WHERE {q("voided")} = 1) void_probe'
+    )
+    row = _one_row(spark, url, sub, properties)
+    fp = {
+        "n": int(row["n"] or 0),
+        "s1": int(row["s1"] or 0),
+        "s2": int(row["s2"] or 0),
+    }
+    dv = _to_naive_utc(row["dv"]) if with_date else None
+    return dv, fp
