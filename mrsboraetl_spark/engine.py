@@ -263,7 +263,13 @@ class PipelineRunner:
     }
     _BLOOM_J = 7
     _BLOOM_MIN_BITS = 1 << 10
-    _BLOOM_MAX_BITS = 1 << 17
+    # r9 (VERDICT r8 item 3): 2^23 bits = 1 MB per month per column at
+    # the cap — enough for ~500k distinct keys at the 16-bits/key
+    # target before saturation, i.e. production-month person
+    # cardinality.  Storage moved from hex-JSON to the binary sidecar
+    # (_BLOOMS_FILE) to carry it.  Beyond the cap the filter saturates
+    # toward all-ones and prunes nothing — conservative, never wrong.
+    _BLOOM_MAX_BITS = 1 << 23
     # Bloom-probing a delta costs |keys| * months * j exploded rows —
     # distributed and codegen'd, but pointless past the point where the
     # delta spans most months anyway; a larger delta skips the Bloom
@@ -279,6 +285,7 @@ class PipelineRunner:
     # Underscore prefix: invisible to Spark's file discovery, like the
     # demoted _old.M directories.
     _BOUNDS_FILE = "_month_bounds.json"
+    _BLOOMS_FILE = "_month_blooms.bin"
 
     # Stage-level no-op short-circuit (see _stage's change_signal):
     # probe/debug knob — False restores the run-every-stage behavior.
@@ -310,21 +317,96 @@ class PipelineRunner:
         return os.path.join(self._path(table), self._BOUNDS_FILE)
 
     def _load_bounds(self, table: str) -> dict | None:
+        return self._load_sidecar_dir(self._path(table))
+
+    def _load_sidecar_dir(self, table_dir: str) -> dict | None:
+        """The merged in-memory sidecar of a table directory: JSON
+        ranges/file entries plus "bloom:<col>" entries (raw ``bytes``
+        words) from the binary companion.  An unreadable bounds JSON
+        disables pruning entirely (None); an unreadable Bloom file just
+        loses the membership refinement — both conservative."""
         try:
-            with open(self._bounds_path(table)) as f:
-                return json.load(f)
+            with open(os.path.join(table_dir, self._BOUNDS_FILE)) as f:
+                bounds = json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
             # Pre-bounds table (or unreadable sidecar): callers fall
             # back to the full-target probe — slower, never wrong.
             return None
+        try:
+            with open(
+                os.path.join(table_dir, self._BLOOMS_FILE), "rb"
+            ) as f:
+                raw = f.read()
+            hdr_len = int.from_bytes(raw[:4], "big")
+            hdr = json.loads(raw[4 : 4 + hdr_len])
+            blob = raw[4 + hdr_len :]
+            for m, cols in hdr.items():
+                for c, meta in cols.items():
+                    w = blob[meta["off"] : meta["off"] + meta["len"]]
+                    if len(w) == meta["len"]:
+                        bounds.setdefault(m, {})[f"bloom:{c}"] = {
+                            "m": meta["m"], "j": meta["j"], "w": w,
+                        }
+        except (FileNotFoundError, ValueError, KeyError):
+            pass
+        return bounds
 
     def _write_bounds(self, table_dir: str, bounds: dict) -> None:
-        """Atomically (re)write the bounds sidecar inside ``table_dir``."""
+        """Atomically (re)write BOTH sidecars inside ``table_dir`` from
+        the merged in-memory dict: ranges + per-file entries land in
+        the JSON; "bloom:<col>" entries land in a compact binary file
+        (r9, VERDICT r8 item 3 — hex-JSON at the production-month cap
+        of 2^23 bits would be 2 MB of hex per month per column).
+        Binary layout: 4-byte big-endian header length, JSON header
+        {month: {col: {m, j, off, len}}}, concatenated filter words.
+        The two replaces are not jointly atomic; each file is
+        individually a superset of its predecessor at every
+        intermediate state (widen-before-swap discipline), so a crash
+        between them leaves a conservative, never-wrong pair."""
+        plain: dict = {}
+        blooms: dict = {}
+        for m, ent in bounds.items():
+            plain[m] = {
+                k: v for k, v in ent.items() if not k.startswith("bloom:")
+            }
+            bl = {
+                k[len("bloom:"):]: v
+                for k, v in ent.items()
+                if k.startswith("bloom:")
+            }
+            if bl:
+                blooms[m] = bl
         p = os.path.join(table_dir, self._BOUNDS_FILE)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(bounds, f, sort_keys=True)
+            json.dump(plain, f, sort_keys=True)
         os.replace(tmp, p)
+        bp = os.path.join(table_dir, self._BLOOMS_FILE)
+        if not blooms:
+            if os.path.exists(bp):
+                os.remove(bp)
+            return
+        hdr: dict = {}
+        parts: list[bytes] = []
+        off = 0
+        for m in sorted(blooms):
+            hdr[m] = {}
+            for c in sorted(blooms[m]):
+                e = blooms[m][c]
+                w = e["w"]
+                w = bytes.fromhex(w) if isinstance(w, str) else bytes(w)
+                hdr[m][c] = {
+                    "m": e["m"], "j": e["j"], "off": off, "len": len(w),
+                }
+                parts.append(w)
+                off += len(w)
+        head = json.dumps(hdr, sort_keys=True).encode()
+        tmpb = bp + ".tmp"
+        with open(tmpb, "wb") as f:
+            f.write(len(head).to_bytes(4, "big"))
+            f.write(head)
+            f.write(b"".join(parts))
+        os.replace(tmpb, bp)
 
     def _compute_month_bounds(self, parquet_dir: str, cols: dict) -> dict:
         """Exact per-month [min, max] of each bounds column over its
@@ -381,7 +463,7 @@ class PipelineRunner:
     def _compute_month_blooms(
         self, parquet_dir: str, col: str, sentinel
     ) -> dict:
-        """{month: {"m": bits, "j": rounds, "w": hex-words}} over the
+        """{month: {"m": bits, "j": rounds, "w": raw word bytes}} over the
         REAL (below-sentinel) non-null values of ``col`` in the staged
         parquet.  Two jobs: an approx-distinct per month (sizes m),
         then explode j positions per value and OR the 64-bit words
@@ -451,7 +533,7 @@ class PipelineRunner:
                 int(r["bits"]) & 0xFFFFFFFFFFFFFFFF,
             )
         return {
-            mo: {"m": m_of[mo], "j": self._BLOOM_J, "w": bytes(w).hex()}
+            mo: {"m": m_of[mo], "j": self._BLOOM_J, "w": bytes(w)}
             for mo, w in words.items()
         }
 
@@ -497,13 +579,12 @@ class PipelineRunner:
                 and a["m"] == b["m"]
                 and a["j"] == b["j"]
             ):
-                u = bytes(
-                    x | y
-                    for x, y in zip(
-                        bytes.fromhex(a["w"]), bytes.fromhex(b["w"])
-                    )
+                wa, wb = (
+                    bytes.fromhex(w) if isinstance(w, str) else bytes(w)
+                    for w in (a["w"], b["w"])
                 )
-                merged[key] = {"m": a["m"], "j": a["j"], "w": u.hex()}
+                u = bytes(x | y for x, y in zip(wa, wb))
+                merged[key] = {"m": a["m"], "j": a["j"], "w": u}
         return merged
 
     def _make_probe_reader(self, table: str):
@@ -659,7 +740,11 @@ class PipelineRunner:
         )
         wrows = []
         for mo, e in blooms.items():
-            raw = bytes.fromhex(e["w"])
+            raw = (
+                bytes.fromhex(e["w"])
+                if isinstance(e["w"], str)
+                else bytes(e["w"])
+            )
             for wi in range(len(raw) // 8):
                 bits = struct.unpack_from(">q", raw, wi * 8)[0]
                 if bits:
@@ -835,11 +920,7 @@ class PipelineRunner:
             staged_bounds = self._compute_month_sidecar(
                 tmp, bounds_cols, bloom_cols
             )
-            try:
-                with open(os.path.join(path, self._BOUNDS_FILE)) as f:
-                    old_bounds = json.load(f)
-            except (FileNotFoundError, json.JSONDecodeError):
-                old_bounds = {}
+            old_bounds = self._load_sidecar_dir(path) or {}
             widened = dict(old_bounds)
             for m in months:
                 if m in staged_bounds:

@@ -380,7 +380,12 @@ def test_bloom_sidecar_prunes_person_probe(spark, built):
     ent = next(iter(bounds.values()))
     assert "bloom:person_id" in ent, sorted(ent)
     b = ent["bloom:person_id"]
-    assert b["m"] % 64 == 0 and len(b["w"]) == b["m"] // 4  # hex chars
+    # r9: raw bytes from the binary sidecar (m bits / 8), not hex-JSON
+    assert isinstance(b["w"], bytes)
+    assert b["m"] % 64 == 0 and len(b["w"]) == b["m"] // 8
+    # and the JSON sidecar itself carries no bloom payload any more
+    with open(runner._bounds_path("flat_obs")) as f:
+        assert "bloom:" not in f.read()
 
     tgt = spark.read.parquet(runner._path("flat_obs"))
     victim = int(tgt.select("person_id").first()["person_id"])
@@ -411,17 +416,28 @@ def test_bloom_widen_is_exact_union_or_omission():
     resized filters cannot be merged => the entry is omitted, leaving
     the month unprunable (conservative) until the exact pass."""
     w = PipelineRunner._widen_bounds
-    a = {"bloom:person_id": {"m": 1024, "j": 7, "w": "0f" + "00" * 127}}
-    b = {"bloom:person_id": {"m": 1024, "j": 7, "w": "f0" + "00" * 127}}
+    a = {"bloom:person_id": {"m": 1024, "j": 7, "w": b"\x0f" + b"\x00" * 127}}
+    b = {"bloom:person_id": {"m": 1024, "j": 7, "w": b"\xf0" + b"\x00" * 127}}
     merged = w(a, b, {})
-    assert merged["bloom:person_id"]["w"].startswith("ff")
+    assert merged["bloom:person_id"]["w"].startswith(b"\xff")
     # parameter mismatch: omit, never guess
-    c = {"bloom:person_id": {"m": 2048, "j": 7, "w": "ff" + "00" * 255}}
+    c = {"bloom:person_id": {"m": 2048, "j": 7, "w": b"\xff" + b"\x00" * 255}}
     assert "bloom:person_id" not in w(a, c, {})
     # one-sided: omit
     assert "bloom:person_id" not in w(a, {}, {})
     # old None: the staged entry stands alone
     assert w(None, b, {}) is b
+    # r9 resize boundary (VERDICT r8 item 3): a month whose filter was
+    # re-sized across the old 2^17 cap and the new 2^23 cap meets the
+    # same rule — unmergeable, omitted, unprunable until the exact pass
+    old_cap = {"bloom:person_id": {"m": 1 << 17, "j": 7, "w": b"\xff" * (1 << 14)}}
+    new_cap = {"bloom:person_id": {"m": 1 << 23, "j": 7, "w": b"\xff" * (1 << 20)}}
+    assert "bloom:person_id" not in w(old_cap, new_cap, {})
+    # legacy hex entries (pre-r9 sidecar read during an upgrade window)
+    # still merge with byte entries of equal (m, j)
+    hx = {"bloom:person_id": {"m": 1024, "j": 7, "w": "f0" + "00" * 127}}
+    merged2 = w(hx, a, {})
+    assert merged2["bloom:person_id"]["w"].startswith(b"\xff")
 
 
 def test_bloom_probe_driver_transfer_is_month_bounded(
@@ -560,3 +576,45 @@ def test_probe_with_null_keys_neither_crashes_nor_misses(spark, built):
     # all-null delta: nothing to probe, nothing read
     only_null = spark.createDataFrame([(None,)], "person_id long")
     assert reader(only_null, "person_id").count() == 0
+
+
+def test_bloom_prunes_at_production_month_cardinality(spark, tmp_path):
+    """r9 (VERDICT r8 item 3 done-bar): a month holding >=100k distinct
+    persons must still prune person-keyed probes.  Under the old 2^17
+    cap such a month saturated toward all-ones and pruned nothing
+    (conservative but useless at the 100x target); the binary sidecar
+    carries filters up to 2^23 bits (~500k keys at 16 bits/key)."""
+    import pyspark.sql.functions as SF
+
+    runner = PipelineRunner(spark, str(tmp_path / "store"), partitioned=True)
+    n = 120_000
+    big = spark.range(0, n).select(
+        F.lit("2024-01").alias("p_month"),
+        F.col("id").cast("long").alias("person_id"),
+    )
+    small = spark.range(n, n + 500).select(
+        F.lit("2024-02").alias("p_month"),
+        F.col("id").cast("long").alias("person_id"),
+    )
+    pdir = str(tmp_path / "staged")
+    big.unionByName(small).write.partitionBy("p_month").parquet(pdir)
+
+    blooms = runner._compute_month_blooms(pdir, "person_id", None)
+    m_big = blooms["2024-01"]["m"]
+    assert m_big > (1 << 17), "big month must outgrow the old cap"
+    assert m_big <= runner._BLOOM_MAX_BITS
+
+    # Probe 5 keys that live ONLY in the small month: the 120k-person
+    # month must be pruned (it would have been kept by a saturated
+    # filter), the small month kept.
+    kdf = spark.createDataFrame(
+        [(n + i,) for i in range(5)], "_k long"
+    )
+    keep = runner._bloom_hit_months(kdf, None, blooms)
+    assert keep == {"2024-02"}, keep
+
+    # And keys in the big month are still found (no false negatives).
+    kdf2 = spark.createDataFrame([(77,), (99_000,)], "_k long")
+    keep2 = runner._bloom_hit_months(kdf2, None, blooms)
+    assert "2024-01" in keep2, keep2
+    _ = SF  # silence unused-import lint paths
