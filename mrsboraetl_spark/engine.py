@@ -287,6 +287,16 @@ class PipelineRunner:
     _BOUNDS_FILE = "_month_bounds.json"
     _BLOOMS_FILE = "_month_blooms.bin"
 
+    # Optional cap on rows per data file (Spark maxRecordsPerFile).
+    # Within a month directory rows are RANGE-partitioned and sorted on
+    # the PK (see _write), so a file split produces contiguous,
+    # DISJOINT per-file key ranges — the property the file-level delta
+    # writer's pruning rests on.  None = Spark's default (no split);
+    # production deployments size this to land ~128 MB-1 GB files;
+    # tests and probes set it low to get several files per month at
+    # fixture scale.
+    _TARGET_FILE_ROWS: int | None = None
+
     # Stage-level no-op short-circuit (see _stage's change_signal):
     # probe/debug knob — False restores the run-every-stage behavior.
     _STAGE_SKIP = True
@@ -538,12 +548,20 @@ class PipelineRunner:
         }
 
     def _compute_month_sidecar(
-        self, parquet_dir: str, bounds_cols, bloom_cols=()
+        self, parquet_dir: str, bounds_cols, bloom_cols=(), pk=None
     ) -> dict:
         """Full per-month sidecar for a staged directory: [min, max]
-        ranges for ``bounds_cols`` plus "bloom:<col>" membership
-        filters for ``bloom_cols`` (sentinels shared with the range
-        config)."""
+        ranges for ``bounds_cols``, "bloom:<col>" membership filters
+        for ``bloom_cols`` (sentinels shared with the range config),
+        and — when ``pk`` is given — per-FILE pk entries
+        ``{"files": {name: [lo, hi, n_rows]}}`` (r9, VERDICT r8
+        item 2: the partitioned-layout lift of
+        VersionedTable._file_key_stats, sources/versioned.py:77).
+        Per-file ranges include synthetic rows (no sentinel clipping):
+        the range-partitioned layout keeps per-file ranges DISJOINT, so
+        a bimodal population just means the tail file(s) carry the
+        synthetic span — unlike the month-level range, tightness
+        survives."""
         out = self._compute_month_bounds(parquet_dir, bounds_cols)
         for c in bloom_cols:
             blooms = self._compute_month_blooms(
@@ -551,6 +569,27 @@ class PipelineRunner:
             )
             for mo, ent in blooms.items():
                 out.setdefault(mo, {})[f"bloom:{c}"] = ent
+        if pk is not None:
+            from urllib.parse import unquote, urlparse
+
+            rows = (
+                self.spark.read.parquet(parquet_dir)
+                .groupBy(
+                    self.PARTITION_COL,
+                    F.input_file_name().alias("_f"),
+                )
+                .agg(
+                    F.min(pk).alias("lo"),
+                    F.max(pk).alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            for r in rows:
+                name = os.path.basename(unquote(urlparse(r["_f"]).path))
+                out.setdefault(str(r[self.PARTITION_COL]), {}).setdefault(
+                    "files", {}
+                )[name] = [int(r["lo"]), int(r["hi"]), int(r["n"])]
         return out
 
     @staticmethod
@@ -808,6 +847,125 @@ class PipelineRunner:
             return None
         return set(row["_keep"] or ())
 
+    def _plan_touched_files(
+        self, table: str, months: list[str], out: dict
+    ) -> dict | None:
+        """File-level write planning (r9, VERDICT r8 item 2): for each
+        affected month, which of its data files must be rewritten.
+
+        Returns ``{month: set(filenames) | None}`` — a None VALUE means
+        that month falls back to the whole-directory rewrite (sidecar
+        missing/stale for it); months absent from the map have no
+        on-disk directory (new months, nothing to carry).  Returns None
+        OUTRIGHT when file-level accounting is unavailable (plan
+        provides no changed-key superset, or no month has usable file
+        entries) and the caller keeps today's month-grain path.
+
+        A file is touched iff its recorded [lo, hi] pk range intersects
+        the plan's changed-key superset (``out["changed_keys"]``, every
+        pk whose row may differ between old and merged state), or — for
+        the encounter-less retraction class whose OLD synthetic pks are
+        unknowable without reading (flat_obs) — the file's range
+        reaches the synthetic sentinel and the month carries a
+        synthetic-group delta (``out["synthetic_delta_months"]``).
+        Untouched files are provably byte-identical in the merged
+        state: no changed pk falls in their range, and per-file ranges
+        are disjoint within a month (the range-partitioned layout), so
+        no recomputed row can land inside one.  One broadcast range
+        join; driver transfer bounded by the file count."""
+        keys_df = out.get("changed_keys")
+        if keys_df is None or not months:
+            return None
+        pk = self._CLUSTER_BY[table][0]
+        bounds = self._load_bounds(table) or {}
+        path = self._path(table)
+        sentinel = dict(self._BOUNDS_COLS.get(table, {})).get(pk)
+        synth_months: set = set()
+        sm = out.get("synthetic_delta_months")
+        if sm is not None:
+            # bounded driver action: distinct delta months (tens)
+            synth_months = {str(r["p_month"]) for r in sm.collect()}
+        plan_map: dict = {}
+        file_rows: list = []
+        for m in months:
+            mdir = os.path.join(path, f"{self.PARTITION_COL}={m}")
+            if not os.path.isdir(mdir):
+                continue  # new month: all rows staged fresh
+            ent = bounds.get(m, {}).get("files")
+            on_disk = sorted(
+                f
+                for f in os.listdir(mdir)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if ent is None or sorted(ent) != on_disk:
+                # pre-file-entry table, crash-widened sidecar, or any
+                # disk/sidecar drift: month-grain rewrite, never trust
+                # stale per-file bounds
+                plan_map[m] = None
+                continue
+            touched: set = set()
+            for fname, (lo, hi, _n) in ent.items():
+                if (
+                    m in synth_months
+                    and sentinel is not None
+                    and int(hi) >= sentinel
+                ):
+                    touched.add(fname)
+                else:
+                    file_rows.append((m, fname, int(lo), int(hi)))
+            plan_map[m] = touched
+        if not file_rows and all(
+            v is None for v in plan_map.values()
+        ):
+            return None
+        if file_rows:
+            kdf = (
+                keys_df.select(F.col(pk).cast("long").alias("_k"))
+                .where(F.col("_k").isNotNull())
+                .distinct()
+            )
+            bdf = self.spark.createDataFrame(
+                file_rows, schema="m string, f string, lo long, hi long"
+            )
+            hits = (
+                kdf.join(
+                    F.broadcast(bdf),
+                    (F.col("_k") >= F.col("lo"))
+                    & (F.col("_k") <= F.col("hi")),
+                )
+                .select("m", "f")
+                .distinct()
+                .collect()
+            )
+            for r in hits:
+                sel = plan_map.get(r["m"])
+                if sel is not None:
+                    sel.add(r["f"])
+        return plan_map
+
+    def _read_target_files(
+        self, table: str, months: list[str], touched: dict
+    ) -> DataFrame:
+        """The target restricted to the touched FILES of the affected
+        months (whole directories for months whose file accounting fell
+        back) — the read-side half of the per-file cost model: phase 2
+        neither reads nor rewrites a carried file."""
+        path = self._path(table)
+        sel: list[str] = []
+        for m, t in touched.items():
+            mdir = os.path.join(path, f"{self.PARTITION_COL}={m}")
+            if t is None:
+                sel.append(mdir)
+            else:
+                sel += [os.path.join(mdir, f) for f in sorted(t)]
+        if not sel:
+            return self.read_target_months(table, [])
+        return (
+            self.spark.read.option("basePath", path)
+            .parquet(*sel)
+            .drop(self.PARTITION_COL)
+        )
+
     def _write(self, df: DataFrame, table: str) -> None:
         """Full write: cluster, stage, atomic whole-table swap."""
         pk = self._CLUSTER_BY.get(table)
@@ -816,12 +974,18 @@ class PipelineRunner:
             from mrsboraetl_spark.schemas import p_month_of
 
             df = df.withColumn(self.PARTITION_COL, p_month_of(part_src))
-            # Shuffle on (month, pk): every task's rows land in a single
-            # month directory (no file fan-out across partitions) and stay
-            # sorted on the PK inside it for row-group stats.
-            df = df.repartition(self.PARTITION_COL, *pk).sortWithinPartitions(
-                *pk
-            )
+            # RANGE-shuffle on (month, pk) — r9: each output partition
+            # covers a contiguous (month, pk) span, so within a month
+            # directory the files carry DISJOINT pk ranges (recorded in
+            # the sidecar's per-file entries).  A hash shuffle would
+            # give every file ~the month's whole range and file-level
+            # delta pruning could never drop one.  Rows stay pk-sorted
+            # within each file for row-group statistics; a boundary
+            # partition straddling two months still writes one file per
+            # month (partitionBy splits on the partition value).
+            df = df.repartitionByRange(
+                self.PARTITION_COL, *pk
+            ).sortWithinPartitions(self.PARTITION_COL, *pk)
         elif pk:
             df = df.repartition(*pk).sortWithinPartitions(*pk)
         if self.versioned:
@@ -832,15 +996,21 @@ class PipelineRunner:
         writer = df.write.mode("overwrite")
         if part_src:
             writer = writer.partitionBy(self.PARTITION_COL)
+        if self._TARGET_FILE_ROWS:
+            writer = writer.option(
+                "maxRecordsPerFile", str(self._TARGET_FILE_ROWS)
+            )
         writer.parquet(tmp)
         bounds_cols = self._BOUNDS_COLS.get(table, ()) if part_src else ()
         if bounds_cols:
-            # Exact bounds + Blooms, staged INSIDE tmp so the swap
-            # below carries data + sidecar atomically.
+            # Exact bounds + Blooms + per-file pk entries, staged
+            # INSIDE tmp so the swap below carries data + sidecar
+            # atomically.
             self._write_bounds(
                 tmp,
                 self._compute_month_sidecar(
-                    tmp, bounds_cols, self._BLOOM_COLS.get(table, ())
+                    tmp, bounds_cols, self._BLOOM_COLS.get(table, ()),
+                    pk=pk[0],
                 ),
             )
         # Promote via rename-aside: demote old -> promote tmp -> drop old.
@@ -855,11 +1025,15 @@ class PipelineRunner:
             shutil.rmtree(old)
 
     def _write_delta(
-        self, df: DataFrame, table: str, months: list[str]
+        self, df: DataFrame, table: str, months: list[str],
+        carry: dict | None = None,
     ) -> None:
         """Delta-scoped write: ``df`` is the merged state of the
-        affected months only; cluster it and swap just those
-        directories (see _write_months for the crash contract)."""
+        affected months only (restricted to the TOUCHED files when the
+        file-level path is active); cluster it and swap just those
+        directories (see _write_months for the crash contract).
+        ``carry``: {month: {filename: [lo, hi, n]}} of untouched files
+        to carry forward by hardlink into the staged swap."""
         from mrsboraetl_spark.schemas import p_month_of
 
         pk = self._CLUSTER_BY[table]
@@ -870,18 +1044,21 @@ class PipelineRunner:
             # affected month; the filter pins the staged write to the
             # exact swap set (rows outside it could never be promoted).
             .filter(F.col(self.PARTITION_COL).isin(months))
-            .repartition(self.PARTITION_COL, *pk)
-            .sortWithinPartitions(*pk)
+            # Same range layout as _write: disjoint per-file pk ranges
+            .repartitionByRange(self.PARTITION_COL, *pk)
+            .sortWithinPartitions(self.PARTITION_COL, *pk)
         )
         self._write_months(
             delta, self._path(table), months,
             bounds_cols=self._BOUNDS_COLS.get(table, ()),
             bloom_cols=self._BLOOM_COLS.get(table, ()),
+            pk=pk[0],
+            carry=carry,
         )
 
     def _write_months(
         self, df: DataFrame, path: str, months: list[str],
-        bounds_cols=(), bloom_cols=(),
+        bounds_cols=(), bloom_cols=(), pk=None, carry=None,
     ) -> None:
         """Rewrite ONLY the given ``p_month`` directories of an existing
         partitioned target from ``df`` (already filtered to those months,
@@ -903,33 +1080,76 @@ class PipelineRunner:
         the superset invariant _make_probe_reader's pruning relies on;
         a missed month here would be a silently-unretracted row
         forever.  Looseness from an interrupted sync is repaired by the
-        exact pass of the next successful one."""
+        exact pass of the next successful one.
+
+        File-level carry (r9, ``carry``): the staged month directory is
+        assembled as freshly-written files PLUS hardlinks of the
+        untouched files from the live directory — write I/O scales with
+        touched FILES, the month swap stays the unit of atomicity (no
+        new crash windows).  For carried months the widen pass DROPS
+        the "files" entries (a crash leaves the directory version
+        unknown — stale per-file bounds must not survive into the next
+        sync's touched-file computation; that sync month-grain-rewrites
+        instead, conservative) and the final pass records carried ∪
+        staged file entries with month ranges/Blooms kept WIDENED (the
+        carried files' exact population is deliberately never re-read;
+        exactness returns at the next full-month rewrite)."""
         if not months:
             return
+        carry = carry or {}
         tmp = path + ".delta-tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        (
-            df.write.mode("overwrite")
-            .partitionBy(self.PARTITION_COL)
-            .parquet(tmp)
-        )
+        writer = df.write.mode("overwrite").partitionBy(self.PARTITION_COL)
+        if self._TARGET_FILE_ROWS:
+            writer = writer.option(
+                "maxRecordsPerFile", str(self._TARGET_FILE_ROWS)
+            )
+        writer.parquet(tmp)
         staged_bounds: dict = {}
         old_bounds: dict = {}
         if bounds_cols:
             staged_bounds = self._compute_month_sidecar(
-                tmp, bounds_cols, bloom_cols
+                tmp, bounds_cols, bloom_cols, pk=pk
             )
             old_bounds = self._load_sidecar_dir(path) or {}
             widened = dict(old_bounds)
             for m in months:
                 if m in staged_bounds:
+                    # _widen_bounds carries ranges and Blooms only —
+                    # "files" is dropped here BY DESIGN (see docstring)
                     widened[m] = self._widen_bounds(
                         old_bounds.get(m), staged_bounds[m], bounds_cols
                     )
-                # month being deleted (no staged rows): keep the old
-                # entry until the directory is actually gone
+                elif carry.get(m):
+                    # pure-carry month (all staged rows deleted, some
+                    # files untouched): old ranges cover the carried
+                    # subset; only the file list is unknown mid-swap
+                    widened[m] = {
+                        k: v
+                        for k, v in (old_bounds.get(m) or {}).items()
+                        if k != "files"
+                    }
+                # month being deleted (no staged rows, no carry): keep
+                # the old entry until the directory is actually gone
             self._write_bounds(path, widened)
+        # Assemble carried files into the staged directories BEFORE any
+        # swap: hardlinks from the still-live month dirs (same inode —
+        # carried bytes are never copied; rmtree of the demoted dir
+        # after promotion only drops the old NAME).
+        for m, files in carry.items():
+            if not files:
+                continue
+            src_dir = os.path.join(tmp, f"{self.PARTITION_COL}={m}")
+            live_dir = os.path.join(path, f"{self.PARTITION_COL}={m}")
+            os.makedirs(src_dir, exist_ok=True)
+            for fname in files:
+                s = os.path.join(live_dir, fname)
+                d = os.path.join(src_dir, fname)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
         for m in months:
             src = os.path.join(tmp, f"{self.PARTITION_COL}={m}")
             dst = os.path.join(path, f"{self.PARTITION_COL}={m}")
@@ -945,13 +1165,37 @@ class PipelineRunner:
         shutil.rmtree(tmp)
         if bounds_cols:
             # Every swap completed: tighten to the exact staged bounds
-            # and drop entries for months whose directory was deleted.
+            # (plus carried file entries for file-level months) and
+            # drop entries for months whose directory was deleted.
             final = dict(old_bounds)
             for m in months:
-                if m in staged_bounds:
-                    final[m] = staged_bounds[m]
-                else:
+                staged = staged_bounds.get(m)
+                carried = carry.get(m) or {}
+                if staged is None and not carried:
                     final.pop(m, None)
+                    continue
+                if carried:
+                    if staged is not None:
+                        # carried content ⊆ old entry, staged content =
+                        # staged entry: the union is the exact superset
+                        ent = dict(
+                            self._widen_bounds(
+                                old_bounds.get(m), staged, bounds_cols
+                            )
+                        )
+                        files = dict(staged.get("files", {}))
+                    else:
+                        ent = {
+                            k: v
+                            for k, v in (old_bounds.get(m) or {}).items()
+                            if k != "files"
+                        }
+                        files = {}
+                    files.update(carried)
+                    ent["files"] = files
+                    final[m] = ent
+                else:
+                    final[m] = staged
             self._write_bounds(path, final)
 
     # -------------------------------------------------------------- runs
@@ -1502,12 +1746,41 @@ class PipelineRunner:
                 self._DELTA_WRITE_MAX_FRACTION * len(universe)
             ):
                 if months:
-                    pruned = self.read_target_months(table, months)
+                    # File-level path (r9): when the plan published a
+                    # changed-key superset and the sidecar carries
+                    # per-file bounds, phase 2 reads ONLY the touched
+                    # files and carries the rest forward by hardlink —
+                    # read and write both O(touched files), not
+                    # O(touched months).
+                    touched = self._plan_touched_files(
+                        table, months, out
+                    )
+                    if touched is None:
+                        pruned = self.read_target_months(table, months)
+                        carry = None
+                    else:
+                        pruned = self._read_target_files(
+                            table, months, touched
+                        )
+                        bounds = self._load_bounds(table) or {}
+                        carry = {
+                            m: {
+                                f: ent[f]
+                                for f in ent
+                                if f not in sel
+                            }
+                            for m, sel in touched.items()
+                            if sel is not None
+                            for ent in (
+                                bounds.get(m, {}).get("files", {}),
+                            )
+                        }
                     # Same out dict: the plan reuses its pinned
                     # recompute instead of re-running every source
                     # filter/join/reaggregation job a second time.
                     self._write_delta(
-                        plan(pruned, wm, out), table, months
+                        plan(pruned, wm, out), table, months,
+                        carry=carry,
                     )
                 self.watermarks.log_run(version, started, data_wm)
                 if change_signal is not None:

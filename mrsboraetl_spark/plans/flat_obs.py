@@ -258,9 +258,11 @@ def incremental_flat_obs(
                 ),
                 out, "vp_recent",
             )
+            # encounter_id rides along for the changed-key superset
+            # below — same partition-pruned, column-pruned read.
             vp_probe = month_probe(
                 target, out, vp_recent, "person_id",
-                ["person_id", "encounter_datetime"],
+                ["encounter_id", "person_id", "encounter_datetime"],
             )
             months = months.unionByName(
                 enc_probe.join(affected_enc, "encounter_id", "left_semi")
@@ -270,6 +272,31 @@ def incremental_flat_obs(
                 .select(month)
             )
         out["affected_months"] = months.distinct()
+        # Changed-pk superset for the engine's file-level delta writer
+        # (engine._plan_touched_files): every encounter_id whose row may
+        # differ between old and merged state — retracted keys
+        # (⊆ affected_enc), upserted keys (recomputed), and the purged
+        # rows of freshly-voided persons (from the same pruned probe
+        # the month derivation pays for).  The one deletion class whose
+        # OLD pks are unknowable without reading — encounter-less
+        # groups, whose synthetic id embeds a min(obs_id) that may have
+        # changed — is published as its MONTH set instead; the writer
+        # marks the sentinel-range files of those months touched.
+        key = F.col("encounter_id").cast("long").alias("encounter_id")
+        changed = recomputed.select(key).unionByName(
+            affected_enc.select(key)
+        )
+        if target is not None:
+            changed = changed.unionByName(
+                vp_probe.join(vp_recent, "person_id", "left_semi")
+                .select(key)
+            )
+        out["changed_keys"] = _pin(
+            changed.distinct(), out, "changed_keys"
+        )
+        out["synthetic_delta_months"] = affected_noenc.select(
+            p_month_of("obs_datetime").alias("p_month")
+        ).distinct()
     if target is not None:
         # Retract all affected rows (J4/J5), then upsert the recomputed ones.
         target = anti_delete(target, affected_enc, ["encounter_id"])

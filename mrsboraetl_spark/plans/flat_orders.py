@@ -154,9 +154,11 @@ def incremental_flat_orders(
                 ),
                 out, "vp_recent",
             )
+            # encounter_id rides along for the changed-key superset
+            # below — same partition-pruned, column-pruned read.
             vp_probe = month_probe(
                 target, out, vp_recent, "person_id",
-                ["person_id", "encounter_datetime"],
+                ["encounter_id", "person_id", "encounter_datetime"],
             )
             months = months.unionByName(
                 enc_probe.join(affected, "encounter_id", "left_semi")
@@ -166,6 +168,17 @@ def incremental_flat_orders(
                 .select(month)
             )
         out["affected_months"] = months.distinct()
+        # Changed-pk superset for the file-level delta writer (see
+        # incremental_flat_obs; flat_orders has no synthetic class, so
+        # the key set alone covers every differing row).
+        key = F.col("encounter_id").cast("long").alias("encounter_id")
+        changed = recomputed.select(key).unionByName(affected.select(key))
+        if target is not None:
+            changed = changed.unionByName(
+                vp_probe.join(vp_recent, "person_id", "left_semi")
+                .select(key)
+            )
+        out["changed_keys"] = _pin(changed.distinct(), out, "changed_keys")
     if target is not None:
         target = anti_delete(target, affected, ["encounter_id"])
     merged = replace_into(target, recomputed, ["encounter_id"])

@@ -203,9 +203,11 @@ def incremental_flat_visit_summary(
             # rather than below today's full column-pruned scan; the
             # reference pays the same secondary-index walk for its
             # person-keyed deletes.
+            # encounter_id rides along for the changed-key superset
+            # below — same partition-pruned, column-pruned read.
             queue_probe = month_probe(
                 target, out, queue, "person_id",
-                ["person_id", "encounter_datetime"],
+                ["encounter_id", "person_id", "encounter_datetime"],
             )
             vp_recent = _pin(
                 recently_voided(
@@ -216,7 +218,7 @@ def incremental_flat_visit_summary(
             )
             vp_probe = month_probe(
                 target, out, vp_recent, "person_id",
-                ["person_id", "encounter_datetime"],
+                ["encounter_id", "person_id", "encounter_datetime"],
             )
             # replace_into also deletes by ENCOUNTER id: an encounter
             # re-pointed to a different person (patient merge) leaves
@@ -243,6 +245,24 @@ def incremental_flat_visit_summary(
                 ).select(month)
             )
         out["affected_months"] = months.distinct()
+        # Changed-pk superset for the file-level delta writer (see
+        # incremental_flat_obs).  All three deletion classes here are
+        # person-keyed (queue retraction, vp purge) or pk-keyed
+        # (replace_into's delete of re-pointed encounters ⊆ recomputed
+        # keys); the person-keyed rows' pks — including synthetic
+        # ones — come from the same pruned probes the month derivation
+        # pays for, so no separate synthetic-month channel is needed.
+        key = F.col("encounter_id").cast("long").alias("encounter_id")
+        changed = recomputed.select(key)
+        if target is not None:
+            changed = changed.unionByName(
+                queue_probe.join(queue, "person_id", "left_semi")
+                .select(key)
+            ).unionByName(
+                vp_probe.join(vp_recent, "person_id", "left_semi")
+                .select(key)
+            )
+        out["changed_keys"] = _pin(changed.distinct(), out, "changed_keys")
     if target is not None:
         target = anti_delete(target, queue, ["person_id"])
     merged = replace_into(target, recomputed, ["encounter_id"])

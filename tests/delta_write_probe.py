@@ -52,6 +52,21 @@ def tree_bytes_after(root: str, t0: float) -> int:
     return total
 
 
+def data_files_after(root: str, t0: float) -> tuple[int, int]:
+    """(#data files written since t0, #data files total).  Hardlinked
+    carries keep the original inode mtime, so a carried file does NOT
+    count as written — the file-level writer's claim in one number."""
+    new = total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            total += 1
+            if os.stat(os.path.join(dirpath, f)).st_mtime >= t0:
+                new += 1
+    return new, total
+
+
 def tree_bytes(root: str) -> int:
     return tree_bytes_after(root, 0.0)
 
@@ -183,6 +198,8 @@ def run_probe(n: int) -> None:
     for mode in (
         "warmup",
         "delta_bounds",
+        "delta_file_level",
+        "delta_month_grain",
         "delta_bounds_paths",
         "delta_no_bounds",
         "full_rewrite",
@@ -191,6 +208,18 @@ def run_probe(n: int) -> None:
         runner = PipelineRunner(spark, root, partitioned=True)
         if mode == "full_rewrite":
             runner._DELTA_WRITE_MAX_FRACTION = -1  # force the fallback
+        if mode in ("delta_file_level", "delta_month_grain"):
+            # r9: several files per month so the file-level writer has
+            # something to prune — at 50k persons ~2.5k flat rows/month
+            # this yields ~10 files/month; write I/O must then scale
+            # with touched FILES, not touched months.  delta_month_grain
+            # is the honest A/B: IDENTICAL file layout, file accounting
+            # disabled, so every affected month rewrites whole.
+            runner._TARGET_FILE_ROWS = max(50, n // 200)
+        if mode == "delta_month_grain":
+            runner._plan_touched_files = (
+                lambda table, months, out: None
+            )
         src_rebuild = paths if mode == "delta_bounds_paths" else dfs
         src_sync = paths2 if mode == "delta_bounds_paths" else dfs2
         t0 = time.time()
@@ -223,11 +252,14 @@ def run_probe(n: int) -> None:
         if mode == "delta_no_bounds":
             # no reader: every probe IS a full scan of the target dirs
             opened, opened_mb = n_dirs, dirs_mb
+        files_new, files_total = data_files_after(root, t_sync)
         results[mode] = {
             "rebuild_sec": round(rebuild_s, 1),
             "target_mb": round(target_bytes / 1e6, 2),
             "sync_sec": round(sync_s, 1),
             "sync_write_mb": round(tree_bytes_after(root, t_sync) / 1e6, 2),
+            "sync_files_written": files_new,
+            "files_total": files_total,
             "sync_read_mb": round(
                 (executor_input_bytes(spark) - r0) / 1e6, 2
             ),
@@ -240,6 +272,16 @@ def run_probe(n: int) -> None:
     d = results["delta_bounds"]["sync_write_mb"]
     f = results["full_rewrite"]["sync_write_mb"]
     results["write_amplification_ratio"] = round(f / d, 1) if d else None
+    fl = results["delta_file_level"]["sync_write_mb"]
+    mg = results["delta_month_grain"]["sync_write_mb"]
+    results["file_level_write_cut_ratio"] = (
+        round(mg / fl, 1) if fl else None
+    )
+    flf = results["delta_file_level"]["sync_files_written"]
+    mgf = results["delta_month_grain"]["sync_files_written"]
+    results["file_level_files_cut_ratio"] = (
+        round(mgf / flf, 1) if flf else None
+    )
     rb = results["delta_bounds"]["probe_month_dirs_mb"]
     rn = results["delta_no_bounds"]["probe_month_dirs_mb"]
     results["probe_read_reduction_ratio"] = (

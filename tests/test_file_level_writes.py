@@ -1,0 +1,263 @@
+"""File-level delta writes inside month directories (r9, VERDICT r8
+item 2): a sync whose delta is month-LOCAL must rewrite only the
+PK-clustered files whose recorded key bounds intersect the changed-key
+set, carrying every untouched file forward by hardlink — write I/O
+scales with touched FILES, not touched months (the partitioned-layout
+lift of VersionedTable.merge_delta's per-file accounting,
+sources/versioned.py:236-252; the reference's REPLACE INTO cost model
+is per-row, flat_obs_v1.0.sql:115).
+
+The month-directory swap stays the unit of atomicity — file-level only
+changes how the STAGED directory is assembled (fresh files + hardlinks),
+so the crash contract (demote _old.M -> promote -> cleanup; widened
+sidecar before swaps, exact after) is inherited unchanged.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.engine import PipelineRunner
+
+
+def _mk_state(
+    spark, tmp_path, monkeypatch, n_persons=120, seed=43, file_rows=4
+):
+    """Partitioned pipeline with several files per month (small
+    maxRecordsPerFile) through rebuild + a draining sync."""
+    from tests.fixtures import make_sources, to_spark
+
+    monkeypatch.setattr(PipelineRunner, "_TARGET_FILE_ROWS", file_rows)
+    pdfs = make_sources(n_persons=n_persons, seed=seed)
+    # Clamp date_changed stragglers so a later delta is ONLY what the
+    # test injects (same clamp as delta_write_probe.py).
+    enc = pdfs["encounter"].copy()
+    wm = pdfs["obs"]["date_created"].max()
+    late = enc["date_changed"].notna() & (enc["date_changed"] > wm)
+    enc.loc[late, "date_changed"] = wm
+    pdfs = dict(pdfs, encounter=enc)
+    dfs = to_spark(spark, pdfs)
+    r = PipelineRunner(spark, str(tmp_path / "store"), partitioned=True)
+    r.run(dfs, mode="rebuild")
+    r.run(dfs, mode="sync")
+    return r, pdfs
+
+
+def _small_delta(pdfs):
+    """One new obs on ONE existing encounter -> a delta confined to a
+    single (person, month).  The encounter is picked from the MODAL
+    storage month so the affected month holds several files and the
+    file-level claim is non-vacuous."""
+    import pandas as pd
+
+    obs = pdfs["obs"]
+    enc = pdfs["encounter"]
+    wm = obs["date_created"].max()
+    month = enc["encounter_datetime"].dt.strftime("%Y-%m")
+    modal_ids = set(
+        enc[month == month.mode().iloc[0]]["encounter_id"]
+    )
+    cand = obs[
+        (obs["voided"] == 0) & obs["encounter_id"].isin(modal_ids)
+    ].iloc[0]
+    row = cand.to_dict()
+    row.update(
+        obs_id=int(obs["obs_id"].max()) + 1,
+        concept_id=5089,
+        value_coded=None,
+        value_numeric=7.5,
+        date_created=wm + dt.timedelta(days=1),
+    )
+    return dict(pdfs, obs=pd.concat(
+        [obs, pd.DataFrame([row])], ignore_index=True
+    ))
+
+
+def _file_map(root, table):
+    """{month: {fname: (inode, mtime, size)}} of a partitioned target."""
+    out: dict = {}
+    tdir = os.path.join(root, f"{table}.parquet")
+    for d in os.listdir(tdir):
+        if not d.startswith("p_month="):
+            continue
+        m = d.split("=", 1)[1]
+        out[m] = {}
+        for f in os.listdir(os.path.join(tdir, d)):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(tdir, d, f))
+                out[m][f] = (st.st_ino, st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_file_level_sync_rewrites_only_touched_files(
+    spark, tmp_path, monkeypatch
+):
+    from tests.fixtures import to_spark
+
+    r, pdfs = _mk_state(spark, tmp_path, monkeypatch)
+    before = _file_map(r.root, "flat_obs")
+    n_files_before = sum(len(v) for v in before.values())
+    assert n_files_before > len(before), (
+        "fixture must produce multiple files per month for the claim "
+        "to be non-vacuous"
+    )
+
+    pdfs2 = _small_delta(pdfs)
+    r.run(to_spark(spark, pdfs2), mode="sync")
+
+    after = _file_map(r.root, "flat_obs")
+    per_month: dict = {}
+    for m, files in after.items():
+        c = rw = 0
+        for f, (ino, mt, sz) in files.items():
+            if before.get(m, {}).get(f) == (ino, mt, sz):
+                c += 1
+            else:
+                rw += 1
+        per_month[m] = (c, rw)
+    rewritten = sum(rw for _c, rw in per_month.values())
+    # Carried-within-AFFECTED-months is the discriminating count: an
+    # untouched month's identical files prove nothing (never swapped),
+    # a swapped month keeping old inodes proves the hardlink carry.
+    carried_in_affected = sum(
+        c for c, rw in per_month.values() if rw > 0
+    )
+    assert carried_in_affected > 0, (
+        "no file carried forward inside a rewritten month", per_month,
+    )
+    assert 0 < rewritten <= 3, (
+        f"{rewritten} files rewritten for a one-encounter delta",
+        per_month,
+    )
+
+    # Master correctness: the file-level synced state equals a fresh
+    # rebuild over the same final sources.
+    rb = PipelineRunner(
+        spark, str(tmp_path / "rebuild"), partitioned=True
+    )
+    rb.run(to_spark(spark, pdfs2), mode="rebuild")
+    for t in ("flat_obs", "flat_orders", "flat_visit_summary"):
+        cols = sorted(
+            c for c in r.read_target(t).columns if c != "obs_map"
+        )
+        a = sorted(map(repr, r.read_target(t).toPandas()[cols]
+                        .itertuples(index=False)))
+        b = sorted(map(repr, rb.read_target(t).toPandas()[cols]
+                        .itertuples(index=False)))
+        assert a == b, t
+
+
+def test_sidecar_file_entries_track_disk_and_are_disjoint(
+    spark, tmp_path, monkeypatch
+):
+    """Per-month 'files' sidecar entries must list exactly the data
+    files on disk, and their PK ranges within a month must be disjoint
+    (the property file-level pruning rests on — hash-partitioned
+    layouts have overlapping per-file ranges and prune nothing)."""
+    r, _ = _mk_state(spark, tmp_path, monkeypatch, n_persons=40, seed=47)
+    for t in ("flat_obs", "flat_orders", "flat_visit_summary"):
+        bounds = r._load_bounds(t)
+        disk = _file_map(r.root, t)
+        for m, files in disk.items():
+            ent = bounds.get(m, {}).get("files")
+            assert ent is not None, (t, m)
+            assert sorted(ent) == sorted(files), (t, m)
+            spans = sorted(
+                (lo, hi) for lo, hi, _n in ent.values()
+            )
+            for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+                assert hi1 < lo2, (
+                    f"{t}/{m}: overlapping file ranges "
+                    f"[{lo1},{hi1}] vs [{lo2},{hi2}]"
+                )
+
+
+def test_file_level_interrupted_swap_keeps_contract(
+    spark, tmp_path, monkeypatch
+):
+    """Crash inside the swap window of a file-level delta write: the
+    widened sidecar must have DROPPED the rewritten month's file
+    entries (unknown which directory version survives), so the next
+    sync month-grain-rewrites that month instead of trusting stale
+    file bounds; recovery + re-sync converges to the rebuild state."""
+    from tests.fixtures import to_spark
+
+    r, pdfs = _mk_state(spark, tmp_path, monkeypatch, n_persons=40, seed=53)
+    pdfs2 = _small_delta(pdfs)
+
+    real_replace = os.replace
+    blown = {}
+
+    def exploding_replace(src, dst):
+        # Crash at the FIRST month-directory promote of flat_obs's
+        # delta write (demote already done -> the _old.M window).
+        if "/flat_obs.parquet/p_month=" in str(dst) and not blown:
+            blown["at"] = (src, dst)
+            raise RuntimeError("injected crash inside swap window")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(
+        "mrsboraetl_spark.engine.os.replace", exploding_replace
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        r.run(to_spark(spark, pdfs2), mode="sync")
+    monkeypatch.setattr("mrsboraetl_spark.engine.os.replace", real_replace)
+    assert blown, "injection never fired"
+
+    crashed_month = str(blown["at"][1]).rsplit("p_month=", 1)[1]
+    bounds = r._load_bounds("flat_obs")
+    assert "files" not in bounds.get(crashed_month, {}), (
+        "widened (pre-swap) sidecar must not carry file entries for a "
+        "month whose directory version is unknown"
+    )
+
+    # Next sync: recovery promotes/demotes as needed, then converges.
+    r.run(to_spark(spark, pdfs2), mode="sync")
+    rb = PipelineRunner(spark, str(tmp_path / "rebuild"), partitioned=True)
+    rb.run(to_spark(spark, pdfs2), mode="rebuild")
+    cols = sorted(
+        c for c in r.read_target("flat_obs").columns if c != "obs_map"
+    )
+    a = sorted(map(repr, r.read_target("flat_obs").toPandas()[cols]
+                    .itertuples(index=False)))
+    b = sorted(map(repr, rb.read_target("flat_obs").toPandas()[cols]
+                    .itertuples(index=False)))
+    assert a == b
+
+
+def test_phase2_reads_only_touched_files_plus_fallback_months(
+    spark, tmp_path, monkeypatch
+):
+    """The phase-2 pruned read must open the touched FILES of
+    file-level months (not the whole directory) — the read-side half of
+    the per-file cost model."""
+    from tests.fixtures import to_spark
+
+    r, pdfs = _mk_state(spark, tmp_path, monkeypatch)
+    pdfs2 = _small_delta(pdfs)
+
+    reads: list = []
+    orig = PipelineRunner._read_target_files
+
+    def spy(self, table, months, touched):
+        reads.append((table, {m: sorted(v) if v is not None else None
+                              for m, v in touched.items()}))
+        return orig(self, table, months, touched)
+
+    monkeypatch.setattr(PipelineRunner, "_read_target_files", spy)
+    r.run(to_spark(spark, pdfs2), mode="sync")
+    obs_reads = [t for t in reads if t[0] == "flat_obs"]
+    assert obs_reads, "flat_obs sync did not use the file-level path"
+    touched = obs_reads[0][1]
+    n_selected = sum(
+        len(v) for v in touched.values() if v is not None
+    )
+    disk = _file_map(r.root, "flat_obs")
+    n_disk = sum(
+        len(disk.get(m, {})) for m in touched
+    )
+    assert 0 < n_selected < n_disk, (touched, n_disk)
