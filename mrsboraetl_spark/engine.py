@@ -357,7 +357,10 @@ class PipelineRunner:
                         bounds.setdefault(m, {})[f"bloom:{c}"] = {
                             "m": meta["m"], "j": meta["j"], "w": w,
                         }
-        except (FileNotFoundError, ValueError, KeyError):
+        except Exception:  # noqa: BLE001 - any malformed Bloom file
+            # (truncated blob, header that parses to a non-dict, wrong
+            # meta types) must only cost the membership refinement —
+            # never fail the sync.  The range bounds above still prune.
             pass
         return bounds
 
@@ -443,6 +446,22 @@ class PipelineRunner:
                     ent[c] = [int(lo), int(hi)]
             out[str(r[self.PARTITION_COL])] = ent
         return out
+
+    @staticmethod
+    def _normalized_keys(keys_df: DataFrame, col: str) -> DataFrame:
+        """THE normalized probe-key frame, shared by every key-driven
+        pruning mechanism (range join, Bloom test, isin collect,
+        touched-file planning): one non-null distinct long ``_k`` per
+        probe key.  NULL keys are dropped once here — a null matches no
+        range, no Bloom bit, no file span, and no target row (probe
+        consumers equi-join on the key), but it would crash an int()
+        collect — and a nullable source key column (orders.encounter_id)
+        makes null probe keys routine, not a corner case."""
+        return (
+            keys_df.select(F.col(col).cast("long").alias("_k"))
+            .where(F.col("_k").isNotNull())
+            .distinct()
+        )
 
     @staticmethod
     def _bloom_pos_expr():
@@ -570,26 +589,90 @@ class PipelineRunner:
             for mo, ent in blooms.items():
                 out.setdefault(mo, {})[f"bloom:{c}"] = ent
         if pk is not None:
-            from urllib.parse import unquote, urlparse
+            stats = self._file_pk_stats_from_footers(parquet_dir, pk)
+            if stats is None:
+                # footer stats unprovable for some file: one
+                # column-pruned distributed pass gives the same answer
+                from urllib.parse import unquote, urlparse
 
-            rows = (
-                self.spark.read.parquet(parquet_dir)
-                .groupBy(
-                    self.PARTITION_COL,
-                    F.input_file_name().alias("_f"),
+                rows = (
+                    self.spark.read.parquet(parquet_dir)
+                    .groupBy(
+                        self.PARTITION_COL,
+                        F.input_file_name().alias("_f"),
+                    )
+                    .agg(
+                        F.min(pk).alias("lo"),
+                        F.max(pk).alias("hi"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .collect()
                 )
-                .agg(
-                    F.min(pk).alias("lo"),
-                    F.max(pk).alias("hi"),
-                    F.count(F.lit(1)).alias("n"),
-                )
-                .collect()
-            )
-            for r in rows:
-                name = os.path.basename(unquote(urlparse(r["_f"]).path))
-                out.setdefault(str(r[self.PARTITION_COL]), {}).setdefault(
-                    "files", {}
-                )[name] = [int(r["lo"]), int(r["hi"]), int(r["n"])]
+                stats = {}
+                for r in rows:
+                    name = os.path.basename(
+                        unquote(urlparse(r["_f"]).path)
+                    )
+                    stats.setdefault(str(r[self.PARTITION_COL]), {})[
+                        name
+                    ] = [int(r["lo"]), int(r["hi"]), int(r["n"])]
+            for m, files in stats.items():
+                out.setdefault(m, {})["files"] = files
+        return out
+
+    def _file_pk_stats_from_footers(
+        self, parquet_dir: str, pk: str
+    ) -> dict | None:
+        """{month: {fname: [lo, hi, n]}} from parquet FOOTER metadata —
+        no data pages read (r9 review finding: the per-file entries
+        previously cost a second distributed scan of the staged data).
+        pk is an integer column (INT32/INT64 statistics are exact and
+        never truncated, unlike strings); any file without provable
+        stats returns None and the caller falls back to the scan."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return None
+        out: dict = {}
+        for entry in sorted(os.listdir(parquet_dir)):
+            if not entry.startswith(self.PARTITION_COL + "="):
+                continue
+            m = entry.split("=", 1)[1]
+            d = os.path.join(parquet_dir, entry)
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet") or fn.startswith(
+                    ("_", ".")
+                ):
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(d, fn)).metadata
+                except Exception:
+                    return None
+                lo = hi = None
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    idx = {
+                        rg.column(i).path_in_schema: i
+                        for i in range(rg.num_columns)
+                    }
+                    if pk not in idx:
+                        return None
+                    col = rg.column(idx[pk])
+                    if col.physical_type not in ("INT32", "INT64"):
+                        return None
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is None:
+                    # zero-row file: no entry (a data file the sidecar
+                    # does not list makes _plan_touched_files fall back
+                    # to month grain — conservative)
+                    continue
+                out.setdefault(m, {})[fn] = [
+                    int(lo), int(hi), int(md.num_rows),
+                ]
         return out
 
     @staticmethod
@@ -661,18 +744,7 @@ class PipelineRunner:
             ]
             cand = set(always)
             n_keys = None
-            # ONE normalized key frame for all three probe mechanisms
-            # (range join, Bloom test, isin collect).  NULL keys are
-            # dropped here: a null matches no range, no Bloom bit, and
-            # no target row (probe consumers equi-join on the key), but
-            # it would crash the isin collect's int() — and a nullable
-            # source key column (orders.encounter_id) makes null probe
-            # keys a routine occurrence, not a corner case.
-            kdf = (
-                keys_df.select(F.col(key_col).cast("long").alias("_k"))
-                .where(F.col("_k").isNotNull())
-                .distinct()
-            )
+            kdf = self._normalized_keys(keys_df, key_col)
             if ranged:
                 bdf = self.spark.createDataFrame(
                     ranged, schema="p_month string, lo long, hi long"
@@ -760,13 +832,17 @@ class PipelineRunner:
         above the synthetic sentinel was probed: such keys were
         excluded from the filters at build time).  ``kdf`` is the
         reader's normalized key frame (one non-null long ``_k`` per
-        distinct probe key).  The whole test runs JVM-side (explode j
-        positions per key x month, broadcast-join the occupied words,
-        all-bits-set per (key, month)); the driver receives ONE row:
-        the surviving month set + the over flag — same month-bounded
-        transfer contract as the range probe."""
-        import struct
-
+        distinct probe key).  The whole test runs JVM-side: each
+        candidate month's filter ships as ONE binary blob (broadcast —
+        at the 2^23-bit cap that is <=1 MB per month, where the r8
+        per-occupied-word tuple transfer would build 131k Python rows
+        per month), the j positions per key x month are exploded, and
+        the probed bit is extracted from the blob with a dynamic
+        substring (two 32-bit halves: conv(hex(...)) stays unsigned-
+        exact where a full 8-byte word would overflow a signed long
+        cast).  The driver receives ONE row: the surviving month set +
+        the over flag — same month-bounded transfer contract as the
+        range probe."""
         spec = F.array(
             *[
                 F.struct(
@@ -777,26 +853,36 @@ class PipelineRunner:
                 for mo, e in blooms.items()
             ]
         )
-        wrows = []
+        blob_rows = []
         for mo, e in blooms.items():
             raw = (
                 bytes.fromhex(e["w"])
                 if isinstance(e["w"], str)
                 else bytes(e["w"])
             )
-            for wi in range(len(raw) // 8):
-                bits = struct.unpack_from(">q", raw, wi * 8)[0]
-                if bits:
-                    wrows.append((mo, wi, bits))
-        wdf = self.spark.createDataFrame(
-            wrows or [("", -1, 0)], "mo string, word long, bits long"
+            blob_rows.append((mo, bytearray(raw)))
+        blob_df = self.spark.createDataFrame(
+            blob_rows, "mo string, blob binary"
         )
         over_expr = (
             (F.col("_k") >= sentinel)
             if sentinel is not None
             else F.lit(False)
         )
-        exp = (
+        # Build wrote words big-endian (struct '>Q'): within word w,
+        # bytes w*8+1..w*8+4 hold bits 63..32 (the HI half), bytes
+        # w*8+5..w*8+8 hold bits 31..0 (LO).  Bit index b = pos mod 64
+        # lives in LO when b < 32 (shift b), else in HI (shift b-32).
+        hi_half = F.conv(
+            F.hex(F.expr("substring(blob, cast(_word*8+1 as int), 4)")),
+            16, 10,
+        ).cast("long")
+        lo_half = F.conv(
+            F.hex(F.expr("substring(blob, cast(_word*8+5 as int), 4)")),
+            16, 10,
+        ).cast("long")
+        bit = F.pmod(F.col("_pos"), F.lit(64))
+        row = (
             kdf
             .select("_k", over_expr.alias("_over"), F.explode(spec).alias("_s"))
             .select("_k", "_over", "_s._mo", "_s._m", "_s._j")
@@ -808,26 +894,19 @@ class PipelineRunner:
             .withColumn(
                 "_word", F.floor(F.col("_pos") / 64).cast("long")
             )
-        )
-        row = (
-            exp.join(
-                F.broadcast(wdf),
-                (F.col("_mo") == F.col("mo"))
-                & (F.col("_word") == F.col("word")),
-                "left",
+            .join(F.broadcast(blob_df), F.col("_mo") == F.col("mo"))
+            .withColumn(
+                "_half",
+                F.when(bit >= 32, hi_half).otherwise(lo_half),
+            )
+            .withColumn(
+                "_shift",
+                F.when(bit >= 32, bit - 32).otherwise(bit).cast("int"),
             )
             .withColumn(
                 "_set",
                 F.when(
-                    F.col("bits").isNotNull()
-                    & (
-                        F.expr(
-                            "bits & shiftleft(CAST(1 AS BIGINT),"
-                            " CAST(pmod(_pos, 64) AS INT))"
-                        )
-                        != 0
-                    ),
-                    1,
+                    F.expr("shiftright(_half, _shift) % 2") == 1, 1
                 ).otherwise(0),
             )
             .groupBy("_mo", "_k", "_j")
@@ -853,13 +932,16 @@ class PipelineRunner:
         """File-level write planning (r9, VERDICT r8 item 2): for each
         affected month, which of its data files must be rewritten.
 
-        Returns ``{month: set(filenames) | None}`` — a None VALUE means
-        that month falls back to the whole-directory rewrite (sidecar
+        Returns ``(touched, carry)`` — ``touched`` maps each month to
+        its set of filenames to rewrite, or None VALUE for a month
+        falling back to the whole-directory rewrite (sidecar
         missing/stale for it); months absent from the map have no
-        on-disk directory (new months, nothing to carry).  Returns None
-        OUTRIGHT when file-level accounting is unavailable (plan
-        provides no changed-key superset, or no month has usable file
-        entries) and the caller keeps today's month-grain path.
+        on-disk directory (new months, nothing to carry).  ``carry``
+        maps file-level months to the untouched {filename: [lo, hi,
+        n]} entries to hardlink forward.  Returns None OUTRIGHT when
+        file-level accounting is unavailable (plan provides no
+        changed-key superset, or no month has usable file entries) and
+        the caller keeps today's month-grain path.
 
         A file is touched iff its recorded [lo, hi] pk range intersects
         the plan's changed-key superset (``out["changed_keys"]``, every
@@ -919,11 +1001,7 @@ class PipelineRunner:
         ):
             return None
         if file_rows:
-            kdf = (
-                keys_df.select(F.col(pk).cast("long").alias("_k"))
-                .where(F.col("_k").isNotNull())
-                .distinct()
-            )
+            kdf = self._normalized_keys(keys_df, pk)
             bdf = self.spark.createDataFrame(
                 file_rows, schema="m string, f string, lo long, hi long"
             )
@@ -941,7 +1019,17 @@ class PipelineRunner:
                 sel = plan_map.get(r["m"])
                 if sel is not None:
                     sel.add(r["f"])
-        return plan_map
+        carry = {
+            m: {
+                f: ent[f]
+                for f in ent
+                if f not in sel
+            }
+            for m, sel in plan_map.items()
+            if sel is not None
+            for ent in (bounds.get(m, {}).get("files", {}),)
+        }
+        return plan_map, carry
 
     def _read_target_files(
         self, table: str, months: list[str], touched: dict
@@ -1146,9 +1234,18 @@ class PipelineRunner:
             for fname in files:
                 s = os.path.join(live_dir, fname)
                 d = os.path.join(src_dir, fname)
+                if os.path.exists(d):
+                    # a staged fresh file under a carried name would be
+                    # silently replaced by stale live data — impossible
+                    # with uuid part-names, so a collision means state
+                    # corruption: fail loudly, never overwrite
+                    raise FileExistsError(
+                        f"carried file collides with staged file: {d}"
+                    )
                 try:
                     os.link(s, d)
                 except OSError:
+                    # cross-device / no-hardlink filesystem: copy
                     shutil.copy2(s, d)
         for m in months:
             src = os.path.join(tmp, f"{self.PARTITION_COL}={m}")
@@ -1531,16 +1628,29 @@ class PipelineRunner:
                 jdbc_person_void_state,
             )
 
-            for with_date in (True, False):
+            # Remember which probe form worked per (url, table) so a
+            # source genuinely lacking date_voided pays the failed
+            # with_date probe ONCE per runner, not once per sync
+            # (r9 review finding).
+            memo = getattr(self, "_jdbc_void_probe_form", None)
+            if memo is None:
+                memo = self._jdbc_void_probe_form = {}
+            key = (src.url, src.table)
+            forms = (
+                (memo[key],) if key in memo else (True, False)
+            )
+            for with_date in forms:
                 # A source without date_voided fails the first probe
                 # loudly (never silently); the dateless retry keeps the
                 # fingerprint pushed down and only the timestamp signal
                 # degrades to None — same as the scan path's behavior.
                 try:
-                    return jdbc_person_void_state(
+                    state = jdbc_person_void_state(
                         self.spark, src.url, src.table,
                         src.props(), src.dialect, with_date=with_date,
                     )
+                    memo[key] = with_date
+                    return state
                 except Exception:
                     continue
             # pushdown unavailable entirely: resolve and scan
@@ -1571,7 +1681,14 @@ class PipelineRunner:
         ]
         has_date = "date_voided" in person.columns
         if has_date:
-            aggs.append(F.max("date_voided").alias("dv"))
+            # Over the VOIDED rows only (matching the pushed-down SQL's
+            # WHERE voided = 1 — r9 review finding): an un-voided row
+            # with a stale non-NULL date_voided must not inflate the
+            # signal, because it feeds vp_cutoff ("voids dated <= this
+            # were purged") and an inflated cutoff would scope a later
+            # genuine void OUT of recently_voided's month probe — its
+            # target rows would survive unpurged forever.
+            aggs.append(F.max(F.when(voided, F.col("date_voided"))).alias("dv"))
         row = person.agg(*aggs).first()
         fp = {
             "n": int(row["n"] or 0),
@@ -1752,29 +1869,17 @@ class PipelineRunner:
                     # files and carries the rest forward by hardlink —
                     # read and write both O(touched files), not
                     # O(touched months).
-                    touched = self._plan_touched_files(
+                    plan_files = self._plan_touched_files(
                         table, months, out
                     )
-                    if touched is None:
+                    if plan_files is None:
                         pruned = self.read_target_months(table, months)
                         carry = None
                     else:
+                        touched, carry = plan_files
                         pruned = self._read_target_files(
                             table, months, touched
                         )
-                        bounds = self._load_bounds(table) or {}
-                        carry = {
-                            m: {
-                                f: ent[f]
-                                for f in ent
-                                if f not in sel
-                            }
-                            for m, sel in touched.items()
-                            if sel is not None
-                            for ent in (
-                                bounds.get(m, {}).get("files", {}),
-                            )
-                        }
                     # Same out dict: the plan reuses its pinned
                     # recompute instead of re-running every source
                     # filter/join/reaggregation job a second time.

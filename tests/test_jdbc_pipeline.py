@@ -226,3 +226,43 @@ def test_jdbc_undated_void_caught_by_pushdown_fingerprint(spark, env, runners):
             .count()
         )
         assert left == 0, (t, left)
+
+
+def test_void_signal_ignores_unvoided_stale_date(spark, tmp_path):
+    """r9 review finding: an UN-voided person row carrying a stale
+    non-NULL date_voided (an un-void that didn't clear the date) must
+    not inflate the person_voided signal on EITHER source form — the
+    signal feeds vp_cutoff ('voids dated <= this were purged'), and an
+    inflated cutoff would scope a later genuine void out of the purge
+    probe forever.  Both paths must also agree bit-for-bit."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from mrsboraetl_spark.sources.footer_stats import (
+        jdbc_person_void_state,
+    )
+
+    stale = dt.datetime(2035, 1, 1)
+    real = dt.datetime(2024, 6, 1)
+    schema = T.StructType([
+        T.StructField("person_id", T.LongType()),
+        T.StructField("voided", T.IntegerType()),
+        T.StructField("date_voided", T.TimestampType()),
+    ])
+    person = spark.createDataFrame(
+        [(1, 0, stale), (2, 1, real), (3, 0, None)], schema
+    )
+    r = PipelineRunner(spark, str(tmp_path / "store"))
+    dv_scan, fp_scan = r._person_void_state(person)
+    assert dv_scan == real, "stale unvoided date must not inflate dv"
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    person.write.format("jdbc").option("url", url).option(
+        "dbtable", "person"
+    ).option("driver", DRIVER).mode("overwrite").save()
+    dv_jdbc, fp_jdbc = jdbc_person_void_state(
+        spark, url, "person", {"driver": DRIVER}
+    )
+    assert dv_jdbc == dv_scan
+    assert fp_jdbc == fp_scan
