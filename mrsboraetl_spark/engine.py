@@ -658,6 +658,12 @@ class PipelineRunner:
                     if pk not in idx:
                         return None
                     col = rg.column(idx[pk])
+                    if col.num_values == 0 and rg.num_rows == 0:
+                        # zero-row chunk: contributes nothing — same
+                        # rule as parquet_column_maxes; abandoning the
+                        # footer path here would silently re-pay the
+                        # distributed scan every sync
+                        continue
                     if col.physical_type not in ("INT32", "INT64"):
                         return None
                     st = col.statistics
@@ -928,7 +934,7 @@ class PipelineRunner:
 
     def _plan_touched_files(
         self, table: str, months: list[str], out: dict
-    ) -> dict | None:
+    ) -> tuple[dict, dict] | None:
         """File-level write planning (r9, VERDICT r8 item 2): for each
         affected month, which of its data files must be rewritten.
 
@@ -1628,18 +1634,23 @@ class PipelineRunner:
                 jdbc_person_void_state,
             )
 
-            # Remember which probe form worked per (url, table) so a
+            # Remember which probe form works per (url, table) so a
             # source genuinely lacking date_voided pays the failed
-            # with_date probe ONCE per runner, not once per sync
-            # (r9 review finding).
+            # with_date probe ONCE per runner, not once per sync — but
+            # memoize the dateless form ONLY when the column is PROVEN
+            # absent (one zero-row schema probe): pinning it on a bare
+            # exception would let a single transient error silently
+            # degrade the person_voided timestamp signal for the
+            # runner's lifetime (r9 second-review finding).  A failing
+            # memoized form always falls back to the other form this
+            # sync, so the memo can never make behavior worse than
+            # memo-less, only cheaper.
             memo = getattr(self, "_jdbc_void_probe_form", None)
             if memo is None:
                 memo = self._jdbc_void_probe_form = {}
             key = (src.url, src.table)
-            forms = (
-                (memo[key],) if key in memo else (True, False)
-            )
-            for with_date in forms:
+            first = memo.get(key, True)
+            for with_date in (first, not first):
                 # A source without date_voided fails the first probe
                 # loudly (never silently); the dateless retry keeps the
                 # fingerprint pushed down and only the timestamp signal
@@ -1649,10 +1660,24 @@ class PipelineRunner:
                         self.spark, src.url, src.table,
                         src.props(), src.dialect, with_date=with_date,
                     )
-                    memo[key] = with_date
-                    return state
                 except Exception:
                     continue
+                if not with_date and key not in memo:
+                    from mrsboraetl_spark.sources.footer_stats import (
+                        jdbc_column_exists,
+                    )
+
+                    if not jdbc_column_exists(
+                        self.spark, src.url, src.table, "date_voided",
+                        src.props(), src.dialect,
+                    ):
+                        memo[key] = False
+                    # column exists -> the dated probe's failure was
+                    # transient: use this sync's dateless answer but
+                    # retry the dated form next sync (no memo)
+                elif with_date:
+                    memo[key] = True
+                return state
             # pushdown unavailable entirely: resolve and scan
         person = person() if callable(person) else person
         return self._person_void_state(person)

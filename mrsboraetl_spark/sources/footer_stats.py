@@ -179,6 +179,34 @@ def _one_row(spark, url: str, dbtable: str, properties: dict | None):
     return reader.load().collect()[0]
 
 
+def jdbc_column_exists(
+    spark,
+    url: str,
+    table: str,
+    col: str,
+    properties: dict | None = None,
+    dialect: str = "ansi",
+) -> bool:
+    """Whether ``col`` exists on the source table — one zero-row schema
+    probe (WHERE 1=0, never executed against data).  Used to decide if
+    a failed column-dependent pushdown was a MISSING COLUMN (cache the
+    dateless form) or a transient error (retry next sync): memoizing on
+    the bare exception would permanently degrade the signal after one
+    network blip (r9 review finding)."""
+    q = '"{}"'.format if dialect == "ansi" else "`{}`".format
+    sub = f"(SELECT {q(col)} FROM {table} WHERE 1=0) col_probe"
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", sub
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    try:
+        reader.load().schema
+        return True
+    except Exception:
+        return False
+
+
 def jdbc_person_void_state(
     spark,
     url: str,
