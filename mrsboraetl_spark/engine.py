@@ -620,6 +620,30 @@ class PipelineRunner:
                 out.setdefault(m, {})["files"] = files
         return out
 
+    @staticmethod
+    def _pk_range_from_files(files: dict, sentinel):
+        """Exact month-level [lo, hi] of the REAL (below-sentinel) pk
+        population, derived from per-file entries alone: each file's
+        bounds are exact, and the files map is the month's exact
+        content after a completed swap.  Returns "omit" when no file
+        holds a provable real row (synthetic-only month — same
+        semantics as the exact scan pass), or None when a file
+        STRADDLES the sentinel (its real max is unknowable from bounds
+        — keep the widened entry, conservative)."""
+        los: list[int] = []
+        his: list[int] = []
+        for lo, hi, _n in files.values():
+            lo, hi = int(lo), int(hi)
+            if sentinel is not None and lo >= sentinel:
+                continue  # pure synthetic file: excluded by design
+            if sentinel is not None and hi >= sentinel:
+                return None  # straddling file: real max unprovable
+            los.append(lo)
+            his.append(hi)
+        if not los:
+            return "omit"
+        return [min(los), max(his)]
+
     def _file_pk_stats_from_footers(
         self, parquet_dir: str, pk: str
     ) -> dict | None:
@@ -1296,6 +1320,21 @@ class PipelineRunner:
                         files = {}
                     files.update(carried)
                     ent["files"] = files
+                    # Re-tighten the PK range from the per-file entries
+                    # (pure metadata — the files map IS the month's
+                    # current content, each entry exact): without this,
+                    # repeated month-local deltas never tighten the
+                    # widened range until a full-month rewrite.
+                    # person_id ranges and Blooms stay widened (their
+                    # exact values need the carried files' data).
+                    if pk is not None and pk in dict(bounds_cols):
+                        rng = self._pk_range_from_files(
+                            files, dict(bounds_cols).get(pk)
+                        )
+                        if rng == "omit":
+                            ent.pop(pk, None)
+                        elif rng is not None:
+                            ent[pk] = rng
                     final[m] = ent
                 else:
                     final[m] = staged

@@ -134,6 +134,20 @@ def test_file_level_sync_rewrites_only_touched_files(
         per_month,
     )
 
+    # The affected months' pk ranges must be EXACT after the sync (re-
+    # tightened from the per-file entries), not stuck widened: compare
+    # to a fresh scan-derived recompute over the live table.
+    bounds = r._load_bounds("flat_obs")
+    exact = r._compute_month_bounds(
+        r._path("flat_obs"), r._BOUNDS_COLS["flat_obs"]
+    )
+    for m, (_c, rw) in per_month.items():
+        if rw and "encounter_id" in exact.get(m, {}):
+            assert (
+                bounds[m].get("encounter_id")
+                == exact[m]["encounter_id"]
+            ), (m, bounds[m].get("encounter_id"), exact[m])
+
     # Master correctness: the file-level synced state equals a fresh
     # rebuild over the same final sources.
     rb = PipelineRunner(
