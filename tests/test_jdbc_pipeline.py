@@ -266,3 +266,16 @@ def test_void_signal_ignores_unvoided_stale_date(spark, tmp_path):
     )
     assert dv_jdbc == dv_scan
     assert fp_jdbc == fp_scan
+
+
+def test_jdbc_column_exists_probe(spark, env):
+    """The zero-row schema probe that gates the void-form memo: present
+    column -> True, absent -> False (never an exception)."""
+    from mrsboraetl_spark.sources.footer_stats import jdbc_column_exists
+
+    assert jdbc_column_exists(
+        spark, env["url"], "person", "date_voided", {"driver": DRIVER}
+    )
+    assert not jdbc_column_exists(
+        spark, env["url"], "person", "no_such_column", {"driver": DRIVER}
+    )
