@@ -26,30 +26,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # INTENTIONAL slowdown, re-baseline that entry in the same commit;
 # SPARK_GRAFT_NO_GUARD=1 skips the exit for ad-hoc runs.
 BASELINE = {
-    "q1_pricing_summary": 0.323,
+    # r10 ratchet: 19 entries folded down to their BENCH_r09 driver lows
+    # (VERDICT r9 item 5); the other 3 keep their earlier best-knowns.
+    "q1_pricing_summary": 0.288,
     "join_multi_dims": 0.498,
-    "obs_blob_pack": 1.769,
-    "latest_order_per_customer": 0.37,
-    "topk_orders_per_customer": 0.355,
-    "groupby_expr_day": 0.401,
-    "flat_events_blob": 0.822,
-    "incremental_upsert_equiv": 0.633,
-    "sessionize_events": 0.416,
+    "obs_blob_pack": 1.669,
+    "latest_order_per_customer": 0.36,
+    "topk_orders_per_customer": 0.333,
+    "groupby_expr_day": 0.33,
+    "flat_events_blob": 0.756,
+    "incremental_upsert_equiv": 0.615,
+    "sessionize_events": 0.413,
     "asof_join_latest_order": 0.852,
-    "grouping_sets_status_nation": 0.492,
+    "grouping_sets_status_nation": 0.462,
     "salted_skew_aggregate": 0.323,
-    "dedup_exact": 0.21,
-    "dedup_minhash_lsh": 1.152,
-    "dedup_lsh_verified": 1.903,
-    "ann_brute_force_topk": 0.561,
-    "ann_lsh_bucketed_topk": 0.474,
-    "ann_ivf_topk": 1.148,
-    "text_doc_metrics": 0.668,
-    "visit_summary_equiv": 0.936,
-    "decontam_ngram_overlap": 1.484,
+    "dedup_exact": 0.195,
+    "dedup_minhash_lsh": 0.984,
+    "dedup_lsh_verified": 1.681,
+    "ann_brute_force_topk": 0.497,
+    "ann_lsh_bucketed_topk": 0.465,
+    "ann_ivf_topk": 1.071,
+    "text_doc_metrics": 0.615,
+    "visit_summary_equiv": 0.898,
+    "decontam_ngram_overlap": 1.275,
     # r7 headline addition (dedup_simhash demoted from the registry);
-    # baseline = r7 local min-of-3 on this box (1.192/1.085/1.079)
-    "sketch_kmv_distinct": 1.079,
+    # ratcheted to the BENCH_r09 driver low
+    "sketch_kmv_distinct": 0.873,
 }
 GUARD_FACTOR = 2.0
 
@@ -148,7 +150,8 @@ def main() -> None:
     timings = {name: min(ts) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     load_end = _load_context()
-    load = {"start": load_start, "end": load_end}
+    workers = int(os.environ.get("SPARK_GRAFT_CPUS") or load_end["cpus"])
+    load = {"start": load_start, "end": load_end, "workers": workers}
     print(
         json.dumps(
             {
@@ -163,12 +166,17 @@ def main() -> None:
         )
     )
     # Annotation, not a gate: walls from a contended box are noise, and
-    # the bench itself contributes ~32 busy threads — the signal is the
-    # load ALREADY on the box at start, and whatever else ran alongside
-    # by the end (end load1 minus this process's own footprint).
+    # the bench itself contributes ~one busy thread per local[N] worker —
+    # the signal is the load ALREADY on the box at start, and whatever
+    # else ran alongside by the end (end load1 minus this process's own
+    # footprint).  The footprint is the ACTUAL worker-thread count, not
+    # os.cpu_count(): with SPARK_GRAFT_CPUS < cpus the old proxy
+    # understated concurrent external load and could label a contended
+    # run idle (ADVICE r9).  Both raw numbers land in the artifact so a
+    # reader can recompute against any threshold.
     ratio = max(
         load_start["load1"] / load_start["cpus"],
-        (load_end["load1"] - load_end["cpus"]) / load_end["cpus"],
+        (load_end["load1"] - workers) / load_end["cpus"],
     )
     verdict = "LOADED" if ratio > 0.3 else "idle"
     print(

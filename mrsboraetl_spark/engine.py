@@ -472,7 +472,8 @@ class PipelineRunner:
         mod m with an odd crc32-derived step (odd => the stride cycles
         the whole power-of-two table).  Both terms are reduced mod m
         BEFORE the addition — the same value by modular identity, but
-        every intermediate stays < j*m + m (< 2^21), so the expression
+        every intermediate stays < j*m + m (8 * 2^23 ≈ 2^26 at the
+        _BLOOM_MAX_BITS cap), so the expression
         can never overflow a long: the naive ``h1 + i*step`` throws
         ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode whenever
         xxhash64 lands near Long.MAX (~1 in 1e9 keys — a guaranteed
@@ -1706,14 +1707,19 @@ class PipelineRunner:
                         jdbc_column_exists,
                     )
 
-                    if not jdbc_column_exists(
+                    if jdbc_column_exists(
                         self.spark, src.url, src.table, "date_voided",
                         src.props(), src.dialect,
-                    ):
+                    ) is False:
+                        # definite proof (control probe reached the DB,
+                        # column probe failed): safe to pin
                         memo[key] = False
-                    # column exists -> the dated probe's failure was
+                    # column exists OR probe unreachable (None) -> the
+                    # dated probe's failure was (or may have been)
                     # transient: use this sync's dateless answer but
-                    # retry the dated form next sync (no memo)
+                    # retry the dated form next sync (no memo — ADVICE
+                    # r9: a connectivity blip hitting both probes must
+                    # not pin the degraded form forever)
                 elif with_date:
                     memo[key] = True
                 return state

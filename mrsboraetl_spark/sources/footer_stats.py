@@ -186,25 +186,43 @@ def jdbc_column_exists(
     col: str,
     properties: dict | None = None,
     dialect: str = "ansi",
-) -> bool:
+) -> bool | None:
     """Whether ``col`` exists on the source table — one zero-row schema
     probe (WHERE 1=0, never executed against data).  Used to decide if
     a failed column-dependent pushdown was a MISSING COLUMN (cache the
     dateless form) or a transient error (retry next sync): memoizing on
     the bare exception would permanently degrade the signal after one
-    network blip (r9 review finding)."""
+    network blip (r9 review finding).
+
+    Returns True / False / None for exists / proven absent / UNKNOWN.
+    False requires PROOF the probe reached the database: when the
+    column probe fails, a control probe of the same table WITHOUT the
+    column (SELECT 1 ... WHERE 1=0) must succeed — a connectivity or
+    table-level failure fails both and yields None, so a single blip
+    in which the void probe AND this probe both die can never pin the
+    degraded form for the runner's lifetime (ADVICE r9: callers only
+    memoize on a definite False)."""
     q = '"{}"'.format if dialect == "ansi" else "`{}`".format
-    sub = f"(SELECT {q(col)} FROM {table} WHERE 1=0) col_probe"
-    reader = spark.read.format("jdbc").option("url", url).option(
-        "dbtable", sub
-    )
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
-    try:
+
+    def _probe(select: str) -> bool:
+        sub = f"(SELECT {select} FROM {table} WHERE 1=0) col_probe"
+        reader = spark.read.format("jdbc").option("url", url).option(
+            "dbtable", sub
+        )
+        for k, v in (properties or {}).items():
+            reader = reader.option(k, v)
         reader.load().schema
         return True
+
+    try:
+        return _probe(q(col))
     except Exception:
-        return False
+        pass
+    try:
+        _probe("1 AS one")
+    except Exception:
+        return None  # database/table unreachable: column state unknown
+    return False
 
 
 def jdbc_person_void_state(

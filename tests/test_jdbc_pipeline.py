@@ -268,14 +268,25 @@ def test_void_signal_ignores_unvoided_stale_date(spark, tmp_path):
     assert fp_jdbc == fp_scan
 
 
-def test_jdbc_column_exists_probe(spark, env):
+def test_jdbc_column_exists_probe(spark, env, tmp_path):
     """The zero-row schema probe that gates the void-form memo: present
-    column -> True, absent -> False (never an exception)."""
+    column -> True, proven-absent -> False, UNREACHABLE database ->
+    None (never an exception).  The None arm is the ADVICE r9 fix: a
+    transient failure hitting both the void probe and this probe in
+    one sync must not read as 'column missing' — only a definite False
+    (control probe reached the DB, column probe failed) may be
+    memoized, so the dated form is retried after a blip."""
     from mrsboraetl_spark.sources.footer_stats import jdbc_column_exists
 
     assert jdbc_column_exists(
         spark, env["url"], "person", "date_voided", {"driver": DRIVER}
-    )
-    assert not jdbc_column_exists(
+    ) is True
+    assert jdbc_column_exists(
         spark, env["url"], "person", "no_such_column", {"driver": DRIVER}
-    )
+    ) is False
+    # nonexistent database without ;create=true: both probes fail to
+    # connect -> unknown, NOT False
+    assert jdbc_column_exists(
+        spark, f"jdbc:derby:{tmp_path}/no_such_db", "person",
+        "date_voided", {"driver": DRIVER},
+    ) is None
