@@ -64,6 +64,7 @@ class PipelineRunner:
         storage_root: str,
         versioned: bool = False,
         partitioned: bool = False,
+        manifest: bool = False,
     ):
         """``versioned=True`` stores every target as a VersionedTable
         (sources/versioned.py): each run commits a new immutable version
@@ -81,15 +82,41 @@ class PipelineRunner:
         is (p_month, pk), so no task writes into more than one month
         directory).  ``read_target`` drops the synthetic ``p_month`` so
         the incremental plans see the exact stage schema; date-range
-        consumers read the path directly with a ``p_month`` filter."""
+        consumers read the path directly with a ``p_month`` filter.
+
+        ``manifest=True`` (requires ``partitioned=True``; r10, VERDICT
+        r9 item 1) makes a month's content a FILE LIST in an atomic
+        ``_snapshot.json`` instead of a directory listing: data files
+        land in immutable hidden epoch directories (``_e{N}``), a
+        file-level delta's untouched files are carried forward as
+        MANIFEST ENTRIES (zero data-file renames, links, or copies —
+        the object-store story: S3/GCS/ABFS have no hardlinks and a
+        rename is a full physical copy there), and the swap is ONE
+        snapshot pointer flip (``os.replace`` locally; a single-key
+        conditional PUT on an object store).  Replaced files are
+        garbage-collected after the flip.  Trade-off, same as
+        Delta/Iceberg: readers go through ``read_target``/
+        ``read_target_months`` — a raw ``spark.read.parquet(path)``
+        sees NO data (hidden epoch dirs are skipped by Spark's
+        listing), fail-safe rather than silently stale/duplicated.
+        Unpartitioned targets (flat_latest_hiv_summary) route through
+        VersionedTable — the same manifest discipline, already
+        crash-pinned (sources/versioned.py)."""
         self.spark = spark
         self.root = storage_root
         self.versioned = versioned
         self.partitioned = partitioned
+        self.manifest = manifest
         if versioned and partitioned:
             raise ValueError(
                 "versioned and partitioned layouts are mutually exclusive "
                 "(the manifest writer commits unpartitioned snapshots)"
+            )
+        if manifest and not partitioned:
+            raise ValueError(
+                "manifest layout is a mode of the partitioned layout "
+                "(pass partitioned=True); for unpartitioned manifest "
+                "storage use versioned=True"
             )
         os.makedirs(storage_root, exist_ok=True)
         self.watermarks = WatermarkStore(
@@ -116,6 +143,15 @@ class PipelineRunner:
         path readers across arbitrarily many skipping syncs."""
         if self.versioned:
             return self._versioned(table).version() >= 0
+        if self.manifest:
+            if table not in self._PARTITION_SRC:
+                return self._versioned(table).version() >= 0
+            # The snapshot flip is atomic: whatever pointer is on disk
+            # IS the table — no demoted state can exist, nothing to
+            # rescue.  Crash orphans (staged-but-never-flipped epochs)
+            # are invisible to manifest readers and GC'd at the next
+            # write.
+            return self._load_manifest(table) is not None
         path = self._path(table)
         old = path + ".old"
         if not os.path.exists(path) and os.path.exists(old):
@@ -159,6 +195,17 @@ class PipelineRunner:
         if self.versioned:
             vt = self._versioned(table)
             return None if vt.version() < 0 else vt.read(self.spark)
+        if self.manifest:
+            if table not in self._PARTITION_SRC:
+                vt = self._versioned(table)
+                return None if vt.version() < 0 else vt.read(self.spark)
+            files = self._manifest_files(table)
+            # zero-month snapshot reads as cold (no schema to serve);
+            # the next run rebuilds — same convergence as dir mode's
+            # empty-directory failure, without the reader crash
+            return (
+                self.spark.read.parquet(*files) if files else None
+            )
         if not self._recover_fs(table):
             return None
         path = self._path(table)
@@ -178,7 +225,20 @@ class PipelineRunner:
     _CLUSTER_BY = {
         "flat_obs": ["encounter_id"],
         "flat_orders": ["encounter_id"],
-        "flat_lab_obs": ["encounter_id"],
+        # flat_lab_obs clusters on (person, day) — its actual key and
+        # every access path's shape (r10, VERDICT r9 item 4, decided by
+        # measurement: a lab-heavy delta month-grain-rewrote 26 files /
+        # 0.195 MB where the other tables' file-level writes touched 1,
+        # PERF.md).  The incremental plan deletes on (person_id,
+        # test_datetime), the only downstream consumer semi-joins on
+        # person_id (plans/flat_visit_summary.py:177), and the
+        # reference's own delete path is its person_date index
+        # (flat_lab_obs_v1.0.sql:58) — encounter_id (the reference PK,
+        # :61) is a synthetic per-(person, day) id nothing probes by.
+        # Person clustering makes per-file person ranges tight and
+        # disjoint, enabling file-level delta writes keyed on the
+        # plan's affected persons.
+        "flat_lab_obs": ["person_id", "test_datetime"],
         "flat_visit_summary": ["encounter_id"],
         "flat_latest_hiv_summary": ["person_id"],
     }
@@ -221,8 +281,11 @@ class PipelineRunner:
     # population covers every key and prunes nothing.  Sound because
     # probe keys are real source ids; the reader still routes any
     # key >= sentinel to all months (conservative, never exercised).
-    # flat_lab_obs is absent by design: its (person, day) key CONTAINS
-    # the partition datetime, so its plan never probes the target.
+    # flat_lab_obs keeps only person_id: its (person, day) key CONTAINS
+    # the partition datetime, so its plan never month-probes the target
+    # — the entry exists for the per-FILE person bounds that drive its
+    # file-level delta writes (r10; the sidecar "files" machinery
+    # piggybacks on a non-empty bounds config).
     _BOUNDS_COLS = {
         "flat_obs": {
             "encounter_id": SYNTHETIC_ENCOUNTER_OFFSET,
@@ -236,6 +299,7 @@ class PipelineRunner:
             "encounter_id": SYNTHETIC_ENCOUNTER_OFFSET,
             "person_id": None,
         },
+        "flat_lab_obs": {"person_id": None},
     }
     # Per-month Bloom membership sidecar (r8, VERDICT r7 item 3),
     # stored inside the same JSON under "bloom:<col>" month keys.
@@ -275,6 +339,16 @@ class PipelineRunner:
     # delta spans most months anyway; a larger delta skips the Bloom
     # and keeps the range verdict.
     _BLOOM_PROBE_MAX_KEYS = 1_000_000
+    # Every Nth CONSECUTIVE file-level sync of a month re-derives that
+    # month's ranges and Blooms exactly from its current files (one
+    # column-pruned single-month scan), instead of keeping the widened
+    # union (r10, VERDICT r9 item 3).  Between cadence scans the pk
+    # range still re-tightens from file metadata every sync; person
+    # entries are what erode — a purged person is never un-OR'd from a
+    # widened Bloom.  Amortized cost: 1/N of a month scan per sync.  A
+    # full-month rewrite resets the counter (its sidecar is exact).
+    _PERSON_RETIGHTEN_EVERY = 8
+
     # Deltas this small additionally push the key set into the probe
     # scan as an In filter (row-group skipping inside the candidate
     # months).  Must stay <= the session's parquet
@@ -286,12 +360,21 @@ class PipelineRunner:
     # demoted _old.M directories.
     _BOUNDS_FILE = "_month_bounds.json"
     _BLOOMS_FILE = "_month_blooms.bin"
+    # Manifest layout (manifest=True): the snapshot pointer and the
+    # hidden epoch-directory prefix.  Underscore prefixes keep all of
+    # them invisible to Spark's file listing — a raw path reader sees
+    # an empty table, never a cross-epoch union.
+    _SNAPSHOT_FILE = "_snapshot.json"
+    _EPOCH_PREFIX = "_e"
 
     # Optional cap on rows per data file (Spark maxRecordsPerFile).
     # Within a month directory rows are RANGE-partitioned and sorted on
-    # the PK (see _write), so a file split produces contiguous,
-    # DISJOINT per-file key ranges — the property the file-level delta
-    # writer's pruning rests on.  None = Spark's default (no split);
+    # the PK (see _write), so a FULL-month write produces contiguous,
+    # DISJOINT per-file key ranges — the property that makes file-level
+    # delta PRUNING effective (correctness rests on exact bounds + the
+    # changed-key superset, not disjointness; a file-level delta sync
+    # may stage a straddling file — see _plan_touched_files).
+    # None = Spark's default (no split);
     # production deployments size this to land ~128 MB-1 GB files;
     # tests and probes set it low to get several files per month at
     # fixture scale.
@@ -310,7 +393,20 @@ class PipelineRunner:
         directories — the read-side complement of the delta-scoped
         write (at 100 TB this is what makes a sync O(delta months) end
         to end instead of an O(target) scan feeding an O(delta)
-        write)."""
+        write).  Manifest mode selects the months' exact file lists
+        from the snapshot — same pruning, zero directory listing."""
+        if self.manifest:
+            sel = self._manifest_files(table, months) if months else []
+            if sel:
+                return self.spark.read.parquet(*sel)
+            # no candidate months (or months absent from the snapshot):
+            # an empty frame with the target schema keeps downstream
+            # joins well-typed — read one live file's schema, no rows
+            all_files = self._manifest_files(table)
+            return (
+                self.spark.read.parquet(*all_files[:1])
+                .filter(F.lit(False))
+            )
         df = self.spark.read.parquet(self._path(table))
         if not months:
             # No candidate months: nothing to read (and isin() with an
@@ -421,14 +517,168 @@ class PipelineRunner:
             f.write(b"".join(parts))
         os.replace(tmpb, bp)
 
-    def _compute_month_bounds(self, parquet_dir: str, cols: dict) -> dict:
+    # ------------------------------------------------ manifest layout
+    # (r10, VERDICT r9 item 1: the object-store-safe carry.)  A table's
+    # content is defined by _snapshot.json: {"epoch": N, "months":
+    # {month: [relpath, ...]}} where every relpath points into an
+    # immutable hidden epoch directory.  Writes stage a new epoch, then
+    # FLIP the snapshot — one atomic metadata operation; a carried file
+    # is just a relpath kept in the new month list.  No data file is
+    # ever renamed, linked, or copied after its initial write, so the
+    # layout costs the same on a filesystem without hardlinks or cheap
+    # renames (monkeypatched-os.link pin: tests/test_manifest_layout.py).
+
+    def _snapshot_path_dir(self, table_dir: str) -> str:
+        return os.path.join(table_dir, self._SNAPSHOT_FILE)
+
+    def _load_manifest(self, table: str) -> dict | None:
+        """The live snapshot, or None for a cold/absent table.  A
+        corrupt snapshot also reads as None: the next run cold-rebuilds
+        and flips a fresh one (self-healing; os.replace makes a torn
+        file unreachable in normal operation)."""
+        try:
+            with open(
+                self._snapshot_path_dir(self._path(table))
+            ) as f:
+                man = json.load(f)
+            return man if isinstance(man.get("months"), dict) else None
+        except (FileNotFoundError, json.JSONDecodeError, AttributeError):
+            return None
+
+    def _flip_manifest_dir(self, table_dir: str, man: dict) -> None:
+        """THE swap: one atomic pointer replace.  Local stand-in for an
+        object store's single-key conditional PUT (If-Match on the read
+        epoch would add optimistic concurrency for multiple writers;
+        this engine follows the reference's single-writer sync model,
+        flat_obs_v1.0.sql's one cron)."""
+        p = self._snapshot_path_dir(table_dir)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, sort_keys=True)
+        os.replace(tmp, p)
+
+    def _manifest_files(
+        self, table: str, months: list[str] | None = None
+    ) -> list[str]:
+        """Absolute data-file paths of the live snapshot, optionally
+        restricted to the given months — the manifest-mode equivalent
+        of partition pruning (strictly stronger: exact file lists, no
+        directory listing at all)."""
+        man = self._load_manifest(table)
+        if man is None:
+            return []
+        base = self._path(table)
+        sel = man["months"].items() if months is None else (
+            (m, man["months"].get(m, ())) for m in months
+        )
+        return [os.path.join(base, rp) for _m, fl in sel for rp in fl]
+
+    def _gc_epochs(self, table: str) -> int:
+        """Delete epoch-directory files not referenced by the live
+        snapshot: replaced files after a flip, orphans from a crash
+        before one.  Runs before staging (so a crashed attempt can't
+        accumulate) and after a successful flip.  Single-writer model:
+        a concurrent READER holding the previous snapshot can lose
+        files mid-job, exactly like today's directory swap — a
+        deployment needing snapshot isolation defers this GC by a TTL
+        or uses versioned=True."""
+        path = self._path(table)
+        live = {
+            rp
+            for fl in (self._load_manifest(table) or {"months": {}})[
+                "months"
+            ].values()
+            for rp in fl
+        }
+        removed = 0
+        for entry in os.listdir(path):
+            if not entry.startswith(self._EPOCH_PREFIX):
+                continue
+            edir = os.path.join(path, entry)
+            if not os.path.isdir(edir):
+                continue
+            for root, _dirs, files in os.walk(edir, topdown=False):
+                for fn in files:
+                    fp = os.path.join(root, fn)
+                    if os.path.relpath(fp, path) not in live:
+                        os.remove(fp)
+                        removed += 1
+                try:
+                    os.rmdir(root)  # drops emptied month/epoch dirs
+                except OSError:
+                    pass
+        return removed
+
+    def _next_epoch_dir(self, table: str) -> tuple[int, str]:
+        man = self._load_manifest(table)
+        epoch = (int(man["epoch"]) + 1) if man else 0
+        return epoch, os.path.join(
+            self._path(table), f"{self._EPOCH_PREFIX}{epoch:08d}"
+        )
+
+    def _staged_month_files(self, edir: str) -> dict[str, list[str]]:
+        """{month: [relpath-from-table-root]} of a freshly staged epoch
+        directory — the month lists a flip publishes.  Disk listing is
+        authoritative here: the directory was just written by this
+        process and referenced by nothing."""
+        ename = os.path.basename(edir)
+        out: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(edir)):
+            if not entry.startswith(self.PARTITION_COL + "="):
+                continue
+            fl = [
+                f"{ename}/{entry}/{fn}"
+                for fn in sorted(os.listdir(os.path.join(edir, entry)))
+                if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+            ]
+            if fl:
+                out[entry.split("=", 1)[1]] = fl
+        return out
+
+    @staticmethod
+    def _rebase_file_entries(sidecar: dict, edir: str) -> None:
+        """Rewrite a staged sidecar's per-file entry KEYS from bare
+        filenames (what footer scanning yields) to relpaths from the
+        table root — manifest mode's file identity, so sidecar entries,
+        manifest lists, touched sets, and carry maps all speak the same
+        key."""
+        ename = os.path.basename(edir)
+        for m, ent in sidecar.items():
+            files = ent.get("files")
+            if files:
+                ent["files"] = {
+                    f"{ename}/p_month={m}/{fn}": v
+                    for fn, v in files.items()
+                }
+
+    def _existing_months(self, table: str) -> list[str]:
+        """Storage months of the live table — manifest keys in manifest
+        mode (no directory listing: the snapshot IS the content
+        authority, and disk may hold not-yet-GC'd orphans), hive
+        directory names otherwise."""
+        if self.manifest:
+            man = self._load_manifest(table)
+            return sorted((man or {"months": {}})["months"])
+        path = self._path(table)
+        return sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(path)
+            if d.startswith(self.PARTITION_COL + "=")
+        )
+
+    def _compute_month_bounds(self, src, cols: dict) -> dict:
         """Exact per-month [min, max] of each bounds column over its
         REAL (below-sentinel) rows, from the staged parquet itself (a
         column-pruned O(staged-data) scan — bounded by what the
         surrounding write already shuffled).  Bounded driver action:
         one row per storage month.  A month whose real population is
-        empty for a column omits it — unconditionally a candidate."""
-        df = self.spark.read.parquet(parquet_dir)
+        empty for a column omits it — unconditionally a candidate.
+        ``src``: a staged directory path, or a DataFrame already
+        carrying PARTITION_COL (the cadence re-tighten's single-month
+        read)."""
+        df = (
+            self.spark.read.parquet(src) if isinstance(src, str) else src
+        )
         aggs = []
         for c, sentinel in cols.items():
             v = (
@@ -490,6 +740,15 @@ class PipelineRunner:
         target = max(self._BLOOM_MIN_BITS, 16 * max(int(n_distinct), 1))
         return min(1 << (target - 1).bit_length(), self._BLOOM_MAX_BITS)
 
+    # Build-side transfer knob (r10, VERDICT r9 item 2): False stages
+    # the occupied-word aggregate as parquet and assembles each month's
+    # filter from its file (driver py4j transfer = O(months): one
+    # approx-distinct row per month; the word data reaches the driver
+    # as ONE bulk columnar file read per month, not months x 131k
+    # Python row objects).  True restores the row-collect build — kept
+    # as the byte-identity oracle in tests/test_partitioned_bounds.py.
+    _BLOOM_BUILD_COLLECT = False
+
     def _compute_month_blooms(
         self, parquet_dir: str, col: str, sentinel
     ) -> dict:
@@ -498,14 +757,25 @@ class PipelineRunner:
         parquet.  Two jobs: an approx-distinct per month (sizes m),
         then explode j positions per value and OR the 64-bit words
         JVM-side (partial aggregation makes the shuffle volume the
-        OCCUPIED word count, not the value count).  Bounded driver
-        action: <= months * m/64 word rows, in practice <= j * distinct
-        keys."""
+        OCCUPIED word count, not the value count).  The word aggregate
+        is repartitioned to one file per month and STAGED as parquet
+        (never collected): a wide rebuild touching 120 cap-sized months
+        would otherwise ship ~16M (month, word, bits) rows (~600 MB)
+        through py4j row-at-a-time; the driver instead bulk-reads each
+        month's single columnar file while packing its sidecar bytes —
+        I/O it must do anyway to write the .bin.
+
+        ``parquet_dir`` may also be a DataFrame already carrying
+        PARTITION_COL (the cadence re-tighten's single-month read)."""
         import struct
 
-        df = (
+        src = (
             self.spark.read.parquet(parquet_dir)
-            .select(
+            if isinstance(parquet_dir, str)
+            else parquet_dir
+        )
+        df = (
+            src.select(
                 self.PARTITION_COL,
                 F.col(col).cast("long").alias("_k"),
             )
@@ -530,7 +800,7 @@ class PipelineRunner:
                 if m_expr is None
                 else m_expr.when(cond, F.lit(mm))
             )
-        rows = (
+        agg = (
             df.withColumn("_m", m_expr.cast("long"))
             .withColumn(
                 "_i",
@@ -549,19 +819,61 @@ class PipelineRunner:
             )
             .groupBy(self.PARTITION_COL, "word")
             .agg(F.bit_or("mask").alias("bits"))
-            .collect()
         )
         words = {
             mo: bytearray(mm // 8) for mo, mm in m_of.items()
         }
-        for r in rows:
-            mo = str(r[self.PARTITION_COL])
-            struct.pack_into(
-                ">Q",
-                words[mo],
-                int(r["word"]) * 8,
-                int(r["bits"]) & 0xFFFFFFFFFFFFFFFF,
-            )
+        if self._BLOOM_BUILD_COLLECT:
+            for r in agg.collect():
+                mo = str(r[self.PARTITION_COL])
+                struct.pack_into(
+                    ">Q",
+                    words[mo],
+                    int(r["word"]) * 8,
+                    int(r["bits"]) & 0xFFFFFFFFFFFFFFFF,
+                )
+        else:
+            import shutil as _shutil
+            import tempfile
+
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            stage = tempfile.mkdtemp(prefix="_bloom_agg_")
+            try:
+                # one shuffle of the occupied-word rows (the same
+                # volume the collect shipped) -> exactly one data file
+                # per month for the driver's bulk read
+                (
+                    agg.repartition(F.col(self.PARTITION_COL))
+                    .write.mode("overwrite")
+                    .partitionBy(self.PARTITION_COL)
+                    .parquet(stage)
+                )
+                for entry in os.listdir(stage):
+                    if not entry.startswith(self.PARTITION_COL + "="):
+                        continue
+                    mo = entry.split("=", 1)[1]
+                    buf = words.get(mo)
+                    if buf is None:  # pragma: no cover - sizes cover all
+                        continue
+                    t = pq.read_table(
+                        os.path.join(stage, entry),
+                        columns=["word", "bits"],
+                    )
+                    w64 = np.zeros(len(buf) // 8, dtype=np.uint64)
+                    w64[t["word"].to_numpy()] = (
+                        t["bits"].to_numpy().astype(np.int64)
+                        .view(np.uint64)
+                    )
+                    # big-endian words at offset word*8: identical
+                    # layout to the struct.pack_into('>Q') path, pinned
+                    # byte-for-byte in tests
+                    words[mo] = bytearray(
+                        w64.astype(">u8").tobytes()
+                    )
+            finally:
+                _shutil.rmtree(stage, ignore_errors=True)
         return {
             mo: {"m": m_of[mo], "j": self._BLOOM_J, "w": bytes(w)}
             for mo, w in words.items()
@@ -578,10 +890,14 @@ class PipelineRunner:
         item 2: the partitioned-layout lift of
         VersionedTable._file_key_stats, sources/versioned.py:77).
         Per-file ranges include synthetic rows (no sentinel clipping):
-        the range-partitioned layout keeps per-file ranges DISJOINT, so
-        a bimodal population just means the tail file(s) carry the
-        synthetic span — unlike the month-level range, tightness
-        survives."""
+        a full-month range-partitioned write keeps per-file ranges
+        DISJOINT, so a bimodal population just means the tail file(s)
+        carry the synthetic span — unlike the month-level range,
+        tightness survives.  (After a file-level delta sync
+        disjointness is only best-effort — the staged rows were
+        range-partitioned without the carried files — but every
+        recorded [lo, hi, n] stays EXACT for its file, which is what
+        _plan_touched_files's correctness argument uses.)"""
         out = self._compute_month_bounds(parquet_dir, bounds_cols)
         for c in bloom_cols:
             blooms = self._compute_month_blooms(
@@ -620,6 +936,34 @@ class PipelineRunner:
             for m, files in stats.items():
                 out.setdefault(m, {})["files"] = files
         return out
+
+    def _exact_month_entries(
+        self, path: str, m: str, file_names, bounds_cols, bloom_cols
+    ) -> dict:
+        """Exact range + Bloom entries for ONE month of the live
+        (post-swap) table, from a column-pruned scan of exactly its
+        current data files — the cadence re-tighten's read.  In
+        manifest mode ``file_names`` are snapshot relpaths; in dir mode
+        the month directory is read whole (its content just swapped to
+        exactly these files)."""
+        if self.manifest:
+            df = self.spark.read.parquet(
+                *[os.path.join(path, rp) for rp in file_names]
+            )
+        else:
+            df = self.spark.read.parquet(
+                os.path.join(path, f"{self.PARTITION_COL}={m}")
+            )
+        # direct partition-dir / leaf-file reads carry no p_month column
+        df = df.withColumn(self.PARTITION_COL, F.lit(m))
+        ent = dict(self._compute_month_bounds(df, bounds_cols).get(m, {}))
+        for c in bloom_cols:
+            bl = self._compute_month_blooms(
+                df, c, dict(bounds_cols).get(c)
+            )
+            if m in bl:
+                ent[f"bloom:{c}"] = bl[m]
+        return ent
 
     @staticmethod
     def _pk_range_from_files(files: dict, sentinel):
@@ -754,12 +1098,7 @@ class PipelineRunner:
         bounds = self._load_bounds(table) if cols else None
         if bounds is None:
             return None
-        path = self._path(table)
-        existing = sorted(
-            d.split("=", 1)[1]
-            for d in os.listdir(path)
-            if d.startswith(self.PARTITION_COL + "=")
-        )
+        existing = self._existing_months(table)
 
         def reader(keys_df, key_col):
             if key_col not in cols:
@@ -982,16 +1321,30 @@ class PipelineRunner:
         reaches the synthetic sentinel and the month carries a
         synthetic-group delta (``out["synthetic_delta_months"]``).
         Untouched files are provably byte-identical in the merged
-        state: no changed pk falls in their range, and per-file ranges
-        are disjoint within a month (the range-partitioned layout), so
-        no recomputed row can land inside one.  One broadcast range
-        join; driver transfer bounded by the file count."""
+        state: every row of a carried file keeps its content (no
+        changed pk falls in the file's EXACT recorded range) and lives
+        in exactly one file, so the recomputed touched-file rows can
+        never include it.  That guarantee needs only exact per-file
+        bounds + the changed-key superset — NOT range disjointness
+        (ADVICE r9): full-month writes do produce disjoint per-file
+        ranges, but a file-level delta range-partitions only the
+        staged (touched) rows, so a staged file's span can straddle a
+        carried file's.  Overlap degrades only pruning QUALITY (a
+        straddling span touches more files next sync, and blocks
+        _pk_range_from_files re-tightening while it reaches the
+        sentinel) — never correctness.  One broadcast range join;
+        driver transfer bounded by the file count."""
         keys_df = out.get("changed_keys")
         if keys_df is None or not months:
             return None
         pk = self._CLUSTER_BY[table][0]
         bounds = self._load_bounds(table) or {}
         path = self._path(table)
+        man_months = (
+            (self._load_manifest(table) or {"months": {}})["months"]
+            if self.manifest
+            else None
+        )
         sentinel = dict(self._BOUNDS_COLS.get(table, {})).get(pk)
         synth_months: set = set()
         sm = out.get("synthetic_delta_months")
@@ -1001,19 +1354,25 @@ class PipelineRunner:
         plan_map: dict = {}
         file_rows: list = []
         for m in months:
-            mdir = os.path.join(path, f"{self.PARTITION_COL}={m}")
-            if not os.path.isdir(mdir):
-                continue  # new month: all rows staged fresh
+            if man_months is not None:
+                live = man_months.get(m)
+                if live is None:
+                    continue  # new month: all rows staged fresh
+            else:
+                mdir = os.path.join(path, f"{self.PARTITION_COL}={m}")
+                if not os.path.isdir(mdir):
+                    continue  # new month: all rows staged fresh
+                live = sorted(
+                    f
+                    for f in os.listdir(mdir)
+                    if f.endswith(".parquet")
+                    and not f.startswith(("_", "."))
+                )
             ent = bounds.get(m, {}).get("files")
-            on_disk = sorted(
-                f
-                for f in os.listdir(mdir)
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-            if ent is None or sorted(ent) != on_disk:
+            if ent is None or sorted(ent) != sorted(live):
                 # pre-file-entry table, crash-widened sidecar, or any
-                # disk/sidecar drift: month-grain rewrite, never trust
-                # stale per-file bounds
+                # content/sidecar drift: month-grain rewrite, never
+                # trust stale per-file bounds
                 plan_map[m] = None
                 continue
             touched: set = set()
@@ -1066,11 +1425,23 @@ class PipelineRunner:
         self, table: str, months: list[str], touched: dict
     ) -> DataFrame:
         """The target restricted to the touched FILES of the affected
-        months (whole directories for months whose file accounting fell
-        back) — the read-side half of the per-file cost model: phase 2
-        neither reads nor rewrites a carried file."""
+        months (whole directories / full month lists for months whose
+        file accounting fell back) — the read-side half of the per-file
+        cost model: phase 2 neither reads nor rewrites a carried
+        file."""
         path = self._path(table)
         sel: list[str] = []
+        if self.manifest:
+            man = self._load_manifest(table) or {"months": {}}
+            for m, t in touched.items():
+                names = (
+                    man["months"].get(m, ()) if t is None else sorted(t)
+                )
+                sel += [os.path.join(path, rp) for rp in names]
+            if not sel:
+                return self.read_target_months(table, [])
+            # explicit leaf files: no partition inference, no p_month
+            return self.spark.read.parquet(*sel)
         for m, t in touched.items():
             mdir = os.path.join(path, f"{self.PARTITION_COL}={m}")
             if t is None:
@@ -1110,6 +1481,17 @@ class PipelineRunner:
         if self.versioned:
             self._versioned(table).commit(df, note=table)
             return
+        if self.manifest:
+            if part_src:
+                self._write_manifest_full(df, table, pk[0])
+            else:
+                # unpartitioned target: VersionedTable IS the manifest
+                # layout for the whole-table case — commit + keep only
+                # the live version (matching swap-layout semantics)
+                vt = self._versioned(table)
+                vt.commit(df, note=table)
+                vt.vacuum(keep_last=1)
+            return
         path, tmp = self._path(table), self._path(table) + ".tmp"
         old = path + ".old"
         writer = df.write.mode("overwrite")
@@ -1142,6 +1524,59 @@ class PipelineRunner:
         os.replace(tmp, path)
         if os.path.exists(old):
             shutil.rmtree(old)
+
+    def _write_manifest_full(
+        self, df: DataFrame, table: str, pk: str
+    ) -> None:
+        """Full rewrite under the manifest layout: stage a complete new
+        epoch, flip the snapshot to it, GC everything older.  ``df`` is
+        already month-partitioned and PK-range-clustered by _write.
+
+        Sidecar discipline mirrors _write_months: WIDEN (old ∪ staged,
+        file entries dropped for re-staged months) before the flip,
+        EXACT after — a crash on either side of the flip leaves bounds
+        that cover whichever content the live snapshot names.  The flip
+        itself is the only promotion step; there is no directory swap
+        and no crash window with partial content."""
+        path = self._path(table)
+        os.makedirs(path, exist_ok=True)
+        self._gc_epochs(table)  # drop orphans of any crashed staging
+        epoch, edir = self._next_epoch_dir(table)
+        writer = df.write.mode("overwrite").partitionBy(
+            self.PARTITION_COL
+        )
+        if self._TARGET_FILE_ROWS:
+            writer = writer.option(
+                "maxRecordsPerFile", str(self._TARGET_FILE_ROWS)
+            )
+        writer.parquet(edir)
+        months_files = self._staged_month_files(edir)
+        bounds_cols = self._BOUNDS_COLS.get(table, ())
+        staged: dict = {}
+        if bounds_cols:
+            staged = self._compute_month_sidecar(
+                edir, bounds_cols, self._BLOOM_COLS.get(table, ()),
+                pk=pk,
+            )
+            self._rebase_file_entries(staged, edir)
+            old = self._load_sidecar_dir(path) or {}
+            widened = dict(old)
+            for m, ent in staged.items():
+                w = dict(
+                    self._widen_bounds(old.get(m), ent, bounds_cols)
+                )
+                # file entries never belong in a pre-flip sidecar: the
+                # live month list is about to change under them
+                w.pop("files", None)
+                widened[m] = w
+            self._write_bounds(path, widened)
+        self._flip_manifest_dir(
+            path, {"epoch": epoch, "months": months_files}
+        )
+        if bounds_cols:
+            # exact: a full rewrite's content is exactly the staged set
+            self._write_bounds(path, staged)
+        self._gc_epochs(table)  # previous epochs are now unreferenced
 
     def _write_delta(
         self, df: DataFrame, table: str, months: list[str],
@@ -1212,13 +1647,26 @@ class PipelineRunner:
         instead, conservative) and the final pass records carried ∪
         staged file entries with month ranges/Blooms kept WIDENED (the
         carried files' exact population is deliberately never re-read;
-        exactness returns at the next full-month rewrite)."""
+        exactness returns at the next full-month rewrite).
+
+        Manifest layout (r10): same staging and identical sidecar
+        discipline, but the carry is PURE METADATA — untouched files'
+        relpaths stay in the new snapshot's month lists (no hardlink,
+        no copy: the object-store-safe form) — and the per-month
+        directory swaps collapse into ONE atomic snapshot flip, after
+        which replaced files are GC'd."""
         if not months:
             return
         carry = carry or {}
-        tmp = path + ".delta-tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        if self.manifest:
+            # content authority while staging: the CURRENT snapshot
+            table = os.path.basename(path)[: -len(".parquet")]
+            self._gc_epochs(table)
+            epoch, tmp = self._next_epoch_dir(table)
+        else:
+            tmp = path + ".delta-tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
         writer = df.write.mode("overwrite").partitionBy(self.PARTITION_COL)
         if self._TARGET_FILE_ROWS:
             writer = writer.option(
@@ -1231,6 +1679,8 @@ class PipelineRunner:
             staged_bounds = self._compute_month_sidecar(
                 tmp, bounds_cols, bloom_cols, pk=pk
             )
+            if self.manifest:
+                self._rebase_file_entries(staged_bounds, tmp)
             old_bounds = self._load_sidecar_dir(path) or {}
             widened = dict(old_bounds)
             for m in months:
@@ -1252,45 +1702,70 @@ class PipelineRunner:
                 # month being deleted (no staged rows, no carry): keep
                 # the old entry until the directory is actually gone
             self._write_bounds(path, widened)
-        # Assemble carried files into the staged directories BEFORE any
-        # swap: hardlinks from the still-live month dirs (same inode —
-        # carried bytes are never copied; rmtree of the demoted dir
-        # after promotion only drops the old NAME).
-        for m, files in carry.items():
-            if not files:
-                continue
-            src_dir = os.path.join(tmp, f"{self.PARTITION_COL}={m}")
-            live_dir = os.path.join(path, f"{self.PARTITION_COL}={m}")
-            os.makedirs(src_dir, exist_ok=True)
-            for fname in files:
-                s = os.path.join(live_dir, fname)
-                d = os.path.join(src_dir, fname)
-                if os.path.exists(d):
-                    # a staged fresh file under a carried name would be
-                    # silently replaced by stale live data — impossible
-                    # with uuid part-names, so a collision means state
-                    # corruption: fail loudly, never overwrite
-                    raise FileExistsError(
-                        f"carried file collides with staged file: {d}"
-                    )
-                try:
-                    os.link(s, d)
-                except OSError:
-                    # cross-device / no-hardlink filesystem: copy
-                    shutil.copy2(s, d)
-        for m in months:
-            src = os.path.join(tmp, f"{self.PARTITION_COL}={m}")
-            dst = os.path.join(path, f"{self.PARTITION_COL}={m}")
-            old = os.path.join(path, self._OLD_PREFIX + m)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-            if os.path.exists(dst):
-                os.replace(dst, old)
-            if os.path.exists(src):
-                os.replace(src, dst)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-        shutil.rmtree(tmp)
+        if self.manifest:
+            # THE swap: carried relpaths join the freshly staged ones
+            # in the new month lists; untouched months keep their
+            # entries verbatim; months with neither staged rows nor
+            # carry are deleted.  No data file moves — one pointer
+            # flip publishes everything at once.
+            man = self._load_manifest(table) or {
+                "epoch": -1, "months": {},
+            }
+            staged_files = self._staged_month_files(tmp)
+            new_months = dict(man["months"])
+            for m in months:
+                fl = staged_files.get(m, []) + sorted(carry.get(m) or ())
+                if fl:
+                    new_months[m] = sorted(fl)
+                else:
+                    new_months.pop(m, None)
+            self._flip_manifest_dir(
+                path, {"epoch": epoch, "months": new_months}
+            )
+        else:
+            # Assemble carried files into the staged directories BEFORE
+            # any swap: hardlinks from the still-live month dirs (same
+            # inode — carried bytes are never copied; rmtree of the
+            # demoted dir after promotion only drops the old NAME).
+            for m, files in carry.items():
+                if not files:
+                    continue
+                src_dir = os.path.join(tmp, f"{self.PARTITION_COL}={m}")
+                live_dir = os.path.join(
+                    path, f"{self.PARTITION_COL}={m}"
+                )
+                os.makedirs(src_dir, exist_ok=True)
+                for fname in files:
+                    s = os.path.join(live_dir, fname)
+                    d = os.path.join(src_dir, fname)
+                    if os.path.exists(d):
+                        # a staged fresh file under a carried name
+                        # would be silently replaced by stale live data
+                        # — impossible with uuid part-names, so a
+                        # collision means state corruption: fail
+                        # loudly, never overwrite
+                        raise FileExistsError(
+                            f"carried file collides with staged file:"
+                            f" {d}"
+                        )
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        # cross-device / no-hardlink filesystem: copy
+                        shutil.copy2(s, d)
+            for m in months:
+                src = os.path.join(tmp, f"{self.PARTITION_COL}={m}")
+                dst = os.path.join(path, f"{self.PARTITION_COL}={m}")
+                old = os.path.join(path, self._OLD_PREFIX + m)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                if os.path.exists(dst):
+                    os.replace(dst, old)
+                if os.path.exists(src):
+                    os.replace(src, dst)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+            shutil.rmtree(tmp)
         if bounds_cols:
             # Every swap completed: tighten to the exact staged bounds
             # (plus carried file entries for file-level months) and
@@ -1320,26 +1795,54 @@ class PipelineRunner:
                         }
                         files = {}
                     files.update(carried)
-                    ent["files"] = files
-                    # Re-tighten the PK range from the per-file entries
-                    # (pure metadata — the files map IS the month's
-                    # current content, each entry exact): without this,
-                    # repeated month-local deltas never tighten the
-                    # widened range until a full-month rewrite.
-                    # person_id ranges and Blooms stay widened (their
-                    # exact values need the carried files' data).
-                    if pk is not None and pk in dict(bounds_cols):
-                        rng = self._pk_range_from_files(
-                            files, dict(bounds_cols).get(pk)
+                    n_fl = int(
+                        (old_bounds.get(m) or {}).get("fl_syncs") or 0
+                    ) + 1
+                    ent.pop("fl_syncs", None)
+                    if n_fl >= self._PERSON_RETIGHTEN_EVERY:
+                        # Cadence re-tighten (r10, VERDICT r9 item 3):
+                        # every Nth consecutive file-level sync of a
+                        # month pays ONE column-pruned scan of exactly
+                        # that month's current files to restore EXACT
+                        # ranges and Blooms for every bounds column —
+                        # person-probe pruning would otherwise erode
+                        # monotonically (widen never un-ORs a purged
+                        # person, never narrows a range) until a
+                        # full-month rewrite that month-local deltas
+                        # may never trigger.
+                        ent = self._exact_month_entries(
+                            path, m, sorted(files), bounds_cols,
+                            bloom_cols,
                         )
-                        if rng == "omit":
-                            ent.pop(pk, None)
-                        elif rng is not None:
-                            ent[pk] = rng
+                        ent["files"] = files
+                    else:
+                        ent["files"] = files
+                        ent["fl_syncs"] = n_fl
+                        # Re-tighten the PK range from the per-file
+                        # entries (pure metadata — the files map IS the
+                        # month's current content, each entry exact):
+                        # without this, repeated month-local deltas
+                        # never tighten the widened range until a
+                        # full-month rewrite.  person_id ranges and
+                        # Blooms stay widened between cadence scans
+                        # (their exact values need the carried files'
+                        # data).
+                        if pk is not None and pk in dict(bounds_cols):
+                            rng = self._pk_range_from_files(
+                                files, dict(bounds_cols).get(pk)
+                            )
+                            if rng == "omit":
+                                ent.pop(pk, None)
+                            elif rng is not None:
+                                ent[pk] = rng
                     final[m] = ent
                 else:
                     final[m] = staged
             self._write_bounds(path, final)
+        if self.manifest:
+            # replaced touched files (and the old epoch's _SUCCESS
+            # markers) are now unreferenced
+            self._gc_epochs(table)
 
     # -------------------------------------------------------------- runs
 
@@ -1464,11 +1967,24 @@ class PipelineRunner:
             # footer signal must cover (snapshot-before-stage).
             if k not in resolved:
                 v = raw[k]
-                resolved[k] = (
-                    self.spark.read.parquet(v)
-                    if isinstance(v, str)
-                    else v.load(self.spark)
-                )
+                if isinstance(v, str):
+                    resolved[k] = self.spark.read.parquet(v)
+                elif getattr(v, "snapshot", False):
+                    # JdbcSource(snapshot=True): cross the JDBC pipe
+                    # ONCE — one partitioned scan staged to local
+                    # parquet; every stage (and every Spark action
+                    # within a stage) reads the frozen columnar copy.
+                    # Without this, lazy JDBC scans re-execute per
+                    # action (~14 obs table scans in one delta sync,
+                    # tests/jdbc_scale_probe.py) and stages can tear
+                    # across a moving replica.
+                    snap = os.path.join(self.root, f"_src_snapshot_{k}")
+                    v.load(self.spark).write.mode("overwrite").parquet(
+                        snap
+                    )
+                    resolved[k] = self.spark.read.parquet(snap)
+                else:
+                    resolved[k] = v.load(self.spark)
             return resolved[k]
 
         # Snapshot the source data watermarks BEFORE any stage runs, like
@@ -1923,12 +2439,7 @@ class PipelineRunner:
             # Bounded driver action: distinct storage months (tens of
             # rows for years of data — the watermark-store precedent).
             months = sorted(r["p_month"] for r in months_df.collect())
-            existing = {
-                d.split("=", 1)[1]
-                for d in os.listdir(self._path(table))
-                if d.startswith(self.PARTITION_COL + "=")
-            }
-            universe = existing | set(months)
+            universe = set(self._existing_months(table)) | set(months)
             if not universe or len(months) <= (
                 self._DELTA_WRITE_MAX_FRACTION * len(universe)
             ):

@@ -138,6 +138,15 @@ def incremental_flat_lab_obs(
         out["affected_months"] = (
             affected.select(p_month_of("day").alias("p_month")).distinct()
         )
+    if out is not None and "changed_keys" not in out:
+        # File-level write planning (r10): every target row that may
+        # differ belongs to an affected person — the delete-join removes
+        # only their (person, day) rows and the recompute re-emits only
+        # their days — so the affected-person set is the changed-key
+        # superset over the person-clustered files (engine._CLUSTER_BY;
+        # the reference's own delete path is the person_date index,
+        # flat_lab_obs_v1.0.sql:58).
+        out["changed_keys"] = affected.select("person_id").distinct()
 
     # Pin across the engine's two-phase delta-scoped sync (see
     # incremental_flat_obs): the recompute is target-independent.

@@ -52,11 +52,23 @@ class JdbcSource:
     read a CONSISTENT replica state: rows updated between two Spark
     evaluations of the same lazy scan within one run can tear — point
     the source at a paused replica or snapshot view for strict
-    consistency, exactly as the reference does.
+    consistency, exactly as the reference does — or set
+    ``snapshot=True``.
 
     ``partition_column``/``num_partitions``/bounds map to Spark's JDBC
     range partitioning so the big tables fan out over many connections.
-    """
+
+    ``snapshot=True`` makes the runner STAGE the table to local parquet
+    on first resolution (one partitioned JDBC scan + write) and serve
+    every stage from the staging copy.  Motivated by measurement
+    (tests/jdbc_scale_probe.py, PERF.md r10): Spark re-executes a lazy
+    JDBC scan per ACTION, and one delta sync's five stages drove ~14
+    full scans of ``obs`` over the pipe — a replica-killer at scale.
+    With a snapshot the pipe is crossed exactly once per CHANGED table
+    per run (skipped stages still resolve nothing), later reads are
+    local columnar with footer statistics, and the mid-run tearing
+    caveat above disappears: all stages see one frozen state, the exact
+    semantics of the reference's paused-replica protocol."""
 
     url: str
     table: str
@@ -66,6 +78,7 @@ class JdbcSource:
     num_partitions: int = 16
     lower_bound: int | str | None = None
     upper_bound: int | str | None = None
+    snapshot: bool = False
 
     def props(self) -> dict:
         return dict(self.properties or {})

@@ -170,7 +170,9 @@ def run_probe(n: int) -> None:
     PipelineRunner.read_target_months = spy_rtm
 
     def month_dir_stats(runner, root):
-        """(#dirs opened by probes, their MB) vs (#dirs, MB) on disk."""
+        """(#dirs opened by probes, their MB) vs (#dirs, MB) on disk.
+        Manifest layout: a 'directory' is a snapshot month's file
+        list."""
         opened_mb = 0.0
         opened = 0
         total = 0
@@ -181,6 +183,19 @@ def run_probe(n: int) -> None:
         for t in runner._BOUNDS_COLS:
             tdir = runner._path(t)
             if not os.path.isdir(tdir):
+                continue
+            if getattr(runner, "manifest", False):
+                man = runner._load_manifest(t) or {"months": {}}
+                for m, files in man["months"].items():
+                    total += 1
+                    sz = sum(
+                        os.stat(os.path.join(tdir, rp)).st_size
+                        for rp in files
+                    )
+                    total_mb += sz
+                    if m in by_table.get(t, ()):
+                        opened += 1
+                        opened_mb += sz
                 continue
             for d in os.listdir(tdir):
                 if not d.startswith("p_month="):
@@ -195,20 +210,40 @@ def run_probe(n: int) -> None:
             total_mb / 1e6, 2
         )
 
+    # Count data-file link/copy carries per sync: the file-level dir
+    # layout hardlinks every carried file; the manifest layout must do
+    # ZERO of either (the object-store-safe claim).
+    carry_ops = {"link": 0, "copy": 0}
+    real_link, real_copy = os.link, shutil.copy2
+
+    def counting_link(src, dst, **kw):
+        carry_ops["link"] += 1
+        return real_link(src, dst, **kw)
+
+    def counting_copy(src, dst, **kw):
+        carry_ops["copy"] += 1
+        return real_copy(src, dst, **kw)
+
     for mode in (
         "warmup",
         "delta_bounds",
         "delta_file_level",
+        "delta_manifest",
         "delta_month_grain",
         "delta_bounds_paths",
         "delta_no_bounds",
         "full_rewrite",
     ):
         root = tempfile.mkdtemp(prefix=f"dwp_{mode}_")
-        runner = PipelineRunner(spark, root, partitioned=True)
+        runner = PipelineRunner(
+            spark, root, partitioned=True,
+            manifest=(mode == "delta_manifest"),
+        )
         if mode == "full_rewrite":
             runner._DELTA_WRITE_MAX_FRACTION = -1  # force the fallback
-        if mode in ("delta_file_level", "delta_month_grain"):
+        if mode in (
+            "delta_file_level", "delta_manifest", "delta_month_grain"
+        ):
             # r9: several files per month so the file-level writer has
             # something to prune — at 50k persons ~2.5k flat rows/month
             # this yields ~10 files/month; write I/O must then scale
@@ -246,7 +281,12 @@ def run_probe(n: int) -> None:
         t_sync = time.time()
         r0 = executor_input_bytes(spark)
         probed_months.clear()
-        runner.run(src_sync, mode="sync")
+        carry_ops.update(link=0, copy=0)
+        os.link, shutil.copy2 = counting_link, counting_copy
+        try:
+            runner.run(src_sync, mode="sync")
+        finally:
+            os.link, shutil.copy2 = real_link, real_copy
         sync_s = time.time() - t0
         opened, opened_mb, n_dirs, dirs_mb = month_dir_stats(runner, root)
         if mode == "delta_no_bounds":
@@ -267,6 +307,8 @@ def run_probe(n: int) -> None:
             "probe_month_dirs_mb": opened_mb,
             "month_dirs_total": n_dirs,
             "month_dirs_total_mb": dirs_mb,
+            "sync_carry_links": carry_ops["link"],
+            "sync_carry_copies": carry_ops["copy"],
         }
     PipelineRunner.read_target_months = orig_rtm
     d = results["delta_bounds"]["sync_write_mb"]
@@ -281,6 +323,14 @@ def run_probe(n: int) -> None:
     mgf = results["delta_month_grain"]["sync_files_written"]
     results["file_level_files_cut_ratio"] = (
         round(mgf / flf, 1) if flf else None
+    )
+    mf = results["delta_manifest"]["sync_write_mb"]
+    results["manifest_vs_file_level_write"] = (
+        round(mf / fl, 2) if fl else None
+    )
+    results["manifest_carry_ops"] = (
+        results["delta_manifest"]["sync_carry_links"]
+        + results["delta_manifest"]["sync_carry_copies"]
     )
     rb = results["delta_bounds"]["probe_month_dirs_mb"]
     rn = results["delta_no_bounds"]["probe_month_dirs_mb"]

@@ -290,3 +290,55 @@ def test_jdbc_column_exists_probe(spark, env, tmp_path):
         spark, f"jdbc:derby:{tmp_path}/no_such_db", "person",
         "date_voided", {"driver": DRIVER},
     ) is None
+
+
+def test_jdbc_snapshot_staging_single_pipe_crossing(
+    spark, env, tmp_path, monkeypatch
+):
+    """r10 (probe finding, tests/jdbc_scale_probe.py): without
+    staging, a delta sync re-executes the lazy obs JDBC scan once per
+    Spark ACTION (~14 table scans over the pipe).  snapshot=True must
+    (a) resolve each table through the pipe AT MOST ONCE per run,
+    (b) zero times on a no-op sync (lazy resolution preserved), and
+    (c) land the identical state as the plain JdbcSource run."""
+    import dataclasses
+
+    from mrsboraetl_spark.sources.readers import JdbcSource as JS
+
+    snap_src = {
+        k: dataclasses.replace(v, snapshot=True)
+        for k, v in env["jdbc"].items()
+    }
+    loads: list = []
+    real_load = JS.load
+
+    def counting_load(self, spark_):
+        loads.append(self.table)
+        return real_load(self, spark_)
+
+    monkeypatch.setattr(JS, "load", counting_load)
+    rs = PipelineRunner(
+        spark, str(tmp_path / "store_snap"), partitioned=True
+    )
+    rs.run(snap_src, mode="rebuild")
+    assert max(
+        loads.count(t) for t in TABLES
+    ) <= 1, ("a table crossed the pipe twice in one run", loads)
+
+    loads.clear()
+    rs.run(snap_src, mode="sync")  # draining sync: signals stored
+    assert max((loads.count(t) for t in TABLES), default=0) <= 1, loads
+
+    loads.clear()
+    rs.run(snap_src, mode="sync")  # no-op: nothing resolves
+    assert loads == [], ("no-op sync resolved a snapshot source", loads)
+
+    # identical state to the long-lived plain-JdbcSource runner
+    rj = PipelineRunner(
+        spark, f"{env['root']}/store_jdbc", partitioned=True
+    )
+    for t in (
+        "flat_obs", "flat_orders", "flat_lab_obs",
+        "flat_visit_summary", "flat_latest_hiv_summary",
+    ):
+        assert _rows(rs.read_target(t)) == _rows(rj.read_target(t)), t

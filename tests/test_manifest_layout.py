@@ -1,0 +1,315 @@
+"""Manifest layout (r10, VERDICT r9 item 1): the object-store-safe
+carry.  A partitioned target's content is a per-month FILE LIST in an
+atomic ``_snapshot.json``; data files live in immutable hidden epoch
+directories; a file-level delta's untouched files are carried forward
+as MANIFEST ENTRIES and the swap is ONE snapshot pointer flip.
+
+The pins here are the verdict's done-criteria:
+
+* a file-level sync on a NO-HARDLINK filesystem (``os.link`` and
+  ``shutil.copy2`` monkeypatched to raise) writes only touched bytes —
+  carried files are never linked, copied, moved, or rewritten;
+* the crash contract survives in manifest mode (the manifest analogue
+  of test_file_level_interrupted_swap_keeps_contract): a crash at the
+  flip leaves the OLD snapshot readable and the widened sidecar free of
+  per-file entries for the affected months, and the next sync
+  converges to the rebuild state;
+* replaced/orphaned files are garbage-collected; a raw
+  ``spark.read.parquet(path)`` sees NO data (fail-safe, Delta-like) —
+  manifest-mode consumers read through the runner.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrsboraetl_spark.engine import PipelineRunner
+from tests.test_file_level_writes import _mk_state, _small_delta
+
+
+def _forbid_data_copies(monkeypatch):
+    """Fail the run if the engine ever links or copies a data file —
+    the operations an object store cannot do cheaply."""
+
+    def no_link(src, dst, **kw):  # pragma: no cover - failure path
+        raise AssertionError(f"os.link used in manifest mode: {src}")
+
+    def no_copy(src, dst, **kw):  # pragma: no cover - failure path
+        raise AssertionError(f"shutil.copy2 used in manifest mode: {src}")
+
+    monkeypatch.setattr("mrsboraetl_spark.engine.os.link", no_link)
+    monkeypatch.setattr("mrsboraetl_spark.engine.shutil.copy2", no_copy)
+
+
+def _manifest(runner, table):
+    with open(
+        os.path.join(runner._path(table), runner._SNAPSHOT_FILE)
+    ) as f:
+        return json.load(f)
+
+
+def _live_file_map(runner, table):
+    """{month: {relpath: (inode, mtime, size)}} of the LIVE snapshot."""
+    man = _manifest(runner, table)
+    base = runner._path(table)
+    out: dict = {}
+    for m, files in man["months"].items():
+        out[m] = {}
+        for rp in files:
+            st = os.stat(os.path.join(base, rp))
+            out[m][rp] = (st.st_ino, st.st_mtime_ns, st.st_size)
+    return out
+
+
+def _rows(runner, table, drop=("obs_map",)):
+    df = runner.read_target(table)
+    cols = sorted(c for c in df.columns if c not in drop)
+    return sorted(
+        map(repr, df.toPandas()[cols].itertuples(index=False))
+    )
+
+
+def test_manifest_file_level_sync_carries_by_reference(
+    spark, tmp_path, monkeypatch
+):
+    """The headline pin: with hardlinks AND copies forbidden for the
+    whole lifecycle (rebuild -> sync -> file-level delta sync), a
+    month-local delta rewrites <= a few files, every carried file stays
+    THE SAME physical file (same inode — never moved, relinked, or
+    rewritten), and the result equals a fresh rebuild."""
+    from tests.fixtures import to_spark
+
+    _forbid_data_copies(monkeypatch)
+    r, pdfs = _mk_state(spark, tmp_path, monkeypatch, manifest=True)
+    before = _live_file_map(r, "flat_obs")
+    n_before = sum(len(v) for v in before.values())
+    assert n_before > len(before), "need multiple files per month"
+
+    pdfs2 = _small_delta(pdfs)
+    r.run(to_spark(spark, pdfs2), mode="sync")
+
+    after = _live_file_map(r, "flat_obs")
+    per_month: dict = {}
+    for m, files in after.items():
+        carried = rewritten = 0
+        for rp, st in files.items():
+            if before.get(m, {}).get(rp) == st:
+                carried += 1
+            else:
+                rewritten += 1
+        per_month[m] = (carried, rewritten)
+    n_rewritten = sum(rw for _c, rw in per_month.values())
+    carried_in_affected = sum(
+        c for c, rw in per_month.values() if rw > 0
+    )
+    assert carried_in_affected > 0, per_month
+    assert 0 < n_rewritten <= 3, per_month
+
+    # Carried entries are relpaths into OLDER epochs — the reference
+    # form of the carry (no re-staging under the new epoch).
+    cur = f"{r._EPOCH_PREFIX}{_manifest(r, 'flat_obs')['epoch']:08d}/"
+    old_epoch_refs = [
+        rp
+        for m, files in after.items()
+        for rp in files
+        if not rp.startswith(cur)
+    ]
+    assert old_epoch_refs, "no cross-epoch manifest references"
+
+    rb = PipelineRunner(
+        spark, str(tmp_path / "rebuild"), partitioned=True
+    )
+    rb.run(to_spark(spark, pdfs2), mode="rebuild")
+    for t in ("flat_obs", "flat_orders", "flat_visit_summary",
+              "flat_lab_obs", "flat_latest_hiv_summary"):
+        assert _rows(r, t) == _rows(rb, t), t
+
+
+def test_manifest_incremental_matches_rebuild_and_dir_mode(
+    spark, tmp_path, monkeypatch
+):
+    """Master correctness across layouts: the manifest-mode incremental
+    state equals the directory-mode incremental state equals a fresh
+    rebuild, table by table."""
+    from tests.fixtures import to_spark
+
+    r, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True,
+    )
+    rd = PipelineRunner(
+        spark, str(tmp_path / "dirmode"), partitioned=True
+    )
+    dfs = to_spark(spark, pdfs)
+    rd.run(dfs, mode="rebuild")
+    rd.run(dfs, mode="sync")
+
+    pdfs2 = _small_delta(pdfs)
+    dfs2 = to_spark(spark, pdfs2)
+    r.run(dfs2, mode="sync")
+    rd.run(dfs2, mode="sync")
+    for t in ("flat_obs", "flat_orders", "flat_visit_summary",
+              "flat_lab_obs", "flat_latest_hiv_summary"):
+        assert _rows(r, t) == _rows(rd, t), t
+
+
+def test_manifest_raw_path_read_sees_no_data(
+    spark, tmp_path, monkeypatch
+):
+    """Hidden epoch dirs make a raw path read FAIL (no visible files)
+    rather than return a cross-epoch union — the fail-safe half of the
+    Delta-like contract that manifest tables are read through the
+    runner."""
+    r, _ = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True,
+    )
+    with pytest.raises(Exception, match="UNABLE_TO_INFER_SCHEMA"):
+        spark.read.parquet(r._path("flat_obs")).count()
+    assert r.read_target("flat_obs").count() > 0
+
+
+def test_manifest_crash_at_flip_keeps_contract(spark, tmp_path, monkeypatch):
+    """Manifest analogue of
+    test_file_level_interrupted_swap_keeps_contract: a crash AT the
+    snapshot flip of flat_obs's delta write leaves (a) the OLD snapshot
+    as live content — the flip is all-or-nothing, there is no partial
+    state to rescue — and (b) a widened sidecar whose affected months
+    carry NO per-file entries (their pre-crash entries would no longer
+    match any post-crash content list, so the next sync month-grain
+    rewrites instead of trusting them).  Recovery + re-sync converges
+    to the rebuild state and GCs the orphaned staged epoch."""
+    from tests.fixtures import to_spark
+
+    r, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=53,
+        manifest=True,
+    )
+    rows_before = _rows(r, "flat_obs")
+    man_before = _manifest(r, "flat_obs")
+    pdfs2 = _small_delta(pdfs)
+
+    real_flip = PipelineRunner._flip_manifest_dir
+    blown: dict = {}
+
+    def exploding_flip(self, table_dir, man):
+        if "flat_obs.parquet" in table_dir and not blown:
+            blown["months"] = [
+                m
+                for m in man["months"]
+                if man["months"][m] != man_before["months"].get(m)
+            ]
+            raise RuntimeError("injected crash at snapshot flip")
+        return real_flip(self, table_dir, man)
+
+    monkeypatch.setattr(
+        PipelineRunner, "_flip_manifest_dir", exploding_flip
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        r.run(to_spark(spark, pdfs2), mode="sync")
+    monkeypatch.setattr(
+        PipelineRunner, "_flip_manifest_dir", real_flip
+    )
+    assert blown, "injection never fired"
+
+    # (a) old snapshot intact: content unchanged, byte for byte
+    assert _manifest(r, "flat_obs") == man_before
+    assert _rows(r, "flat_obs") == rows_before
+
+    # (b) widened sidecar: no trustable per-file entries for the months
+    # the crashed write was about to change
+    bounds = r._load_bounds("flat_obs")
+    live = man_before["months"]
+    for m in blown["months"]:
+        ent = bounds.get(m, {}).get("files")
+        assert ent is None or sorted(ent) != sorted(
+            live.get(m, [])
+        ), (m, "stale per-file bounds would be trusted next sync")
+
+    # recovery: next sync converges; orphaned staged files are GC'd
+    r.run(to_spark(spark, pdfs2), mode="sync")
+    rb = PipelineRunner(spark, str(tmp_path / "rebuild"), partitioned=True)
+    rb.run(to_spark(spark, pdfs2), mode="rebuild")
+    assert _rows(r, "flat_obs") == _rows(rb, "flat_obs")
+
+    base = r._path("flat_obs")
+    on_disk = set()
+    for entry in os.listdir(base):
+        if entry.startswith(r._EPOCH_PREFIX):
+            for root, _d, files in os.walk(os.path.join(base, entry)):
+                for fn in files:
+                    on_disk.add(
+                        os.path.relpath(os.path.join(root, fn), base)
+                    )
+    referenced = {
+        rp
+        for fl in _manifest(r, "flat_obs")["months"].values()
+        for rp in fl
+    }
+    assert on_disk == referenced, (
+        "disk holds unreferenced (leaked) or missing files",
+        on_disk ^ referenced,
+    )
+
+
+def test_manifest_gc_and_probe_pruning(spark, tmp_path, monkeypatch):
+    """After a file-level manifest sync: replaced files are GONE from
+    disk (GC ran), every referenced file exists, and the probe reader
+    still prunes months from the snapshot's sidecar (no directory
+    listing anywhere in the read path)."""
+    from tests.fixtures import to_spark
+
+    r, pdfs = _mk_state(spark, tmp_path, monkeypatch, manifest=True)
+    before = _live_file_map(r, "flat_obs")
+    pdfs2 = _small_delta(pdfs)
+    r.run(to_spark(spark, pdfs2), mode="sync")
+    after = _live_file_map(r, "flat_obs")
+
+    base = r._path("flat_obs")
+    replaced = {
+        rp
+        for m, files in before.items()
+        for rp in files
+        if rp not in after.get(m, {})
+    }
+    assert replaced, "delta sync replaced no file?"
+    for rp in replaced:
+        assert not os.path.exists(os.path.join(base, rp)), rp
+    for m, files in after.items():
+        for rp in files:
+            assert os.path.exists(os.path.join(base, rp)), rp
+
+    # probe pruning straight off the snapshot: a single person key must
+    # open only the months the Bloom sidecar proves can hold it (fixture
+    # encounter ids interleave across every month, so the RANGE verdict
+    # can't prune here — the membership filter is what does the work,
+    # same as production person-keyed purges)
+    reader = r._make_probe_reader("flat_obs")
+    assert reader is not None
+    target = r.read_target("flat_obs")
+    per_person = (
+        target.groupBy("person_id")
+        .agg(F.count_distinct(F.date_format(
+            "encounter_datetime", "yyyy-MM"
+        )).alias("nm"))
+        .orderBy("nm", "person_id")
+        .first()
+    )
+    k, n_true_months = int(per_person["person_id"]), int(per_person["nm"])
+    kdf = spark.createDataFrame([(k,)], "person_id long")
+    pruned = reader(kdf, "person_id")
+    months_total = len(_manifest(r, "flat_obs")["months"])
+    assert n_true_months < months_total, "fixture person spans all months"
+    # count distinct months actually read (p_month is not a column on
+    # manifest reads; derive from the file list the reader selected)
+    got_months = {
+        p.split("p_month=")[1].split("/")[0]
+        for p in pruned.inputFiles()
+    }
+    assert n_true_months <= len(got_months) < months_total, (
+        k, n_true_months, got_months, months_total,
+    )
