@@ -533,29 +533,55 @@ class PipelineRunner:
 
     def _load_manifest(self, table: str) -> dict | None:
         """The live snapshot, or None for a cold/absent table.  A
-        corrupt snapshot also reads as None: the next run cold-rebuilds
-        and flips a fresh one (self-healing; os.replace makes a torn
-        file unreachable in normal operation)."""
+        corrupt snapshot — unparseable, or missing either required key
+        — also reads as None: the next run cold-rebuilds and flips a
+        fresh one (self-healing; the fsync'd replace in
+        _flip_manifest_dir makes a torn file unreachable in normal
+        operation).  Epoch is validated too: treating an epoch-less
+        months dict as live would keep reads working while every
+        write died in _next_epoch_dir forever (review finding r10)."""
         try:
             with open(
                 self._snapshot_path_dir(self._path(table))
             ) as f:
                 man = json.load(f)
-            return man if isinstance(man.get("months"), dict) else None
-        except (FileNotFoundError, json.JSONDecodeError, AttributeError):
+            if not isinstance(man.get("months"), dict):
+                return None
+            int(man["epoch"])
+            return man
+        except (
+            FileNotFoundError, json.JSONDecodeError, AttributeError,
+            KeyError, TypeError, ValueError,
+        ):
             return None
 
     def _flip_manifest_dir(self, table_dir: str, man: dict) -> None:
-        """THE swap: one atomic pointer replace.  Local stand-in for an
-        object store's single-key conditional PUT (If-Match on the read
-        epoch would add optimistic concurrency for multiple writers;
-        this engine follows the reference's single-writer sync model,
-        flat_obs_v1.0.sql's one cron)."""
+        """THE swap: one atomic, DURABLE pointer replace.  Local
+        stand-in for an object store's single-key conditional PUT
+        (If-Match on the read epoch would add optimistic concurrency
+        for multiple writers; this engine follows the reference's
+        single-writer sync model, flat_obs_v1.0.sql's one cron).
+
+        fsync before AND after the rename (review finding r10): GC
+        deletes the replaced data files immediately after this returns,
+        so a power loss that rolled the pointer back to the OLD
+        snapshot would leave it naming deleted files — a permanently
+        wedged table.  The data fsync makes the new content durable
+        before the rename; the directory fsync makes the rename itself
+        durable before any file the old snapshot references can be
+        removed."""
         p = self._snapshot_path_dir(table_dir)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump(man, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, p)
+        dfd = os.open(table_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def _manifest_files(
         self, table: str, months: list[str] | None = None
@@ -573,21 +599,23 @@ class PipelineRunner:
         )
         return [os.path.join(base, rp) for _m, fl in sel for rp in fl]
 
-    def _gc_epochs(self, table: str) -> int:
+    def _gc_epochs(self, table: str, man: dict | None = None) -> int:
         """Delete epoch-directory files not referenced by the live
         snapshot: replaced files after a flip, orphans from a crash
-        before one.  Runs before staging (so a crashed attempt can't
-        accumulate) and after a successful flip.  Single-writer model:
-        a concurrent READER holding the previous snapshot can lose
-        files mid-job, exactly like today's directory swap — a
-        deployment needing snapshot isolation defers this GC by a TTL
-        or uses versioned=True."""
+        before one.  Runs after every successful flip (which also
+        sweeps any leftovers of earlier crashes) and before staging
+        when a crashed staging dir is detected.  ``man``: pass the
+        just-flipped snapshot to skip a redundant reload.
+        Single-writer model: a concurrent READER holding the previous
+        snapshot can lose files mid-job, exactly like today's
+        directory swap — a deployment needing snapshot isolation
+        defers this GC by a TTL or uses versioned=True."""
         path = self._path(table)
+        if man is None:
+            man = self._load_manifest(table)
         live = {
             rp
-            for fl in (self._load_manifest(table) or {"months": {}})[
-                "months"
-            ].values()
+            for fl in (man or {"months": {}})["months"].values()
             for rp in fl
         }
         removed = 0
@@ -609,11 +637,35 @@ class PipelineRunner:
                     pass
         return removed
 
-    def _next_epoch_dir(self, table: str) -> tuple[int, str]:
-        man = self._load_manifest(table)
+    def _next_epoch_dir(
+        self, table: str, man: dict | None = None
+    ) -> tuple[int, str]:
+        """Next epoch number + staging dir.  Floored by BOTH the live
+        snapshot's epoch and any epoch directory already on disk: after
+        a corrupt manifest read as cold (see _load_manifest), a naive
+        epoch-0 restart would mode-overwrite a directory whose files
+        older snapshots may still reference."""
+        path = self._path(table)
+        man = man if man is not None else self._load_manifest(table)
         epoch = (int(man["epoch"]) + 1) if man else 0
+        on_disk = -1
+        for entry in os.listdir(path) if os.path.isdir(path) else ():
+            if entry.startswith(self._EPOCH_PREFIX):
+                try:
+                    on_disk = max(
+                        on_disk, int(entry[len(self._EPOCH_PREFIX):])
+                    )
+                except ValueError:
+                    continue
+        # an on-disk epoch == the computed next is a crashed staging
+        # attempt of exactly this write: reuse it (mode=overwrite
+        # clears it); anything HIGHER means the manifest went backwards
+        # (corruption read as cold) — step past every existing dir,
+        # never clobber one
+        if on_disk > epoch:
+            epoch = on_disk + 1
         return epoch, os.path.join(
-            self._path(table), f"{self._EPOCH_PREFIX}{epoch:08d}"
+            path, f"{self._EPOCH_PREFIX}{epoch:08d}"
         )
 
     def _staged_month_files(self, edir: str) -> dict[str, list[str]]:
@@ -834,12 +886,21 @@ class PipelineRunner:
                 )
         else:
             import shutil as _shutil
-            import tempfile
+            import uuid
 
             import numpy as np
             import pyarrow.parquet as pq
 
-            stage = tempfile.mkdtemp(prefix="_bloom_agg_")
+            # Staged under self.root, NOT a tempfile dir: on a real
+            # cluster executors write through the shared filesystem the
+            # storage root lives on — a driver-local /tmp path would be
+            # written node-locally and the driver's read-back would
+            # silently pack all-zero filters (false-negative pruning =
+            # unretracted rows).  The _SUCCESS check below turns any
+            # such visibility failure into a loud error.
+            stage = os.path.join(
+                self.root, f"_bloom_agg_{uuid.uuid4().hex}"
+            )
             try:
                 # one shuffle of the occupied-word rows (the same
                 # volume the collect shipped) -> exactly one data file
@@ -850,6 +911,21 @@ class PipelineRunner:
                     .partitionBy(self.PARTITION_COL)
                     .parquet(stage)
                 )
+                visible = os.path.exists(
+                    os.path.join(stage, "_SUCCESS")
+                ) or any(
+                    e.startswith(self.PARTITION_COL + "=")
+                    for e in os.listdir(stage)
+                )
+                if not visible:
+                    # sizes is non-empty here, so the agg had rows —
+                    # an empty directory means the executors wrote
+                    # somewhere the driver can't see
+                    raise RuntimeError(
+                        "bloom word-agg staging not visible to the "
+                        f"driver: {stage} (is the storage root on a "
+                        "filesystem all executors share?)"
+                    )
                 for entry in os.listdir(stage):
                     if not entry.startswith(self.PARTITION_COL + "="):
                         continue
@@ -1540,8 +1616,13 @@ class PipelineRunner:
         and no crash window with partial content."""
         path = self._path(table)
         os.makedirs(path, exist_ok=True)
-        self._gc_epochs(table)  # drop orphans of any crashed staging
-        epoch, edir = self._next_epoch_dir(table)
+        man_old = self._load_manifest(table)  # loaded ONCE per write
+        epoch, edir = self._next_epoch_dir(table, man_old)
+        if os.path.exists(edir):
+            # crashed staging attempt of this same epoch: sweep its
+            # orphans (normal runs skip the extra walk — the post-flip
+            # GC below cleans everything else)
+            self._gc_epochs(table, man_old)
         writer = df.write.mode("overwrite").partitionBy(
             self.PARTITION_COL
         )
@@ -1570,13 +1651,13 @@ class PipelineRunner:
                 w.pop("files", None)
                 widened[m] = w
             self._write_bounds(path, widened)
-        self._flip_manifest_dir(
-            path, {"epoch": epoch, "months": months_files}
-        )
+        man_new = {"epoch": epoch, "months": months_files}
+        self._flip_manifest_dir(path, man_new)
         if bounds_cols:
             # exact: a full rewrite's content is exactly the staged set
             self._write_bounds(path, staged)
-        self._gc_epochs(table)  # previous epochs are now unreferenced
+        # previous epochs are now unreferenced
+        self._gc_epochs(table, man_new)
 
     def _write_delta(
         self, df: DataFrame, table: str, months: list[str],
@@ -1608,11 +1689,13 @@ class PipelineRunner:
             bloom_cols=self._BLOOM_COLS.get(table, ()),
             pk=pk[0],
             carry=carry,
+            table=table,
         )
 
     def _write_months(
         self, df: DataFrame, path: str, months: list[str],
         bounds_cols=(), bloom_cols=(), pk=None, carry=None,
+        table: str | None = None,
     ) -> None:
         """Rewrite ONLY the given ``p_month`` directories of an existing
         partitioned target from ``df`` (already filtered to those months,
@@ -1658,11 +1741,21 @@ class PipelineRunner:
         if not months:
             return
         carry = carry or {}
+        man_old: dict | None = None
         if self.manifest:
-            # content authority while staging: the CURRENT snapshot
-            table = os.path.basename(path)[: -len(".parquet")]
-            self._gc_epochs(table)
-            epoch, tmp = self._next_epoch_dir(table)
+            # test-only direct callers pass path without table; the
+            # production caller (_write_delta) threads the name through
+            if table is None:
+                table = os.path.basename(path)[: -len(".parquet")]
+            # content authority while staging: the CURRENT snapshot,
+            # loaded once per write
+            man_old = self._load_manifest(table)
+            epoch, tmp = self._next_epoch_dir(table, man_old)
+            if os.path.exists(tmp):
+                # crashed staging attempt of this same epoch: sweep its
+                # orphans (normal runs skip the walk — post-flip GC
+                # cleans everything else)
+                self._gc_epochs(table, man_old)
         else:
             tmp = path + ".delta-tmp"
             if os.path.exists(tmp):
@@ -1702,26 +1795,25 @@ class PipelineRunner:
                 # month being deleted (no staged rows, no carry): keep
                 # the old entry until the directory is actually gone
             self._write_bounds(path, widened)
+        man_new: dict | None = None
         if self.manifest:
             # THE swap: carried relpaths join the freshly staged ones
             # in the new month lists; untouched months keep their
             # entries verbatim; months with neither staged rows nor
             # carry are deleted.  No data file moves — one pointer
             # flip publishes everything at once.
-            man = self._load_manifest(table) or {
-                "epoch": -1, "months": {},
-            }
             staged_files = self._staged_month_files(tmp)
-            new_months = dict(man["months"])
+            new_months = dict(
+                (man_old or {"months": {}})["months"]
+            )
             for m in months:
                 fl = staged_files.get(m, []) + sorted(carry.get(m) or ())
                 if fl:
                     new_months[m] = sorted(fl)
                 else:
                     new_months.pop(m, None)
-            self._flip_manifest_dir(
-                path, {"epoch": epoch, "months": new_months}
-            )
+            man_new = {"epoch": epoch, "months": new_months}
+            self._flip_manifest_dir(path, man_new)
         else:
             # Assemble carried files into the staged directories BEFORE
             # any swap: hardlinks from the still-live month dirs (same
@@ -1842,7 +1934,7 @@ class PipelineRunner:
         if self.manifest:
             # replaced touched files (and the old epoch's _SUCCESS
             # markers) are now unreferenced
-            self._gc_epochs(table)
+            self._gc_epochs(table, man_new)
 
     # -------------------------------------------------------------- runs
 
