@@ -566,10 +566,16 @@ class PipelineRunner:
         deletes the replaced data files immediately after this returns,
         so a power loss that rolled the pointer back to the OLD
         snapshot would leave it naming deleted files — a permanently
-        wedged table.  The data fsync makes the new content durable
-        before the rename; the directory fsync makes the rename itself
-        durable before any file the old snapshot references can be
-        removed."""
+        wedged table.  The JSON fsync makes the pointer content
+        durable before the rename; the directory fsync makes the
+        rename itself durable before any file the old snapshot
+        references can be removed.  Callers durably flush the staged
+        DATA first (_fsync_tree) — a durable pointer naming
+        never-written-back parquet pages is the same wedged state from
+        the other side (second review pass).  The directory fsync is
+        best-effort: some network/FUSE mounts reject fsync on a
+        directory fd, and failing every flip AFTER it already
+        committed would be worse than the narrowed crash window."""
         p = self._snapshot_path_dir(table_dir)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
@@ -577,11 +583,43 @@ class PipelineRunner:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, p)
-        dfd = os.open(table_dir, os.O_RDONLY)
         try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+            dfd = os.open(table_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
+
+    @staticmethod
+    def _fsync_tree(root_dir: str) -> None:
+        """Best-effort durable flush of a freshly staged directory
+        tree (files, then directories bottom-up) before a snapshot
+        flip names its files: Spark's local committer never fsyncs, so
+        without this a power loss after a durable flip + GC could
+        leave the only copy of a month's data as never-written-back
+        page-cache pages.  Best-effort (OSError swallowed): on mounts
+        that reject fsync the pre-r10 behavior is preserved rather
+        than failing writes that already succeeded."""
+        for droot, _dirs, files in os.walk(root_dir, topdown=False):
+            for fn in files:
+                try:
+                    fd = os.open(os.path.join(droot, fn), os.O_RDONLY)
+                    try:
+                        os.fsync(fd)
+                    finally:
+                        os.close(fd)
+                except OSError:
+                    pass
+            try:
+                fd = os.open(droot, os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            except OSError:
+                pass
 
     def _manifest_files(
         self, table: str, months: list[str] | None = None
@@ -886,7 +924,6 @@ class PipelineRunner:
                 )
         else:
             import shutil as _shutil
-            import uuid
 
             import numpy as np
             import pyarrow.parquet as pq
@@ -896,11 +933,10 @@ class PipelineRunner:
             # storage root lives on — a driver-local /tmp path would be
             # written node-locally and the driver's read-back would
             # silently pack all-zero filters (false-negative pruning =
-            # unretracted rows).  The _SUCCESS check below turns any
-            # such visibility failure into a loud error.
-            stage = os.path.join(
-                self.root, f"_bloom_agg_{uuid.uuid4().hex}"
-            )
+            # unretracted rows).  Fixed name, mode=overwrite: a hard
+            # crash can't accumulate uuid-named orphans next to the
+            # tables (builds within a runner are sequential).
+            stage = os.path.join(self.root, "_bloom_agg_tmp")
             try:
                 # one shuffle of the occupied-word rows (the same
                 # volume the collect shipped) -> exactly one data file
@@ -911,20 +947,27 @@ class PipelineRunner:
                     .partitionBy(self.PARTITION_COL)
                     .parquet(stage)
                 )
-                visible = os.path.exists(
-                    os.path.join(stage, "_SUCCESS")
-                ) or any(
-                    e.startswith(self.PARTITION_COL + "=")
-                    for e in os.listdir(stage)
-                )
-                if not visible:
-                    # sizes is non-empty here, so the agg had rows —
-                    # an empty directory means the executors wrote
-                    # somewhere the driver can't see
+                # Every month in m_of holds >= 1 word row, so a visible
+                # staging MUST contain every month directory.  The
+                # _SUCCESS marker is NOT evidence: commitJob runs on
+                # the driver and writes it even when every task's
+                # output stayed on executor-local disks (second review
+                # pass).  Missing months = write landed somewhere the
+                # driver can't see: fail loudly, never pack zeros.
+                staged_months = {
+                    e.split("=", 1)[1]
+                    for e in (
+                        os.listdir(stage) if os.path.isdir(stage) else ()
+                    )
+                    if e.startswith(self.PARTITION_COL + "=")
+                }
+                if not staged_months >= set(m_of):
                     raise RuntimeError(
                         "bloom word-agg staging not visible to the "
-                        f"driver: {stage} (is the storage root on a "
-                        "filesystem all executors share?)"
+                        f"driver: {stage} is missing months "
+                        f"{sorted(set(m_of) - staged_months)} (is the "
+                        "storage root on a filesystem all executors "
+                        "share?)"
                     )
                 for entry in os.listdir(stage):
                     if not entry.startswith(self.PARTITION_COL + "="):
@@ -1617,12 +1660,10 @@ class PipelineRunner:
         path = self._path(table)
         os.makedirs(path, exist_ok=True)
         man_old = self._load_manifest(table)  # loaded ONCE per write
+        # a crashed staging attempt of this same epoch needs no sweep:
+        # mode=overwrite clears edir, and the post-flip GC covers any
+        # other leftovers (second review pass)
         epoch, edir = self._next_epoch_dir(table, man_old)
-        if os.path.exists(edir):
-            # crashed staging attempt of this same epoch: sweep its
-            # orphans (normal runs skip the extra walk — the post-flip
-            # GC below cleans everything else)
-            self._gc_epochs(table, man_old)
         writer = df.write.mode("overwrite").partitionBy(
             self.PARTITION_COL
         )
@@ -1652,6 +1693,7 @@ class PipelineRunner:
                 widened[m] = w
             self._write_bounds(path, widened)
         man_new = {"epoch": epoch, "months": months_files}
+        self._fsync_tree(edir)  # staged data durable BEFORE it's named
         self._flip_manifest_dir(path, man_new)
         if bounds_cols:
             # exact: a full rewrite's content is exactly the staged set
@@ -1748,14 +1790,11 @@ class PipelineRunner:
             if table is None:
                 table = os.path.basename(path)[: -len(".parquet")]
             # content authority while staging: the CURRENT snapshot,
-            # loaded once per write
+            # loaded once per write.  A crashed prior staging of this
+            # same epoch needs no sweep — mode=overwrite clears the
+            # dir, post-flip GC covers the rest.
             man_old = self._load_manifest(table)
             epoch, tmp = self._next_epoch_dir(table, man_old)
-            if os.path.exists(tmp):
-                # crashed staging attempt of this same epoch: sweep its
-                # orphans (normal runs skip the walk — post-flip GC
-                # cleans everything else)
-                self._gc_epochs(table, man_old)
         else:
             tmp = path + ".delta-tmp"
             if os.path.exists(tmp):
@@ -1813,6 +1852,8 @@ class PipelineRunner:
                 else:
                     new_months.pop(m, None)
             man_new = {"epoch": epoch, "months": new_months}
+            # staged data durable BEFORE the pointer names it
+            self._fsync_tree(tmp)
             self._flip_manifest_dir(path, man_new)
         else:
             # Assemble carried files into the staged directories BEFORE
