@@ -65,6 +65,7 @@ class PipelineRunner:
         versioned: bool = False,
         partitioned: bool = False,
         manifest: bool = False,
+        keep_snapshots: int = 1,
     ):
         """``versioned=True`` stores every target as a VersionedTable
         (sources/versioned.py): each run commits a new immutable version
@@ -101,12 +102,25 @@ class PipelineRunner:
         listing), fail-safe rather than silently stale/duplicated.
         Unpartitioned targets (flat_latest_hiv_summary) route through
         VersionedTable — the same manifest discipline, already
-        crash-pinned (sources/versioned.py)."""
+        crash-pinned (sources/versioned.py).
+
+        ``keep_snapshots`` (manifest mode): how many recent snapshots'
+        files survive GC (default 1 = only the live one, swap-layout
+        semantics).  With N > 1 a concurrent reader holding a snapshot
+        up to N-1 flips old never loses files mid-job — the
+        snapshot-isolation knob the immediate-GC contract lacks — and
+        ``read_target_at(table, epoch)`` time-travels to any retained
+        snapshot.  Each flip records its content as
+        ``_snap_{epoch}.json``; retention cost is exactly the data
+        unique to the retained window (carried files are shared across
+        snapshots by reference, so steady-state overhead is the
+        TOUCHED files of the last N-1 syncs, not N copies)."""
         self.spark = spark
         self.root = storage_root
         self.versioned = versioned
         self.partitioned = partitioned
         self.manifest = manifest
+        self.keep_snapshots = max(1, int(keep_snapshots))
         if versioned and partitioned:
             raise ValueError(
                 "versioned and partitioned layouts are mutually exclusive "
@@ -577,12 +591,20 @@ class PipelineRunner:
         directory fd, and failing every flip AFTER it already
         committed would be worse than the narrowed crash window."""
         p = self._snapshot_path_dir(table_dir)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, p)
+        # History entry FIRST (crash before the pointer flip leaves an
+        # orphan history file that GC prunes as above-live): the flip
+        # then only publishes — time travel and retention GC read the
+        # history files, the pointer names the live epoch.
+        hist = os.path.join(
+            table_dir, f"_snap_{int(man['epoch']):08d}.json"
+        )
+        for target in (hist, p):
+            tmp = target + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(man, f, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, target)
         try:
             dfd = os.open(table_dir, os.O_RDONLY)
             try:
@@ -637,25 +659,95 @@ class PipelineRunner:
         )
         return [os.path.join(base, rp) for _m, fl in sel for rp in fl]
 
+    def _history_epochs(self, table: str) -> dict[int, str]:
+        """{epoch: history-file path} of recorded snapshots on disk."""
+        path = self._path(table)
+        out: dict[int, str] = {}
+        for entry in os.listdir(path) if os.path.isdir(path) else ():
+            if entry.startswith("_snap_") and entry.endswith(".json"):
+                try:
+                    out[int(entry[len("_snap_"):-len(".json")])] = (
+                        os.path.join(path, entry)
+                    )
+                except ValueError:
+                    continue
+        return out
+
+    def snapshots(self, table: str) -> list[int]:
+        """Retained snapshot epochs, oldest first (live one included).
+        Any of them can be read with read_target_at."""
+        man = self._load_manifest(table)
+        if man is None:
+            return []
+        live = int(man["epoch"])
+        return sorted(
+            e for e in self._history_epochs(table) if e <= live
+        )
+
+    def read_target_at(self, table: str, epoch: int) -> DataFrame:
+        """Time travel: the target as of a RETAINED snapshot (see
+        keep_snapshots).  Carried files are shared across snapshots by
+        reference, so this costs no extra storage beyond the retention
+        window's touched files."""
+        hist = self._history_epochs(table).get(int(epoch))
+        if hist is None:
+            raise ValueError(
+                f"snapshot {epoch} of {table} is not retained "
+                f"(available: {self.snapshots(table)})"
+            )
+        with open(hist) as f:
+            man = json.load(f)
+        base = self._path(table)
+        files = [
+            os.path.join(base, rp)
+            for fl in man["months"].values()
+            for rp in fl
+        ]
+        return self.spark.read.parquet(*files)
+
     def _gc_epochs(self, table: str, man: dict | None = None) -> int:
-        """Delete epoch-directory files not referenced by the live
-        snapshot: replaced files after a flip, orphans from a crash
-        before one.  Runs after every successful flip (which also
-        sweeps any leftovers of earlier crashes) and before staging
-        when a crashed staging dir is detected.  ``man``: pass the
-        just-flipped snapshot to skip a redundant reload.
-        Single-writer model: a concurrent READER holding the previous
-        snapshot can lose files mid-job, exactly like today's
-        directory swap — a deployment needing snapshot isolation
-        defers this GC by a TTL or uses versioned=True."""
+        """Delete epoch-directory files not referenced by any RETAINED
+        snapshot (the live one plus the keep_snapshots-1 before it):
+        replaced files past the retention window, orphans from a crash
+        before a flip.  Runs after every successful flip (which also
+        sweeps leftovers of earlier crashes).  ``man``: pass the
+        just-flipped snapshot to skip a redundant reload.  History
+        files above the live epoch are crash orphans (their flip never
+        happened) and are pruned with their data; history files below
+        the window are pruned after their exclusive data.  With the
+        default keep_snapshots=1 this is exactly the old swap-layout
+        contract: a concurrent reader of the PREVIOUS snapshot can
+        lose files mid-job; retention N > 1 is the snapshot-isolation
+        knob."""
         path = self._path(table)
         if man is None:
             man = self._load_manifest(table)
+        live_epoch = int(man["epoch"]) if man else -1
+        history = self._history_epochs(table)
+        retained = sorted(
+            (e for e in history if e <= live_epoch), reverse=True
+        )[: self.keep_snapshots]
         live = {
             rp
             for fl in (man or {"months": {}})["months"].values()
             for rp in fl
         }
+        for e in retained:
+            if man is not None and e == live_epoch:
+                continue  # already unioned from the live dict
+            try:
+                with open(history[e]) as f:
+                    snap = json.load(f)
+                for fl in snap["months"].values():
+                    live.update(fl)
+            except (json.JSONDecodeError, KeyError, TypeError):
+                continue  # unreadable history: retains nothing extra
+        for e, hp in history.items():
+            if e not in retained:
+                try:
+                    os.remove(hp)
+                except OSError:
+                    pass
         removed = 0
         for entry in os.listdir(path):
             if not entry.startswith(self._EPOCH_PREFIX):

@@ -313,3 +313,73 @@ def test_manifest_gc_and_probe_pruning(spark, tmp_path, monkeypatch):
     assert n_true_months <= len(got_months) < months_total, (
         k, n_true_months, got_months, months_total,
     )
+
+
+def test_manifest_snapshot_retention_and_time_travel(
+    spark, tmp_path, monkeypatch
+):
+    """keep_snapshots=2 (r10): the previous snapshot's files survive
+    the flip's GC — a concurrent reader one flip behind never loses
+    files mid-job — and read_target_at() serves the old state
+    byte-identically.  One more sync slides the window: the oldest
+    snapshot's exclusive files and history entry are pruned, and
+    reading it raises."""
+    from tests.fixtures import to_spark
+
+    _forbid_data_copies(monkeypatch)
+    r, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True, keep_snapshots=2,
+    )
+    e0 = _manifest(r, "flat_obs")["epoch"]
+    rows_e0 = _rows(r, "flat_obs")
+    files_e0 = _live_file_map(r, "flat_obs")
+
+    pdfs2 = _small_delta(pdfs)
+    r.run(to_spark(spark, pdfs2), mode="sync")
+    e1 = _manifest(r, "flat_obs")["epoch"]
+    assert e1 > e0
+    assert r.snapshots("flat_obs") == [e0, e1]
+
+    # every file of the RETAINED old snapshot still exists (replaced
+    # ones included — the keep_snapshots=1 default would have GC'd
+    # them, pinned by test_manifest_gc_and_probe_pruning)
+    base = r._path("flat_obs")
+    for m, files in files_e0.items():
+        for rp in files:
+            assert os.path.exists(os.path.join(base, rp)), rp
+    # ...and time travel reproduces the old state exactly
+    old = r.read_target_at("flat_obs", e0)
+    cols = sorted(c for c in old.columns if c != "obs_map")
+    got = sorted(map(repr, old.toPandas()[cols].itertuples(index=False)))
+    assert got == rows_e0
+
+    # next sync slides the window: e0 falls out
+    pdfs3 = _small_delta(pdfs2)
+    r.run(to_spark(spark, pdfs3), mode="sync")
+    e2 = _manifest(r, "flat_obs")["epoch"]
+    assert r.snapshots("flat_obs") == [e1, e2]
+    with pytest.raises(ValueError, match="not retained"):
+        r.read_target_at("flat_obs", e0)
+    # e0's replaced (exclusive) files are gone; e1's still held
+    live_now = {
+        rp
+        for m, files in _live_file_map(r, "flat_obs").items()
+        for rp in files
+    }
+    import json as _json
+
+    with open(os.path.join(base, f"_snap_{e1:08d}.json")) as f:
+        held = {
+            rp
+            for fl in _json.load(f)["months"].values()
+            for rp in fl
+        }
+    exclusive_e0 = {
+        rp for m, files in files_e0.items() for rp in files
+    } - held - live_now
+    assert exclusive_e0, "delta must have replaced some e0 file"
+    for rp in exclusive_e0:
+        assert not os.path.exists(os.path.join(base, rp)), rp
+    for rp in held:
+        assert os.path.exists(os.path.join(base, rp)), rp
