@@ -27,6 +27,7 @@ Modes (flat_visit_summary_v1.0.sql:6 @query_type):
 from __future__ import annotations
 
 import datetime as dt
+import hashlib
 import json
 import os
 import shutil
@@ -114,13 +115,24 @@ class PipelineRunner:
         ``_snap_{epoch}.json``; retention cost is exactly the data
         unique to the retained window (carried files are shared across
         snapshots by reference, so steady-state overhead is the
-        TOUCHED files of the last N-1 syncs, not N copies)."""
+        TOUCHED files of the last N-1 syncs, not N copies).
+
+        Past ``_MANIFEST_SPLIT_BYTES`` of inline month lists the
+        snapshot splits Iceberg-style into per-month content-addressed
+        ``_man_*.json`` manifest files (see _split_manifest_months):
+        the hot pointer stays one small PUT at any table size, an
+        untouched month's manifest carries forward by NAME, and GC
+        treats manifest files exactly like the data they reference."""
         self.spark = spark
         self.root = storage_root
         self.versioned = versioned
         self.partitioned = partitioned
         self.manifest = manifest
         self.keep_snapshots = max(1, int(keep_snapshots))
+        # content-addressed per-month manifest cache (manifest split
+        # mode): a _man_ file's NAME commits to its content, so an
+        # entry can never go stale — see _resolve_man_months
+        self._man_cache: dict[str, list[str]] = {}
         if versioned and partitioned:
             raise ValueError(
                 "versioned and partitioned layouts are mutually exclusive "
@@ -380,6 +392,20 @@ class PipelineRunner:
     # an empty table, never a cross-epoch union.
     _SNAPSHOT_FILE = "_snapshot.json"
     _EPOCH_PREFIX = "_e"
+    # Per-month manifest files (the Iceberg manifest-list shape): when
+    # the inline months dict would serialize past this many bytes, the
+    # snapshot stores {"ref": "_man_{month}_{sha}.json"} per month and
+    # each month's file list moves to its own CONTENT-ADDRESSED file.
+    # An untouched month then costs the flip NOTHING new: same list ->
+    # same hash -> same filename, carried forward as an 8-byte-ish
+    # pointer entry instead of re-serializing thousands of relpaths.
+    # On an object store this keeps the hot pointer a single small PUT
+    # regardless of table size; the default threshold keeps every
+    # sub-4-MiB deployment on the simpler inline form (pointer stays
+    # human-readable, zero extra reads).  Split and inline forms can
+    # mix within one snapshot's history — readers resolve per month.
+    _MANIFEST_SPLIT_BYTES = 4 << 20
+    _MAN_PREFIX = "_man_"
 
     # Optional cap on rows per data file (Spark maxRecordsPerFile).
     # Within a month directory rows are RANGE-partitioned and sorted on
@@ -545,29 +571,118 @@ class PipelineRunner:
     def _snapshot_path_dir(self, table_dir: str) -> str:
         return os.path.join(table_dir, self._SNAPSHOT_FILE)
 
+    @staticmethod
+    def _man_payload(files: list[str]) -> bytes:
+        """Canonical bytes of one month's file list — what the
+        content-addressed _man_ filename commits to."""
+        return json.dumps(sorted(files)).encode()
+
+    def _resolve_man_months(
+        self, table_dir: str, months: dict
+    ) -> dict[str, list[str]] | None:
+        """Resolve a raw snapshot ``months`` dict to plain
+        {month: [relpath, ...]}.  A value is either the inline list or
+        a {"ref": "_man_*.json"} pointer to a per-month manifest file
+        (split form, _MANIFEST_SPLIT_BYTES); both forms can coexist.
+        Returns None if any referenced manifest is missing/corrupt —
+        the caller treats the snapshot as unreadable.  Resolved refs
+        are cached by filename: the name is content-addressed, so a
+        hit can never be stale (and GC removing an unreferenced file
+        never invalidates a live entry)."""
+        out: dict[str, list[str]] = {}
+        for m, v in months.items():
+            if isinstance(v, list):
+                out[m] = v
+                continue
+            try:
+                ref = v["ref"]
+            except (TypeError, KeyError):
+                return None
+            cached = self._man_cache.get(ref)
+            if cached is None:
+                try:
+                    with open(os.path.join(table_dir, ref)) as f:
+                        cached = json.load(f)
+                    if not isinstance(cached, list):
+                        return None
+                except (FileNotFoundError, json.JSONDecodeError):
+                    return None
+                if len(self._man_cache) > 4096:
+                    self._man_cache.clear()
+                self._man_cache[ref] = cached
+            out[m] = cached
+        return out
+
     def _load_manifest(self, table: str) -> dict | None:
-        """The live snapshot, or None for a cold/absent table.  A
-        corrupt snapshot — unparseable, or missing either required key
-        — also reads as None: the next run cold-rebuilds and flips a
-        fresh one (self-healing; the fsync'd replace in
-        _flip_manifest_dir makes a torn file unreachable in normal
-        operation).  Epoch is validated too: treating an epoch-less
-        months dict as live would keep reads working while every
-        write died in _next_epoch_dir forever (review finding r10)."""
+        """The live snapshot with months RESOLVED to plain file lists
+        (see _resolve_man_months), or None for a cold/absent table.  A
+        corrupt snapshot — unparseable, missing either required key,
+        or naming a missing per-month manifest — also reads as None:
+        the next run cold-rebuilds and flips a fresh one (self-healing;
+        the fsync'd replace in _flip_manifest_dir makes a torn file
+        unreachable in normal operation).  Epoch is validated too:
+        treating an epoch-less months dict as live would keep reads
+        working while every write died in _next_epoch_dir forever
+        (review finding r10)."""
         try:
-            with open(
-                self._snapshot_path_dir(self._path(table))
-            ) as f:
+            path = self._path(table)
+            with open(self._snapshot_path_dir(path)) as f:
                 man = json.load(f)
             if not isinstance(man.get("months"), dict):
                 return None
             int(man["epoch"])
+            months = self._resolve_man_months(path, man["months"])
+            if months is None:
+                return None
+            man["months"] = months
             return man
         except (
             FileNotFoundError, json.JSONDecodeError, AttributeError,
             KeyError, TypeError, ValueError,
         ):
             return None
+
+    def _split_manifest_months(
+        self, table_dir: str, man: dict
+    ) -> dict:
+        """Split step of the flip: when the inline months dict would
+        push the snapshot pointer past _MANIFEST_SPLIT_BYTES, move each
+        month's file list into its own content-addressed
+        ``_man_{month}_{sha}.json`` and store {"ref": name} in the
+        snapshot.  Content addressing makes the carry free at the
+        metadata layer too: an untouched month hashes to the SAME
+        filename, so its manifest file is simply not rewritten (the
+        os.path.exists check below) and survives by reference in the
+        new snapshot — a flip writes O(touched months) manifest bytes
+        plus one small pointer, never O(table months).  Files are
+        fsync'd before the pointer names them (same durability
+        argument as the data tree); orphans from a crash before the
+        flip are pruned by retention GC (referenced by no retained
+        snapshot).  Under the threshold the snapshot stays inline —
+        mixed histories are fine, readers resolve per month."""
+        months = man["months"]
+        if (
+            len(json.dumps(months, sort_keys=True))
+            <= self._MANIFEST_SPLIT_BYTES
+        ):
+            return man
+        refs: dict[str, dict] = {}
+        for m, files in months.items():
+            payload = self._man_payload(files)
+            name = (
+                f"{self._MAN_PREFIX}{m}_"
+                f"{hashlib.sha256(payload).hexdigest()[:16]}.json"
+            )
+            target = os.path.join(table_dir, name)
+            if not os.path.exists(target):
+                tmp = target + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, target)
+            refs[m] = {"ref": name}
+        return {**man, "months": refs}
 
     def _flip_manifest_dir(self, table_dir: str, man: dict) -> None:
         """THE swap: one atomic, DURABLE pointer replace.  Local
@@ -590,6 +705,7 @@ class PipelineRunner:
         best-effort: some network/FUSE mounts reject fsync on a
         directory fd, and failing every flip AFTER it already
         committed would be worse than the narrowed crash window."""
+        man = self._split_manifest_months(table_dir, man)
         p = self._snapshot_path_dir(table_dir)
         # History entry FIRST (crash before the pointer flip leaves an
         # orphan history file that GC prunes as above-live): the flip
@@ -698,9 +814,15 @@ class PipelineRunner:
         with open(hist) as f:
             man = json.load(f)
         base = self._path(table)
+        months = self._resolve_man_months(base, man["months"])
+        if months is None:
+            raise ValueError(
+                f"snapshot {epoch} of {table} references a missing "
+                "per-month manifest"
+            )
         files = [
             os.path.join(base, rp)
-            for fl in man["months"].values()
+            for fl in months.values()
             for rp in fl
         ]
         return self.spark.read.parquet(*files)
@@ -732,13 +854,26 @@ class PipelineRunner:
             for fl in (man or {"months": {}})["months"].values()
             for rp in fl
         }
+        # Ref names are collected from the RAW retained history files
+        # (the in-memory ``man`` always carries resolved inline lists,
+        # but the on-disk pointer/history may hold the split form —
+        # its _man_ files are retained metadata exactly like the data
+        # they name).
+        live_refs: set[str] = set()
         for e in retained:
-            if man is not None and e == live_epoch:
-                continue  # already unioned from the live dict
             try:
                 with open(history[e]) as f:
                     snap = json.load(f)
-                for fl in snap["months"].values():
+                raw_months = snap["months"]
+                live_refs.update(
+                    v["ref"]
+                    for v in raw_months.values()
+                    if isinstance(v, dict) and "ref" in v
+                )
+                if man is not None and e == live_epoch:
+                    continue  # data files already unioned above
+                resolved = self._resolve_man_months(path, raw_months)
+                for fl in (resolved or {}).values():
                     live.update(fl)
             except (json.JSONDecodeError, KeyError, TypeError):
                 continue  # unreadable history: retains nothing extra
@@ -746,6 +881,16 @@ class PipelineRunner:
             if e not in retained:
                 try:
                     os.remove(hp)
+                except OSError:
+                    pass
+        for entry in os.listdir(path):
+            if (
+                entry.startswith(self._MAN_PREFIX)
+                and entry.endswith((".json", ".json.tmp"))
+                and entry not in live_refs
+            ):
+                try:
+                    os.remove(os.path.join(path, entry))
                 except OSError:
                     pass
         removed = 0
@@ -2194,15 +2339,17 @@ class PipelineRunner:
                 v = raw[k]
                 if isinstance(v, str):
                     resolved[k] = self.spark.read.parquet(v)
-                elif getattr(v, "snapshot", False):
-                    # JdbcSource(snapshot=True): cross the JDBC pipe
+                elif v.snapshot is not False:
+                    # JdbcSource staging (snapshot=True, or the
+                    # snapshot=None AUTO default): cross the JDBC pipe
                     # ONCE — one partitioned scan staged to local
                     # parquet; every stage (and every Spark action
                     # within a stage) reads the frozen columnar copy.
                     # Without this, lazy JDBC scans re-execute per
                     # action (~14 obs table scans in one delta sync,
                     # tests/jdbc_scale_probe.py) and stages can tear
-                    # across a moving replica.
+                    # across a moving replica.  snapshot=False opts
+                    # back into plain lazy scans.
                     snap = os.path.join(self.root, f"_src_snapshot_{k}")
                     v.load(self.spark).write.mode("overwrite").parquet(
                         snap

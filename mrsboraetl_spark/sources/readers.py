@@ -58,9 +58,9 @@ class JdbcSource:
     ``partition_column``/``num_partitions``/bounds map to Spark's JDBC
     range partitioning so the big tables fan out over many connections.
 
-    ``snapshot=True`` makes the runner STAGE the table to local parquet
-    on first resolution (one partitioned JDBC scan + write) and serve
-    every stage from the staging copy.  Motivated by measurement
+    ``snapshot`` controls staging to local parquet on first resolution
+    (one partitioned JDBC scan + write), after which every stage reads
+    the staging copy.  Motivated by measurement
     (tests/jdbc_scale_probe.py, PERF.md r10): Spark re-executes a lazy
     JDBC scan per ACTION, and one delta sync's five stages drove ~14
     full scans of ``obs`` over the pipe — a replica-killer at scale.
@@ -68,7 +68,17 @@ class JdbcSource:
     per run (skipped stages still resolve nothing), later reads are
     local columnar with footer statistics, and the mid-run tearing
     caveat above disappears: all stages see one frozen state, the exact
-    semantics of the reference's paused-replica protocol."""
+    semantics of the reference's paused-replica protocol.
+
+    The default ``snapshot=None`` means AUTO: ``PipelineRunner.run``
+    stages every JDBC table it actually resolves — inside the runner a
+    resolved table always feeds multiple Spark actions (stage writes,
+    sidecar scans, watermark snapshots), so the measured multi-scan
+    cost applies to every consumer and staging is the right default,
+    not a per-consumer-count decision.  ``snapshot=False`` opts out
+    (plain lazy scans, the pre-r10 behavior, kept for A/B probes and
+    sources that are themselves frozen views); direct ``.load()``
+    calls are unaffected by the flag either way."""
 
     url: str
     table: str
@@ -78,7 +88,7 @@ class JdbcSource:
     num_partitions: int = 16
     lower_bound: int | str | None = None
     upper_bound: int | str | None = None
-    snapshot: bool = False
+    snapshot: bool | None = None
 
     def props(self) -> dict:
         return dict(self.properties or {})

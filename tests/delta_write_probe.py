@@ -309,6 +309,17 @@ def run_probe(n: int) -> None:
             "month_dirs_total_mb": dirs_mb,
             "sync_carry_links": carry_ops["link"],
             "sync_carry_copies": carry_ops["copy"],
+            # per-table write split (r10 open item: does
+            # flat_visit_summary's whole-person-history recompute
+            # dominate file-level sync writes?) — top-level storage
+            # entry -> MB written since the sync started
+            "sync_write_mb_by_table": {
+                e: round(tree_bytes_after(
+                    os.path.join(root, e), t_sync
+                ) / 1e6, 3)
+                for e in sorted(os.listdir(root))
+                if os.path.isdir(os.path.join(root, e))
+            },
         }
     PipelineRunner.read_target_months = orig_rtm
     d = results["delta_bounds"]["sync_write_mb"]

@@ -123,10 +123,13 @@ def run_probe(n: int) -> None:
         col, parts = PART_COLS[name]
         lo = int(pdfs[name][col].min())
         hi = int(pdfs[name][col].max())
+        # snapshot=False: the probe's A-side is the PLAIN lazy-scan
+        # path (the pre-r10 behavior the snapshot default replaced) —
+        # the default (None=auto) would stage and erase the comparison
         return JdbcSource(
             url, name, {"driver": DRIVER},
             partition_column=col, num_partitions=parts,
-            lower_bound=lo, upper_bound=hi + 1,
+            lower_bound=lo, upper_bound=hi + 1, snapshot=False,
         )
 
     sources = {name: src(name) for name in PART_COLS}

@@ -342,3 +342,50 @@ def test_jdbc_snapshot_staging_single_pipe_crossing(
         "flat_visit_summary", "flat_latest_hiv_summary",
     ):
         assert _rows(rs.read_target(t)) == _rows(rj.read_target(t)), t
+
+
+def test_jdbc_snapshot_auto_default(spark, env, tmp_path, monkeypatch):
+    """r10 follow-through: ``snapshot=None`` (the constructor default)
+    means AUTO — the runner stages every JDBC table it resolves, so a
+    default-declared source gets the single-pipe-crossing behavior
+    without opting in; ``snapshot=False`` is the explicit opt-out that
+    keeps plain lazy scans (pinned via the staging write spy: the
+    opt-out run never writes a _src_snapshot_ dir)."""
+    import dataclasses
+    import os as _os
+
+    from mrsboraetl_spark.sources.readers import JdbcSource as JS
+
+    assert JS(env["url"], "obs").snapshot is None  # default is AUTO
+
+    loads: list = []
+    real_load = JS.load
+
+    def counting_load(self, spark_):
+        loads.append(self.table)
+        return real_load(self, spark_)
+
+    monkeypatch.setattr(JS, "load", counting_load)
+    root_auto = str(tmp_path / "store_auto")
+    ra = PipelineRunner(spark, root_auto, partitioned=True)
+    ra.run(env["jdbc"], mode="rebuild")  # module sources: default form
+    assert max(
+        loads.count(t) for t in TABLES
+    ) <= 1, ("auto default did not stage: a table crossed twice", loads)
+    assert any(
+        e.startswith("_src_snapshot_") for e in _os.listdir(root_auto)
+    ), "auto default wrote no staging copy"
+
+    # explicit opt-out: resolution stays lazy-scan, no staging dir
+    plain_src = {
+        k: dataclasses.replace(v, snapshot=False)
+        for k, v in env["jdbc"].items()
+    }
+    root_plain = str(tmp_path / "store_plain")
+    rp = PipelineRunner(spark, root_plain, partitioned=True)
+    rp.run(plain_src, mode="rebuild")
+    assert not any(
+        e.startswith("_src_snapshot_") for e in _os.listdir(root_plain)
+    ), "snapshot=False still staged"
+    for t in ("flat_obs", "flat_visit_summary"):
+        assert _rows(ra.read_target(t)) == _rows(rp.read_target(t)), t

@@ -383,3 +383,176 @@ def test_manifest_snapshot_retention_and_time_travel(
         assert not os.path.exists(os.path.join(base, rp)), rp
     for rp in held:
         assert os.path.exists(os.path.join(base, rp)), rp
+
+
+def _raw_snapshot(runner, table):
+    with open(
+        os.path.join(runner._path(table), runner._SNAPSHOT_FILE)
+    ) as f:
+        return json.load(f)
+
+
+def _man_files_on_disk(runner, table):
+    """{name: mtime_ns} of every per-month manifest file in the table
+    root (split form, _MANIFEST_SPLIT_BYTES)."""
+    base = runner._path(table)
+    return {
+        e: os.stat(os.path.join(base, e)).st_mtime_ns
+        for e in os.listdir(base)
+        if e.startswith(runner._MAN_PREFIX) and e.endswith(".json")
+    }
+
+
+def test_manifest_split_reads_identical_and_carries_refs(
+    spark, tmp_path, monkeypatch
+):
+    """The Iceberg-shaped pointer (r10 open item): with
+    _MANIFEST_SPLIT_BYTES forced to 0 every flip stores per-month
+    {"ref": _man_*.json} entries instead of inline file lists.  Pins:
+
+    * the resolved state is row-identical to a directory-mode run
+      through the same rebuild -> sync -> delta-sync lifecycle (the
+      no-link/no-copy property of manifest mode itself is pinned by
+      test_manifest_file_level_sync_carries_by_reference);
+    * content addressing makes the metadata carry free — a delta sync
+      confined to one month REWRITES NO untouched month's manifest
+      file (same list -> same hash -> same name, mtime unchanged) and
+      keeps its ref name verbatim in the new snapshot;
+    * the hot pointer stays O(months x ref-entry): every month value
+      in the raw snapshot is a ref, none inline;
+    * GC leaves exactly the referenced manifest files (no orphans
+      accumulate across flips).
+    """
+    from tests.fixtures import to_spark
+
+    monkeypatch.setattr(PipelineRunner, "_MANIFEST_SPLIT_BYTES", 0)
+    r, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True,
+    )
+    rd = PipelineRunner(
+        spark, str(tmp_path / "dirmode"), partitioned=True
+    )
+    dfs = to_spark(spark, pdfs)
+    rd.run(dfs, mode="rebuild")
+    rd.run(dfs, mode="sync")
+
+    raw0 = _raw_snapshot(r, "flat_obs")
+    assert raw0["months"], "no months?"
+    assert all(
+        isinstance(v, dict) and set(v) == {"ref"}
+        for v in raw0["months"].values()
+    ), raw0["months"]
+    mans_before = _man_files_on_disk(r, "flat_obs")
+    resolved_before = r._load_manifest("flat_obs")["months"]
+
+    pdfs2 = _small_delta(pdfs)
+    dfs2 = to_spark(spark, pdfs2)
+    r.run(dfs2, mode="sync")
+    rd.run(dfs2, mode="sync")
+    for t in ("flat_obs", "flat_orders", "flat_visit_summary",
+              "flat_lab_obs", "flat_latest_hiv_summary"):
+        assert _rows(r, t) == _rows(rd, t), t
+
+    raw1 = _raw_snapshot(r, "flat_obs")
+    resolved_after = r._load_manifest("flat_obs")["months"]
+    touched = {
+        m for m in resolved_after
+        if resolved_after[m] != resolved_before.get(m)
+    }
+    assert touched and len(touched) < len(resolved_after), touched
+    mans_after = _man_files_on_disk(r, "flat_obs")
+    for m, v in raw1["months"].items():
+        assert set(v) == {"ref"}, (m, v)
+        if m not in touched:
+            # untouched month: ref name verbatim from the old snapshot,
+            # manifest file never rewritten (content-addressed carry)
+            assert v["ref"] == raw0["months"][m]["ref"], m
+            assert mans_after[v["ref"]] == mans_before[v["ref"]], m
+        else:
+            assert v["ref"] != raw0["months"][m]["ref"], m
+    # GC: with keep_snapshots=1 the referenced set IS the disk set
+    assert set(mans_after) == {
+        v["ref"] for v in raw1["months"].values()
+    }
+
+
+def test_manifest_split_crash_retention_and_time_travel(
+    spark, tmp_path, monkeypatch
+):
+    """Split-form durability: a crash at the pointer flip leaves the
+    old SPLIT snapshot fully readable (refs resolve, rows identical)
+    and the next sync converges; with keep_snapshots=2 time travel
+    resolves refs across snapshots and a slid window GC's the manifest
+    files exclusive to the dropped snapshot."""
+    from tests.fixtures import to_spark
+
+    monkeypatch.setattr(PipelineRunner, "_MANIFEST_SPLIT_BYTES", 0)
+    r, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True, keep_snapshots=2,
+    )
+    e0 = _raw_snapshot(r, "flat_obs")["epoch"]
+    rows_e0 = _rows(r, "flat_obs")
+
+    # crash exactly at the flat_obs pointer publish of the next sync
+    real_replace = os.replace
+
+    def crash_on_obs_pointer(src, dst):
+        if dst.endswith(
+            os.path.join("flat_obs.parquet", r._SNAPSHOT_FILE)
+        ):
+            raise RuntimeError("crash at flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(
+        "mrsboraetl_spark.engine.os.replace", crash_on_obs_pointer
+    )
+    pdfs2 = _small_delta(pdfs)
+    with pytest.raises(RuntimeError, match="crash at flip"):
+        r.run(to_spark(spark, pdfs2), mode="sync")
+    monkeypatch.setattr("mrsboraetl_spark.engine.os.replace", real_replace)
+
+    # old split snapshot still live and resolvable
+    assert _raw_snapshot(r, "flat_obs")["epoch"] == e0
+    assert _rows(r, "flat_obs") == rows_e0
+
+    # recovery sync converges to the rebuild state
+    r.run(to_spark(spark, pdfs2), mode="sync")
+    e1 = _raw_snapshot(r, "flat_obs")["epoch"]
+    assert e1 > e0
+    rf = PipelineRunner(
+        spark, str(tmp_path / "fresh"), partitioned=True
+    )
+    rf.run(to_spark(spark, pdfs2), mode="rebuild")
+    assert _rows(r, "flat_obs") == _rows(rf, "flat_obs")
+
+    # time travel resolves the OLD snapshot's refs
+    old = r.read_target_at("flat_obs", e0)
+    cols = sorted(c for c in old.columns if c != "obs_map")
+    got = sorted(map(repr, old.toPandas()[cols].itertuples(index=False)))
+    assert got == rows_e0
+
+    # slide the window: e0 drops, its exclusive manifest files are GC'd
+    with open(
+        os.path.join(r._path("flat_obs"), f"_snap_{e0:08d}.json")
+    ) as f:
+        refs_e0 = {
+            v["ref"] for v in json.load(f)["months"].values()
+        }
+    r.run(to_spark(spark, _small_delta(pdfs2)), mode="sync")
+    assert r.snapshots("flat_obs") == [
+        e1, _raw_snapshot(r, "flat_obs")["epoch"]
+    ]
+    disk = set(_man_files_on_disk(r, "flat_obs"))
+    retained_refs = set()
+    for e in r.snapshots("flat_obs"):
+        with open(
+            os.path.join(r._path("flat_obs"), f"_snap_{e:08d}.json")
+        ) as f:
+            retained_refs |= {
+                v["ref"] for v in json.load(f)["months"].values()
+            }
+    assert disk == retained_refs
+    assert refs_e0 - retained_refs, "e0 had no exclusive manifest?"
+    assert not (refs_e0 - retained_refs) & disk
