@@ -108,7 +108,8 @@ class VersionedTable:
         }
 
     def commit(
-        self, df: DataFrame, note: str = "", stats_key: str | None = None
+        self, df: DataFrame, note: str = "", stats_key: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> int:
         """Write ``df`` as the next version; atomic at the manifest swap.
 
@@ -125,7 +126,15 @@ class VersionedTable:
         in the manifest (one pass over the new data) — merge_delta then
         probes only files whose range can hold a delta key.  Most
         effective when ``df`` is repartitioned+sorted on that key so
-        ranges are tight and disjoint."""
+        ranges are tight and disjoint.
+
+        ``max_records_per_file``: bound rows per data file (Spark
+        maxRecordsPerFile).  Without it a small-but-growing table AQE
+        has coalesced to one shuffle partition lands as ONE file, and
+        every later merge_delta must rewrite the whole table — per-file
+        reuse needs files to exist.  The engine threads its
+        _TARGET_FILE_ROWS here so versioned targets get the same
+        bounded file grain as the partitioned layout."""
         import shutil
         import uuid
 
@@ -135,8 +144,13 @@ class VersionedTable:
         staging = os.path.join(
             self.root, f".v{next_v}-staging-{uuid.uuid4().hex}"
         )
+        writer = df.write.mode("errorifexists")
+        if max_records_per_file:
+            writer = writer.option(
+                "maxRecordsPerFile", str(max_records_per_file)
+            )
         try:
-            df.write.mode("errorifexists").parquet(staging)
+            writer.parquet(staging)
             n_rows = df.sparkSession.read.parquet(staging).count()
             if os.path.exists(data_dir):
                 shutil.rmtree(data_dir)  # un-manifested orphan — never committed
@@ -222,6 +236,7 @@ class VersionedTable:
         delta: DataFrame,
         keys: Sequence[str],
         note: str = "merge_delta",
+        delete_keys: DataFrame | None = None,
     ) -> int:
         """REPLACE-INTO merge that rewrites ONLY the data files holding
         matched keys — the Delta/Iceberg MERGE cost model on plain
@@ -258,7 +273,16 @@ class VersionedTable:
         With the PK-sorted layout ranges are tight and disjoint, so a
         point-delta probes ~1 file regardless of table size.  Requires
         equal schemas (schema evolution forces a full rewrite — use
-        ``merge(evolve_schema=True)``)."""
+        ``merge(evolve_schema=True)``).
+
+        ``delete_keys``: optional extra key rows to PURGE — matched
+        base rows are removed exactly like replaced ones, but no new
+        row takes their place (a key present in ``delete_keys`` and
+        absent from ``delta`` is a straight DELETE).  This is the
+        REPLACE-INTO + delete-join shape incremental latest-state
+        merges need: an entity whose recomputed state has zero rows
+        must lose its old row, which delta-derived keys alone can
+        never express (r10)."""
         import shutil
         import uuid
 
@@ -284,6 +308,10 @@ class VersionedTable:
                 "merge(evolve_schema=True) for schema changes"
             )
         key_rows = delta.select(*keys).distinct()
+        if delete_keys is not None:
+            key_rows = key_rows.unionByName(
+                delete_keys.select(*keys)
+            ).distinct()
 
         base_entry = self._entry(self.version()) or {}
         file_stats = (
