@@ -293,6 +293,11 @@ class PipelineRunner:
     # per-directory swaps, so fall back.
     _DELTA_WRITE_MAX_FRACTION = 0.5
 
+    # Latest-summary analogue: past this fraction of the latest table's
+    # persons queued in one sync (a catch-up), one window over the whole
+    # visit summary beats per-person merge + delete.
+    _LATEST_MERGE_MAX_FRACTION = 0.5
+
     # Per-month [min, max] key bounds, recorded at write time so the
     # sync's phase-1 retraction probe opens only the month directories
     # whose range can contain a changed key — the partitioned-layout
@@ -1812,7 +1817,7 @@ class PipelineRunner:
             .drop(self.PARTITION_COL)
         )
 
-    def _merge_latest_summary(self, vs: DataFrame, queue: DataFrame) -> None:
+    def _merge_latest_summary(self, vs: DataFrame, queue: DataFrame) -> bool:
         """Incremental flat_latest_hiv_summary (r10; measured: the
         unconditional per-person-table rewrite was 42% of default-path
         sync write bytes at the 50k probe, the single largest share).
@@ -1837,11 +1842,28 @@ class PipelineRunner:
         visit_summary is person-probe pruned (Bloom/bounds sidecar)
         to the months that can hold a queued person.  Reference cost
         model being replaced: flat_latest_hiv_summary_v1.0.sql:21-37
-        rebuilds the whole table per run."""
+        rebuilds the whole table per run.
+
+        Returns False to request the caller's full-build fallback when
+        the queue covers most of the table (a catch-up sync): past
+        _LATEST_MERGE_MAX_FRACTION of the table's persons, one window
+        over everything beats per-person merge + delete — the latest
+        analogue of _DELTA_WRITE_MAX_FRACTION.  The row count comes
+        free from the VersionedTable manifest; the directory layout
+        pays one count of the (small) table."""
         table = "flat_latest_hiv_summary"
         keys = queue.select("person_id").distinct()
-        if not keys.take(1):
-            return  # empty queue: latest state already consistent
+        n_queue = keys.count()
+        if n_queue == 0:
+            return True  # empty queue: latest state already consistent
+        if self.versioned or self.manifest:
+            vt = self._versioned(table)
+            ent = vt._entry(vt.version()) or {}
+            n_latest = ent.get("rows")
+        else:
+            n_latest = self.read_target(table).count()
+        if n_latest and n_queue > self._LATEST_MERGE_MAX_FRACTION * n_latest:
+            return False
         rdr = self._make_probe_reader("flat_visit_summary")
         base = rdr(keys, "person_id") if rdr is not None else None
         src = base if base is not None else vs
@@ -1862,13 +1884,14 @@ class PipelineRunner:
                 # match _write's unpartitioned-manifest semantics:
                 # only the live version is retained
                 vt.vacuum(keep_last=1)
-            return
+            return True
         from mrsboraetl_spark.operators.upsert import anti_delete
 
         old = self.read_target(table)
         self._write(
             anti_delete(old, keys, pk).unionByName(delta), table
         )
+        return True
 
     def _write(self, df: DataFrame, table: str) -> None:
         """Full write: cluster, stage, atomic whole-table swap."""
@@ -2605,8 +2628,8 @@ class PipelineRunner:
                 and queue is not None
                 and person_stable
                 and self._recover_fs("flat_latest_hiv_summary")
+                and self._merge_latest_summary(vs, queue)
             ):
-                self._merge_latest_summary(vs, queue)
                 # same value the full path's _max_ts(vs) yields: vs
                 # max_date_created is flat_obs max_date_created maxed
                 # per person and both tables purge the same voided
@@ -2614,6 +2637,8 @@ class PipelineRunner:
                 # of an O(target) vs scan
                 wm_val = vs_wm_snapshot
             else:
+                # rebuild / cold / unstable void set / catch-up queue
+                # past _LATEST_MERGE_MAX_FRACTION: full build
                 self._write(
                     build_flat_latest_hiv_summary(vs),
                     "flat_latest_hiv_summary",

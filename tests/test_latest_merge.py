@@ -180,3 +180,27 @@ def test_latest_merge_manifest_reuses_files(spark, tmp_path, monkeypatch):
     assert _rows(r.read_target("flat_latest_hiv_summary")) == _rows(
         m.build_flat_latest_hiv_summary(vs)
     )
+
+
+def test_latest_merge_catchup_fraction_falls_back(
+    spark, tmp_path, spy, monkeypatch
+):
+    """_LATEST_MERGE_MAX_FRACTION: a queue covering more than the
+    configured fraction of the latest table's persons (a catch-up
+    sync) takes the full-build path — one window over everything beats
+    per-person merge + delete there.  Forced here with fraction=-1 so
+    ANY non-empty queue trips it."""
+    r, pdfs, wm = _base(spark, tmp_path, "fracmode")
+    monkeypatch.setattr(PipelineRunner, "_LATEST_MERGE_MAX_FRACTION", -1)
+    spy.clear()
+
+    pdfs2, person = _new_obs_delta(pdfs, wm)
+    r.run(to_spark(spark, pdfs2), mode="sync")
+
+    vs = r.read_target("flat_visit_summary")
+    assert spy and spy[-1] == vs.count(), (spy, vs.count())
+    import mrsboraetl_spark.plans.flat_latest_hiv_summary as m
+
+    assert _rows(r.read_target("flat_latest_hiv_summary")) == _rows(
+        m.build_flat_latest_hiv_summary(vs)
+    )
