@@ -593,7 +593,12 @@ class PipelineRunner:
         the caller treats the snapshot as unreadable.  Resolved refs
         are cached by filename: the name is content-addressed, so a
         hit can never be stale (and GC removing an unreferenced file
-        never invalidates a live entry)."""
+        never invalidates a live entry).  Resolution is EAGER —
+        O(all months) manifest reads on a runner's FIRST load of a
+        split-form table — an accepted trade: callers index the months
+        dict freely, and the cache makes every later load (including
+        carried-forward refs across flips) a pure dict lookup, so the
+        cost is once per table per process, not per operation."""
         out: dict[str, list[str]] = {}
         for m, v in months.items():
             if isinstance(v, list):
@@ -811,7 +816,13 @@ class PipelineRunner:
         reference, so this costs no extra storage beyond the retention
         window's touched files."""
         hist = self._history_epochs(table).get(int(epoch))
-        if hist is None:
+        man_live = self._load_manifest(table)
+        live = int(man_live["epoch"]) if man_live else -1
+        if hist is None or int(epoch) > live:
+            # the > live guard rejects crash orphans: a history file
+            # written before a flip that never happened names state
+            # that never committed, and the next write reuses its
+            # epoch directory with mode=overwrite (review finding r10)
             raise ValueError(
                 f"snapshot {epoch} of {table} is not retained "
                 f"(available: {self.snapshots(table)})"
@@ -909,7 +920,14 @@ class PipelineRunner:
                 for fn in files:
                     fp = os.path.join(root, fn)
                     if os.path.relpath(fp, path) not in live:
-                        os.remove(fp)
+                        try:
+                            os.remove(fp)
+                        except OSError:
+                            # locked/undeletable file: GC must not fail
+                            # a sync whose flip already committed — the
+                            # leftover is swept by a later GC (review
+                            # finding r10)
+                            continue
                         removed += 1
                 try:
                     os.rmdir(root)  # drops emptied month/epoch dirs
@@ -1881,9 +1899,11 @@ class PipelineRunner:
                 note=f"{table} queue merge", delete_keys=keys,
             )
             if self.manifest:
-                # match _write's unpartitioned-manifest semantics:
-                # only the live version is retained
-                vt.vacuum(keep_last=1)
+                # honor the runner's retention window exactly like the
+                # partitioned flip's GC does (review finding r10: a
+                # hard-coded keep_last=1 silently broke keep_snapshots
+                # and read_target_at for the unpartitioned table)
+                vt.vacuum(keep_last=self.keep_snapshots)
             return True
         from mrsboraetl_spark.operators.upsert import anti_delete
 
@@ -1930,14 +1950,15 @@ class PipelineRunner:
                 self._write_manifest_full(df, table, pk[0])
             else:
                 # unpartitioned target: VersionedTable IS the manifest
-                # layout for the whole-table case — commit + keep only
-                # the live version (matching swap-layout semantics)
+                # layout for the whole-table case — commit + retain the
+                # runner's snapshot window (keep_snapshots=1 default =
+                # swap-layout semantics; review finding r10)
                 vt = self._versioned(table)
                 vt.commit(
                     df, note=table, stats_key=pk[0] if pk else None,
                     max_records_per_file=self._TARGET_FILE_ROWS or None,
                 )
-                vt.vacuum(keep_last=1)
+                vt.vacuum(keep_last=self.keep_snapshots)
             return
         path, tmp = self._path(table), self._path(table) + ".tmp"
         old = path + ".old"
@@ -2010,8 +2031,19 @@ class PipelineRunner:
             )
             self._rebase_file_entries(staged, edir)
             old = self._load_sidecar_dir(path) or {}
+            live_m = set((man_old or {"months": {}})["months"])
             widened = dict(old)
             for m, ent in staged.items():
+                if old.get(m) is None and m in live_m:
+                    # pre-bounds upgrade month (live data, no recorded
+                    # entry): _widen_bounds(None, staged) would record
+                    # the staged TIGHT ranges before the flip, and a
+                    # crash in the window would let them prune old rows
+                    # out of the recovery sync's retraction probe.  No
+                    # entry = unconditional candidate — conservative
+                    # (review finding r10).
+                    widened.pop(m, None)
+                    continue
                 w = dict(
                     self._widen_bounds(old.get(m), ent, bounds_cols)
                 )
@@ -2028,6 +2060,18 @@ class PipelineRunner:
             self._write_bounds(path, staged)
         # previous epochs are now unreferenced
         self._gc_epochs(table, man_new)
+        # Migration sweep (review finding r10): a table upgraded from
+        # the directory layout still holds its pre-manifest hive dirs
+        # (p_month=M live, _old.M demoted, *.tmp staging) — the flip
+        # just committed the complete new state, so they are stale
+        # duplicates that a raw path reader would otherwise silently
+        # serve (breaking the advertised fail-safe) and that double
+        # storage forever.  Manifest mode never writes these names.
+        for entry in os.listdir(path):
+            if entry.startswith(
+                (self.PARTITION_COL + "=", self._OLD_PREFIX)
+            ):
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
     def _write_delta(
         self, df: DataFrame, table: str, months: list[str],
@@ -2145,6 +2189,21 @@ class PipelineRunner:
             widened = dict(old_bounds)
             for m in months:
                 if m in staged_bounds:
+                    if old_bounds.get(m) is None and (
+                        m in (man_old or {"months": {}})["months"]
+                        if self.manifest
+                        else os.path.isdir(os.path.join(
+                            path, f"{self.PARTITION_COL}={m}"
+                        ))
+                    ):
+                        # pre-bounds upgrade month (live data, no
+                        # recorded entry): recording the staged tight
+                        # ranges before the swap could prune the old
+                        # rows out of a recovery sync's probe — omit;
+                        # no entry = unconditional candidate (review
+                        # finding r10)
+                        widened.pop(m, None)
+                        continue
                     # _widen_bounds carries ranges and Blooms only —
                     # "files" is dropped here BY DESIGN (see docstring)
                     widened[m] = self._widen_bounds(

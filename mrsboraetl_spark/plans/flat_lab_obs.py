@@ -132,6 +132,18 @@ def incremental_flat_lab_obs(
         .select("person_id", F.to_date("obs_datetime").alias("day"))
     )
     affected = voided_days.unionByName(new_days).distinct()
+    # Delta-key pin (plans/_probe.pin; review finding r10 — this plan
+    # skipped the discipline its siblings follow): affected feeds the
+    # month set, the changed-key publication, the recompute semi-join,
+    # and the phase-2 delete-join.  Unpinned, each evaluation re-derives
+    # it from the source — repeated work, and over a mutable source
+    # (live DataFrame / JdbcSource(snapshot=False)) the phase-1 file
+    # plan and the phase-2 delete could see DIFFERENT affected sets:
+    # a row landing between them would be deleted from the touched
+    # files with no replacement in the already-pinned recompute.
+    from mrsboraetl_spark.plans._probe import pin as _pin
+
+    affected = _pin(affected, out, "lab_affected_keys")
     if out is not None and "affected_months" not in out:
         from mrsboraetl_spark.schemas import p_month_of
 

@@ -204,3 +204,50 @@ def test_latest_merge_catchup_fraction_falls_back(
     assert _rows(r.read_target("flat_latest_hiv_summary")) == _rows(
         m.build_flat_latest_hiv_summary(vs)
     )
+
+
+def test_latest_table_honors_keep_snapshots(spark, tmp_path, monkeypatch):
+    """Review finding r10: the unpartitioned manifest table's vacuum was
+    hard-coded keep_last=1, silently ignoring keep_snapshots.  With
+    keep_snapshots=2 the previous version of flat_latest_hiv_summary
+    must survive a merge commit and stay readable (time travel), same
+    contract as the partitioned tables' retained snapshots."""
+    monkeypatch.setattr(PipelineRunner, "_TARGET_FILE_ROWS", 4)
+    r, pdfs, wm = _base(
+        spark, tmp_path, "keepmode", manifest=True, keep_snapshots=2
+    )
+    vt = r._versioned("flat_latest_hiv_summary")
+    v0 = vt.version()
+    rows_v0 = sorted(
+        map(repr, vt.read(spark, version=v0).toPandas()
+            .sort_index(axis=1).itertuples(index=False))
+    )
+
+    pdfs2, _person = _new_obs_delta(pdfs, wm)
+    r.run(to_spark(spark, pdfs2), mode="sync")
+    v1 = vt.version()
+    assert v1 > v0
+    got = sorted(
+        map(repr, vt.read(spark, version=v0).toPandas()
+            .sort_index(axis=1).itertuples(index=False))
+    )
+    assert got == rows_v0  # previous version retained and identical
+
+    # one more sync slides the window: v0's exclusive files (the ones
+    # v1's merge replaced — everything else is shared forward and must
+    # survive) are vacuumed.  (vt.read(v0) itself degrades to the
+    # shared subset rather than raising: a full-snapshot entry has no
+    # recorded file list, so _files_of falls back to the directory
+    # listing — pre-existing contract, pinned as file-level GC here.)
+    import os as _os
+
+    files_v0 = [_os.path.join(vt.root, f) for f in vt._files_of(v0)]
+    assert files_v0 and all(map(_os.path.exists, files_v0))
+    pdfs3, _p = _new_obs_delta(pdfs2, wm, days=2)
+    r.run(to_spark(spark, pdfs3), mode="sync")
+    assert any(not _os.path.exists(p) for p in files_v0), files_v0
+    live = {
+        _os.path.join(vt.root, f) for f in vt._files_of(vt.version())
+    }
+    for p in live:
+        assert _os.path.exists(p), p

@@ -556,3 +556,142 @@ def test_manifest_split_crash_retention_and_time_travel(
     assert disk == retained_refs
     assert refs_e0 - retained_refs, "e0 had no exclusive manifest?"
     assert not (refs_e0 - retained_refs) & disk
+
+
+def test_manifest_migration_sweeps_legacy_hive_dirs(
+    spark, tmp_path, monkeypatch
+):
+    """Review finding r10: enabling manifest=True on a table built by
+    the directory layout must not leave the pre-migration p_month=*
+    dirs live — a raw path reader would silently serve the frozen old
+    table (breaking the advertised fail-safe) and storage doubles.
+    The first manifest full write sweeps them after its flip."""
+    from tests.fixtures import make_sources, to_spark
+
+    monkeypatch.setattr(PipelineRunner, "_TARGET_FILE_ROWS", 4)
+    pdfs = make_sources(n_persons=20, seed=13)
+    dfs = to_spark(spark, pdfs)
+    root = tmp_path / "migrate"
+    rd = PipelineRunner(spark, str(root), partitioned=True)
+    rd.run(dfs, mode="rebuild")
+    obs_dir = rd._path("flat_obs")
+    assert any(
+        e.startswith("p_month=") for e in os.listdir(obs_dir)
+    ), "dir-mode table must have hive dirs"
+    rows_before = _rows(rd, "flat_obs")
+
+    rm = PipelineRunner(spark, str(root), partitioned=True, manifest=True)
+    rm.run(dfs, mode="rebuild")
+    left = [
+        e for e in os.listdir(obs_dir)
+        if e.startswith(("p_month=", rm._OLD_PREFIX))
+    ]
+    assert left == [], left
+    with pytest.raises(Exception, match="UNABLE_TO_INFER_SCHEMA"):
+        spark.read.parquet(obs_dir).count()
+    assert _rows(rm, "flat_obs") == rows_before
+
+
+def test_manifest_crash_orphan_epoch_not_time_travelable(
+    spark, tmp_path, monkeypatch
+):
+    """Review finding r10: a crash between the history write and the
+    pointer flip leaves _snap_{N+1}.json for a state that never
+    committed; read_target_at must refuse it (the next write reuses
+    its epoch dir with mode=overwrite), and the recovery sync
+    converges."""
+    from tests.fixtures import to_spark
+
+    r, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True,
+    )
+    e0 = _raw_snapshot(r, "flat_obs")["epoch"]
+
+    real_replace = os.replace
+
+    def crash_on_pointer(src, dst):
+        if dst.endswith(
+            os.path.join("flat_obs.parquet", r._SNAPSHOT_FILE)
+        ):
+            raise RuntimeError("crash between history and pointer")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(
+        "mrsboraetl_spark.engine.os.replace", crash_on_pointer
+    )
+    pdfs2 = _small_delta(pdfs)
+    with pytest.raises(RuntimeError, match="crash between"):
+        r.run(to_spark(spark, pdfs2), mode="sync")
+    monkeypatch.setattr("mrsboraetl_spark.engine.os.replace", real_replace)
+
+    # orphan history exists above live, but is not servable
+    assert _raw_snapshot(r, "flat_obs")["epoch"] == e0
+    hist = r._history_epochs("flat_obs")
+    orphans = [e for e in hist if e > e0]
+    assert orphans, "crash left no orphan history?"
+    with pytest.raises(ValueError, match="not retained"):
+        r.read_target_at("flat_obs", orphans[0])
+
+    r.run(to_spark(spark, pdfs2), mode="sync")
+    assert _raw_snapshot(r, "flat_obs")["epoch"] > e0
+
+
+def test_manifest_crash_with_preexisting_unbounded_month_stays_conservative(
+    spark, tmp_path, monkeypatch
+):
+    """Review finding r10 (widen-pass upgrade hole): a month holding
+    live data but NO sidecar entry (pre-bounds table) must not gain
+    the staged delta's TIGHT ranges before the flip — a crash in the
+    window would let them prune the month's old rows out of the
+    recovery probe.  The pre-flip sidecar must leave such a month
+    entry-less (unconditional candidate), and the recovery sync must
+    converge to the rebuild state."""
+    from tests.fixtures import to_spark
+    from tests.test_file_level_writes import _mk_state as _mk
+
+    r, pdfs = _mk(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True,
+    )
+    # simulate the pre-bounds upgrade: drop sidecar + blooms entirely
+    for p in (
+        r._bounds_path("flat_obs"),
+        os.path.join(r._path("flat_obs"), r._BLOOMS_FILE),
+    ):
+        if os.path.exists(p):
+            os.remove(p)
+
+    real_replace = os.replace
+
+    def crash_at_flip(src, dst):
+        if dst.endswith(
+            os.path.join("flat_obs.parquet", r._SNAPSHOT_FILE)
+        ):
+            raise RuntimeError("crash at flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(
+        "mrsboraetl_spark.engine.os.replace", crash_at_flip
+    )
+    pdfs2 = _small_delta(pdfs)
+    with pytest.raises(RuntimeError, match="crash at flip"):
+        r.run(to_spark(spark, pdfs2), mode="sync")
+    monkeypatch.setattr("mrsboraetl_spark.engine.os.replace", real_replace)
+
+    # the pre-flip sidecar recorded NOTHING for the live months the
+    # delta touched (no entry = cannot prune = conservative)
+    sidecar = r._load_sidecar_dir(r._path("flat_obs")) or {}
+    live_months = set(_raw_snapshot(r, "flat_obs")["months"])
+    for m, ent in sidecar.items():
+        assert m not in live_months or ent == {}, (m, ent)
+
+    # recovery converges to a fresh rebuild
+    r.run(to_spark(spark, pdfs2), mode="sync")
+    from tests.fixtures import to_spark as _ts
+
+    rf = PipelineRunner(
+        spark, str(tmp_path / "fresh_ub"), partitioned=True
+    )
+    rf.run(_ts(spark, pdfs2), mode="rebuild")
+    assert _rows(r, "flat_obs") == _rows(rf, "flat_obs")
