@@ -52,6 +52,7 @@ from mrsboraetl_spark.plans.flat_visit_summary import (
     build_flat_visit_summary,
     incremental_flat_visit_summary,
 )
+from mrsboraetl_spark.sources.versioned import ConcurrentCommitError
 from mrsboraetl_spark.sources.watermark import WatermarkStore
 
 
@@ -351,10 +352,20 @@ class PipelineRunner:
     # a month that outgrows the cap saturates toward all-ones and
     # prunes nothing — conservative, never wrong; raise the cap (or
     # move the sidecar to parquet) for production-scale months.
+    # encounter_id added r11 (VERDICT r10 item 5, decided by
+    # measurement — tests/encounter_bloom_probe.py): the time-
+    # correlation claim behind range-only encounter pruning does not
+    # hold when encounters are entered out of visit order (the fixture
+    # models it; production backdated data entry does the same) — an
+    # aged-encounter retraction probe opened 12/12 months where 3 held
+    # the keys.  With the Bloom the same probe opens exactly the true
+    # months.  Cost: one more per-month filter built per write (the
+    # staged-parquet build path, O(months) driver transfer) and ≤1 MB
+    # per month per column of sidecar at the cap.
     _BLOOM_COLS = {
-        "flat_obs": ("person_id",),
-        "flat_orders": ("person_id",),
-        "flat_visit_summary": ("person_id",),
+        "flat_obs": ("person_id", "encounter_id"),
+        "flat_orders": ("person_id", "encounter_id"),
+        "flat_visit_summary": ("person_id", "encounter_id"),
     }
     _BLOOM_J = 7
     _BLOOM_MIN_BITS = 1 << 10
@@ -608,6 +619,20 @@ class PipelineRunner:
                 ref = v["ref"]
             except (TypeError, KeyError):
                 return None
+            # Shape-validate the ref BEFORE opening it (ADVICE r10): a
+            # corrupt pointer must read as unreadable, never as a path
+            # escape — the ref is joined into the table dir, so any
+            # separator (or a name outside the _man_*.json family)
+            # could reference files outside the table.
+            if (
+                not isinstance(ref, str)
+                or not ref.startswith(self._MAN_PREFIX)
+                or not ref.endswith(".json")
+                or "/" in ref
+                or os.sep in ref
+                or (os.altsep and os.altsep in ref)
+            ):
+                return None
             cached = self._man_cache.get(ref)
             if cached is None:
                 try:
@@ -615,7 +640,13 @@ class PipelineRunner:
                         cached = json.load(f)
                     if not isinstance(cached, list):
                         return None
-                except (FileNotFoundError, json.JSONDecodeError):
+                except (OSError, ValueError):
+                    # OSError covers permission/IsADirectory/transient
+                    # I/O failures alongside FileNotFoundError;
+                    # ValueError covers JSONDecodeError AND the
+                    # UnicodeDecodeError a binary-garbage file raises —
+                    # all must read as None per the self-healing
+                    # contract, not crash the read path (ADVICE r10).
                     return None
                 if len(self._man_cache) > 4096:
                     self._man_cache.clear()
@@ -647,9 +678,13 @@ class PipelineRunner:
             man["months"] = months
             return man
         except (
-            FileNotFoundError, json.JSONDecodeError, AttributeError,
-            KeyError, TypeError, ValueError,
+            OSError, AttributeError, KeyError, TypeError, ValueError,
         ):
+            # OSError (not just FileNotFoundError): a permission or
+            # transient I/O failure on the pointer reads as cold, same
+            # self-healing contract as a torn file (ADVICE r10).
+            # ValueError subsumes JSONDecodeError and the
+            # UnicodeDecodeError of binary garbage.
             return None
 
     def _split_manifest_months(
@@ -694,12 +729,30 @@ class PipelineRunner:
             refs[m] = {"ref": name}
         return {**man, "months": refs}
 
-    def _flip_manifest_dir(self, table_dir: str, man: dict) -> None:
+    def _flip_manifest_dir(
+        self, table_dir: str, man: dict,
+        parent_epoch: int | None = None,
+    ) -> None:
         """THE swap: one atomic, DURABLE pointer replace.  Local
-        stand-in for an object store's single-key conditional PUT
-        (If-Match on the read epoch would add optimistic concurrency
-        for multiple writers; this engine follows the reference's
-        single-writer sync model, flat_obs_v1.0.sql's one cron).
+        stand-in for an object store's single-key conditional PUT.
+
+        ``parent_epoch`` (VERDICT r10 item 3, optimistic concurrency):
+        the live epoch the writer READ when it planned this write (-1
+        for a cold table).  If the on-disk pointer has moved past it —
+        a concurrent runner (or a streaming drain racing a batch sync)
+        committed in between — the flip raises ConcurrentCommitError
+        instead of silently dropping that committed epoch: this
+        writer's plan retracted/merged against a stale base, so
+        publishing it would lose the other writer's rows, not just its
+        epoch number.  The loser's staged epoch directory is an orphan
+        the next successful write's GC sweeps; the caller re-runs the
+        sync against the new snapshot (idempotent by the delete +
+        reaggregate contract).  The check-then-replace window is not
+        truly atomic on a local filesystem — on an object store, swap
+        the replace below for If-Match/compare-and-swap on the pointer
+        key and the contract is exact.  ``None`` skips the check
+        (callers that cannot know their parent; the reference's own
+        model is one serialized cron, flat_obs_v1.0.sql:115).
 
         fsync before AND after the rename (review finding r10): GC
         deletes the replaced data files immediately after this returns,
@@ -715,8 +768,20 @@ class PipelineRunner:
         best-effort: some network/FUSE mounts reject fsync on a
         directory fd, and failing every flip AFTER it already
         committed would be worse than the narrowed crash window."""
-        man = self._split_manifest_months(table_dir, man)
         p = self._snapshot_path_dir(table_dir)
+        if parent_epoch is not None:
+            try:
+                with open(p) as f:
+                    live = int(json.load(f)["epoch"])
+            except (OSError, ValueError, KeyError, TypeError):
+                live = -1  # cold/corrupt pointer == no committed parent
+            if live != int(parent_epoch):
+                raise ConcurrentCommitError(
+                    f"{table_dir}: planned against epoch {parent_epoch} "
+                    f"but live is {live} — a concurrent commit landed; "
+                    "re-run the sync against the new snapshot"
+                )
+        man = self._split_manifest_months(table_dir, man)
         # History entry FIRST (crash before the pointer flip leaves an
         # orphan history file that GC prunes as above-live): the flip
         # then only publishes — time travel and retention GC read the
@@ -874,8 +939,22 @@ class PipelineRunner:
         # (the in-memory ``man`` always carries resolved inline lists,
         # but the on-disk pointer/history may hold the split form —
         # its _man_ files are retained metadata exactly like the data
-        # they name).
+        # they name) — AND from the raw live pointer itself (ADVICE
+        # r10): if the live epoch's history file is missing or
+        # unreadable, its except-continue below would otherwise retain
+        # no refs for the live snapshot and GC would delete the _man_
+        # files _snapshot.json still names, wedging the live table.
         live_refs: set[str] = set()
+        try:
+            with open(self._snapshot_path_dir(path)) as f:
+                raw_live = json.load(f)
+            live_refs.update(
+                v["ref"]
+                for v in raw_live.get("months", {}).values()
+                if isinstance(v, dict) and "ref" in v
+            )
+        except (OSError, ValueError, AttributeError, TypeError):
+            pass  # cold/corrupt pointer: nothing live to protect
         for e in retained:
             try:
                 with open(history[e]) as f:
@@ -891,8 +970,10 @@ class PipelineRunner:
                 resolved = self._resolve_man_months(path, raw_months)
                 for fl in (resolved or {}).values():
                     live.update(fl)
-            except (json.JSONDecodeError, KeyError, TypeError):
+            except (OSError, ValueError, KeyError, TypeError):
                 continue  # unreadable history: retains nothing extra
+                # (the live snapshot's refs/data are protected above
+                # regardless — this arm only loses RETENTION extras)
         for e, hp in history.items():
             if e not in retained:
                 try:
@@ -2054,7 +2135,10 @@ class PipelineRunner:
             self._write_bounds(path, widened)
         man_new = {"epoch": epoch, "months": months_files}
         self._fsync_tree(edir)  # staged data durable BEFORE it's named
-        self._flip_manifest_dir(path, man_new)
+        self._flip_manifest_dir(
+            path, man_new,
+            parent_epoch=int(man_old["epoch"]) if man_old else -1,
+        )
         if bounds_cols:
             # exact: a full rewrite's content is exactly the staged set
             self._write_bounds(path, staged)
@@ -2241,7 +2325,10 @@ class PipelineRunner:
             man_new = {"epoch": epoch, "months": new_months}
             # staged data durable BEFORE the pointer names it
             self._fsync_tree(tmp)
-            self._flip_manifest_dir(path, man_new)
+            self._flip_manifest_dir(
+                path, man_new,
+                parent_epoch=int(man_old["epoch"]) if man_old else -1,
+            )
         else:
             # Assemble carried files into the staged directories BEFORE
             # any swap: hardlinks from the still-live month dirs (same
@@ -2470,11 +2557,28 @@ class PipelineRunner:
         no-op sync against the replica issues only one-row index
         queries — no table read, not even a schema probe (pinned in
         tests/test_jdbc_pipeline.py).  A plain DataFrame source pays
-        the column scan for its signal."""
+        the column scan for its signal.
+
+        Disk note (ADVICE r10): a JdbcSource with snapshot AUTO/True
+        stages a full local-parquet copy of each RESOLVED table under
+        ``storage_root/_src_snapshot_{key}`` — budget disk equal to
+        the resolved source tables' size.  Copies are overwritten in
+        place on the next resolution; copies whose key is absent from
+        this run's mapping (a renamed/removed source) are swept at run
+        start so they cannot linger indefinitely."""
         from mrsboraetl_spark.sources.readers import JdbcSource
 
         assert mode in ("sync", "rebuild")
         raw = dict(sources)
+        snap_prefix = "_src_snapshot_"
+        for entry in os.listdir(self.root):
+            if (
+                entry.startswith(snap_prefix)
+                and entry[len(snap_prefix):] not in raw
+            ):
+                shutil.rmtree(
+                    os.path.join(self.root, entry), ignore_errors=True
+                )
         resolved = {
             k: v
             for k, v in raw.items()
@@ -2638,6 +2742,14 @@ class PipelineRunner:
             # flat_obs max_date_created snapshot read.
             vs_ran = False
         vs_out: dict = {}
+        if self.versioned:
+            # The latest-summary merge consumes the plan's queue in a
+            # separate action after the stage's own write; the
+            # versioned layout never sets pin_recomputed (no two-phase
+            # re-run), so without naming the key here the plan would
+            # not publish it and the merge_delta leg of
+            # _merge_latest_summary was unreachable (ADVICE r10).
+            vs_out["pin_keys"] = ("queue_keys",)
         if vs_ran:
             flat_obs = self.read_target("flat_obs")
             flat_lab = self.read_target("flat_lab_obs")

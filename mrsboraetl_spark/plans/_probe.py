@@ -36,14 +36,20 @@ def pin(df: DataFrame, out: dict | None, key: str) -> DataFrame:
     re-reads the source parquet).  Only active under the engine's
     ``pin_recomputed`` request — the partitioned two-phase path, where
     an eager localCheckpoint is already the accepted trade (see the
-    ``recomputed`` pin); other layouts keep pure lineage.
+    ``recomputed`` pin); other layouts keep pure lineage — EXCEPT for
+    keys the engine names in ``out["pin_keys"]``: those have a
+    consumer in a separate action AFTER the stage's own write (the
+    latest-summary merge reads ``queue_keys`` post-commit), so the
+    same materialize-once trade applies on any layout (ADVICE r10:
+    without this the versioned layout never published the queue and
+    its merge path was unreachable).
     localCheckpoint preserves size stats (PERF.md), so a pinned
     delta-key frame stays broadcast-eligible."""
     if out is None:
         return df
     if key in out:
         return out[key]
-    if out.get("pin_recomputed"):
+    if out.get("pin_recomputed") or key in out.get("pin_keys", ()):
         df = df.localCheckpoint()
         out[key] = df
     return df

@@ -42,10 +42,26 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST = "_latest.json"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed to this table after the current writer
+    read its parent state — completing the commit would silently drop
+    that writer's version (last-writer-wins).  The loser must re-read
+    the table and re-plan; its staged data directory is an orphan the
+    next successful commit's path handling tolerates.  Local stand-in
+    for an object store's compare-and-swap / If-Match conditional PUT
+    (what Iceberg does on its pointer)."""
+
+
 class VersionedTable:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+
+    # Manifest JSON compaction threshold (bytes): past this, history
+    # entries older than the retention window lose their bulky per-file
+    # metadata (see compact_history).  ~1 MB keeps the hot pointer a
+    # single small PUT while retaining ~10k audit rows untouched.
+    _HISTORY_COMPACT_BYTES = 1 << 20
 
     # ------------------------------------------------------------ manifest
 
@@ -59,7 +75,24 @@ class VersionedTable:
         except FileNotFoundError:
             return {"version": -1, "history": []}
 
-    def _commit_manifest(self, manifest: dict) -> None:
+    def _commit_manifest(
+        self, manifest: dict, parent_version: int | None = None
+    ) -> None:
+        """Atomic manifest swap.  ``parent_version``: the version the
+        writer READ when it planned this commit — if the live manifest
+        has moved past it, raise instead of silently dropping the
+        concurrent writer's version (optimistic concurrency, VERDICT
+        r10 item 3).  The check-then-replace window is not truly
+        atomic locally; on an object store swap this method for a
+        conditional PUT and the contract is exact."""
+        if parent_version is not None:
+            live = self._read_manifest()["version"]
+            if live != parent_version:
+                raise ConcurrentCommitError(
+                    f"{self.root}: read version {parent_version} but "
+                    f"live is {live} — a concurrent commit landed; "
+                    "re-read and re-plan"
+                )
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
@@ -166,7 +199,7 @@ class VersionedTable:
             )
         manifest["version"] = next_v
         manifest["history"] = [*manifest["history"], entry]
-        self._commit_manifest(manifest)
+        self._commit_manifest(manifest, parent_version=next_v - 1)
         return next_v
 
     def _entry(self, v: int) -> dict | None:
@@ -203,6 +236,16 @@ class VersionedTable:
         if version is not None and version > self.version():
             raise ValueError(f"version {version} > latest {self.version()}")
         e = self._entry(v)
+        if e is not None and e.get("compacted"):
+            # A compacted entry lost its explicit file list; falling
+            # back to the v{N} directory listing would silently serve a
+            # PARTIAL table (a merge version's reused files live under
+            # older dirs).  Same reader contract as a vacuumed version,
+            # stated loudly.
+            raise ValueError(
+                f"version {v} of {self.root} was compacted past the "
+                "retention window and is no longer readable"
+            )
         if e is not None and "files" in e:
             # File-reuse version: open exactly the manifest's file list
             # (files may physically live under OLDER versions' dirs).
@@ -290,9 +333,11 @@ class VersionedTable:
 
         from mrsboraetl_spark.operators.upsert import anti_delete
 
-        if self.version() < 0:
+        manifest = self._read_manifest()
+        base_v = manifest["version"]
+        if base_v < 0:
             return self.commit(delta, note=note, stats_key=keys[0])
-        base_files = self._files_of(self.version())
+        base_files = self._files_of(base_v)
         abs_files = [os.path.join(self.root, f) for f in base_files]
         base = spark.read.parquet(*abs_files)
         if dict(base.dtypes) != dict(delta.dtypes):
@@ -313,7 +358,10 @@ class VersionedTable:
                 delete_keys.select(*keys)
             ).distinct()
 
-        base_entry = self._entry(self.version()) or {}
+        base_entry = next(
+            (e for e in manifest["history"] if e["version"] == base_v),
+            None,
+        ) or {}
         file_stats = (
             base_entry.get("file_stats", {})
             if base_entry.get("stats_key") == keys[0]
@@ -358,8 +406,10 @@ class VersionedTable:
         untouched = [f for f in base_files if f not in touched_rel]
         touched = [f for f in base_files if f in touched_rel]
 
-        manifest = self._read_manifest()
-        next_v = manifest["version"] + 1
+        # the manifest read ONCE at the top stays the plan's authority:
+        # base files, stats, and next_v all derive from base_v, and the
+        # commit below CAS-checks against that same parent
+        next_v = base_v + 1
         data_dir = os.path.join(self.root, f"v{next_v}")
         staging = os.path.join(
             self.root, f".v{next_v}-staging-{uuid.uuid4().hex}"
@@ -427,7 +477,7 @@ class VersionedTable:
                 "file_stats": {**carried, **new_stats},
             },
         ]
-        self._commit_manifest(manifest)
+        self._commit_manifest(manifest, parent_version=base_v)
         return next_v
 
     def _relpath(self, file_uri: str) -> str:
@@ -447,6 +497,48 @@ class VersionedTable:
         p = unquote(p)
         return os.path.relpath(os.path.abspath(p), os.path.abspath(self.root))
 
+    def compact_history(self, keep_last: int = 2) -> int:
+        """Strip the bulky per-file metadata (``files`` list and
+        ``file_stats``) from history entries older than the last
+        ``keep_last`` versions, once the manifest JSON passes
+        ``_HISTORY_COMPACT_BYTES`` — the audit fields (version, rows,
+        note, rewrote/reused/probed counts) are kept forever.
+
+        Why (VERDICT r10 item 2): every incremental sync commits a
+        merge version whose entry lists the table's whole file set plus
+        per-file stats; at a sync-per-5-minutes cadence the manifest
+        grows ~100k entries/year and the hot pointer's read/write cost
+        grows with it, unboundedly.  Data disk was already
+        vacuum-bounded — this bounds the METADATA.
+
+        Contract: compacted versions are below the retention window, so
+        their data was (or is about to be) vacuumed; ``read`` of a
+        compacted version raises explicitly instead of serving the
+        partial v{N} directory.  Entries inside the kept window are
+        never touched — retention reads, merge_delta's base-stats
+        lookup, and vacuum's referenced-set walk only consult those.
+        Returns the number of entries compacted."""
+        manifest = self._read_manifest()
+        if (
+            len(json.dumps(manifest)) <= self._HISTORY_COMPACT_BYTES
+        ):
+            return 0
+        cut = manifest["version"] - keep_last + 1
+        n = 0
+        for e in manifest["history"]:
+            if e["version"] < cut and (
+                "file_stats" in e or "files" in e
+            ):
+                e.pop("file_stats", None)
+                e.pop("files", None)
+                e["compacted"] = True
+                n += 1
+        if n:
+            self._commit_manifest(
+                manifest, parent_version=manifest["version"]
+            )
+        return n
+
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop data of versions older than the last ``keep_last``.
         Returns dropped versions.  (Local-dir equivalent of Delta VACUUM;
@@ -455,7 +547,12 @@ class VersionedTable:
         File-reuse aware: a file physically under a dropped version's
         directory SURVIVES if any kept version's manifest still lists it
         (merge_delta shares untouched files forward); only unreferenced
-        files are deleted, and the directory goes when empty."""
+        files are deleted, and the directory goes when empty.
+
+        Also compacts manifest history below the same window
+        (compact_history) once the JSON passes its size threshold —
+        vacuum is the retention statement, so metadata retention rides
+        the same call."""
         import shutil
 
         latest = self.version()
@@ -482,4 +579,5 @@ class VersionedTable:
             if not kept_any:
                 shutil.rmtree(d, ignore_errors=True)
                 dropped.append(v)
+        self.compact_history(keep_last=keep_last)
         return dropped

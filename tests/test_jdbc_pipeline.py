@@ -389,3 +389,34 @@ def test_jdbc_snapshot_auto_default(spark, env, tmp_path, monkeypatch):
     ), "snapshot=False still staged"
     for t in ("flat_obs", "flat_visit_summary"):
         assert _rows(ra.read_target(t)) == _rows(rp.read_target(t)), t
+
+
+def test_stale_src_snapshot_dirs_swept_at_run_start(
+    spark, env, tmp_path
+):
+    """ADVICE r10: staging copies cost disk equal to source size and
+    were only ever overwritten in place — a source renamed or removed
+    from the mapping left its copy behind indefinitely.  run() now
+    sweeps _src_snapshot_ dirs whose key is absent from the current
+    mapping; dirs for still-declared sources survive (they are the
+    next resolution's overwrite target)."""
+    import os as _os
+
+    root = str(tmp_path / "store_sweep")
+    r = PipelineRunner(spark, root, partitioned=True)
+    r.run(env["jdbc"], mode="rebuild")
+    staged = [
+        e for e in _os.listdir(root) if e.startswith("_src_snapshot_")
+    ]
+    assert staged, "rebuild staged nothing?"
+
+    # a leftover from a renamed source
+    ghost = _os.path.join(root, "_src_snapshot_ghost")
+    _os.makedirs(_os.path.join(ghost, "x"), exist_ok=True)
+
+    r.run(env["jdbc"], mode="sync")
+    assert not _os.path.exists(ghost), "stale staging dir not swept"
+    for e in staged:
+        assert _os.path.exists(_os.path.join(root, e)), (
+            e, "live source's staging copy must survive the sweep",
+        )

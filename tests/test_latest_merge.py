@@ -53,7 +53,7 @@ def spy(monkeypatch):
     return calls
 
 
-def _base(spark, tmp_path, name, **kw):
+def _base(spark, tmp_path, name, partitioned=True, **kw):
     pdfs = make_sources(n_persons=30, seed=7)
     obs, enc = pdfs["obs"].copy(), pdfs["encounter"].copy()
     wm = obs["date_created"].max()
@@ -61,7 +61,7 @@ def _base(spark, tmp_path, name, **kw):
     enc.loc[late, "date_changed"] = wm
     pdfs = dict(pdfs, obs=obs, encounter=enc)
     r = PipelineRunner(
-        spark, str(tmp_path / name), partitioned=True, **kw
+        spark, str(tmp_path / name), partitioned=partitioned, **kw
     )
     r.run(to_spark(spark, pdfs), mode="rebuild")
     r.run(to_spark(spark, pdfs), mode="sync")
@@ -180,6 +180,75 @@ def test_latest_merge_manifest_reuses_files(spark, tmp_path, monkeypatch):
     assert _rows(r.read_target("flat_latest_hiv_summary")) == _rows(
         m.build_flat_latest_hiv_summary(vs)
     )
+
+
+def test_latest_merge_versioned_layout_uses_merge_delta(
+    spark, tmp_path, spy
+):
+    """ADVICE r10: the versioned layout never set pin_recomputed, so
+    the plan never published queue_keys and _merge_latest_summary's
+    merge_delta leg was unreachable — versioned deployments silently
+    kept the full latest-table rewrite.  The engine now names
+    queue_keys in out["pin_keys"] for versioned runs.  Pins: the merge
+    commit lands as a VersionedTable 'queue merge' version whose build
+    saw only the queued person's visit rows, and the state equals an
+    independent full build."""
+    r, pdfs, wm = _base(
+        spark, tmp_path, "versmode", partitioned=False, versioned=True
+    )
+    vt = r._versioned("flat_latest_hiv_summary")
+    v0 = vt.version()
+    spy.clear()
+
+    pdfs2, person = _new_obs_delta(pdfs, wm)
+    r.run(to_spark(spark, pdfs2), mode="sync")
+
+    v1 = vt.version()
+    assert v1 > v0
+    entry = next(
+        e for e in vt._read_manifest()["history"] if e["version"] == v1
+    )
+    assert entry["note"] == "flat_latest_hiv_summary queue merge"
+
+    vs = r.read_target("flat_visit_summary")
+    n_person_rows = vs.filter(f"person_id = {person}").count()
+    assert spy == [n_person_rows], (spy, n_person_rows)
+    assert n_person_rows < vs.count()
+
+    import mrsboraetl_spark.plans.flat_latest_hiv_summary as m
+
+    assert _rows(r.read_target("flat_latest_hiv_summary")) == _rows(
+        m.build_flat_latest_hiv_summary(vs)
+    )
+
+
+def test_merge_path_watermark_equals_full_path_value(
+    spark, tmp_path
+):
+    """ADVICE r10: the merge path logs vs_wm_snapshot (max over
+    flat_obs.max_date_created) for flat_latest_hiv_summary on the
+    claim it equals what the full path logs (_max_ts over the visit
+    summary).  Pin the equality after a merge-path sync so a future
+    plan change that filters a person out of the visit summary (while
+    keeping their flat_obs rows) cannot silently overstate the logged
+    watermark."""
+    import pyspark.sql.functions as F
+
+    from mrsboraetl_spark.config import TABLE_VERSIONS
+
+    r, pdfs, wm = _base(spark, tmp_path, "wmmode")
+    pdfs2, _person = _new_obs_delta(pdfs, wm)
+    r.run(to_spark(spark, pdfs2), mode="sync")
+
+    vs = r.read_target("flat_visit_summary")
+    fo = r.read_target("flat_obs")
+    vs_max = vs.agg(F.max("max_date_created")).first()[0]
+    fo_max = fo.agg(F.max("max_date_created")).first()[0]
+    assert vs_max == fo_max
+    logged = r.watermarks.last_update(
+        TABLE_VERSIONS["flat_latest_hiv_summary"]
+    )
+    assert logged == vs_max
 
 
 def test_latest_merge_catchup_fraction_falls_back(

@@ -196,7 +196,7 @@ def test_manifest_crash_at_flip_keeps_contract(spark, tmp_path, monkeypatch):
     real_flip = PipelineRunner._flip_manifest_dir
     blown: dict = {}
 
-    def exploding_flip(self, table_dir, man):
+    def exploding_flip(self, table_dir, man, **kw):
         if "flat_obs.parquet" in table_dir and not blown:
             blown["months"] = [
                 m
@@ -204,7 +204,7 @@ def test_manifest_crash_at_flip_keeps_contract(spark, tmp_path, monkeypatch):
                 if man["months"][m] != man_before["months"].get(m)
             ]
             raise RuntimeError("injected crash at snapshot flip")
-        return real_flip(self, table_dir, man)
+        return real_flip(self, table_dir, man, **kw)
 
     monkeypatch.setattr(
         PipelineRunner, "_flip_manifest_dir", exploding_flip
@@ -558,6 +558,91 @@ def test_manifest_split_crash_retention_and_time_travel(
     assert not (refs_e0 - retained_refs) & disk
 
 
+def test_gc_protects_live_refs_when_history_missing(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: GC used to collect _man_ ref names only from the
+    retained HISTORY files — with the live epoch's history file missing
+    (crash, manual cleanup, unreadable byte rot), the split-form _man_
+    files the live _snapshot.json still names were swept, wedging the
+    live table into a cold rebuild.  The refs must also be collected
+    from the raw live pointer so a lost history entry can never orphan
+    the live snapshot's manifests."""
+    monkeypatch.setattr(PipelineRunner, "_MANIFEST_SPLIT_BYTES", 0)
+    r, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True,
+    )
+    table = "flat_obs"
+    rows_before = _rows(r, table)
+    live_refs = {
+        v["ref"] for v in _raw_snapshot(r, table)["months"].values()
+    }
+    assert live_refs, "split mode must store refs"
+
+    # lose the live epoch's history file, then GC
+    e_live = _raw_snapshot(r, table)["epoch"]
+    os.remove(os.path.join(r._path(table), f"_snap_{e_live:08d}.json"))
+    r._man_cache.clear()  # force GC/readers back to disk
+    r._gc_epochs(table)
+
+    for ref in live_refs:
+        assert os.path.exists(os.path.join(r._path(table), ref)), ref
+    r._man_cache.clear()
+    assert r._load_manifest(table) is not None
+    assert _rows(r, table) == rows_before
+
+
+def test_corrupt_ref_reads_as_cold_never_escapes(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: a corrupt pointer whose ref carries a path separator
+    (or any name outside the _man_*.json family) must read as an
+    unreadable snapshot (None -> cold), never be joined into the table
+    dir and opened; a shape-valid ref hitting an IsADirectoryError
+    (OSError, formerly uncaught) must also read as None instead of
+    raising out of every read path."""
+    monkeypatch.setattr(PipelineRunner, "_MANIFEST_SPLIT_BYTES", 0)
+    r, _pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=20, seed=13,
+        manifest=True,
+    )
+    table = "flat_obs"
+    base = r._path(table)
+    snap = _raw_snapshot(r, table)
+    month = next(iter(snap["months"]))
+
+    # (a) path-escaping ref: outside file must never be opened
+    outside = tmp_path / "outside.json"
+    outside.write_text(json.dumps(["evil.parquet"]))
+    opened: list[str] = []
+    real_open = open
+
+    def spying_open(path, *a, **kw):
+        opened.append(str(path))
+        return real_open(path, *a, **kw)
+
+    evil = dict(snap)
+    evil["months"] = dict(snap["months"])
+    evil["months"][month] = {"ref": f"../{outside.name}"}
+    with real_open(os.path.join(base, r._SNAPSHOT_FILE), "w") as f:
+        json.dump(evil, f)
+    r._man_cache.clear()
+    monkeypatch.setattr("builtins.open", spying_open)
+    assert r._load_manifest(table) is None
+    monkeypatch.undo()
+    assert not any(str(outside) in p for p in opened), opened
+
+    # (b) shape-valid ref naming a DIRECTORY: OSError, reads as None
+    dirref = f"{r._MAN_PREFIX}{month}_0000000000000000.json"
+    os.makedirs(os.path.join(base, dirref), exist_ok=True)
+    evil["months"][month] = {"ref": dirref}
+    with real_open(os.path.join(base, r._SNAPSHOT_FILE), "w") as f:
+        json.dump(evil, f)
+    r._man_cache.clear()
+    assert r._load_manifest(table) is None
+
+
 def test_manifest_migration_sweeps_legacy_hive_dirs(
     spark, tmp_path, monkeypatch
 ):
@@ -695,3 +780,68 @@ def test_manifest_crash_with_preexisting_unbounded_month_stays_conservative(
     )
     rf.run(_ts(spark, pdfs2), mode="rebuild")
     assert _rows(r, "flat_obs") == _rows(rf, "flat_obs")
+
+
+def test_concurrent_flip_raises_and_preserves_winner(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 item 3 (engine half): the _snapshot.json flip was
+    atomic but last-writer-wins — two concurrent runners could
+    silently drop a committed epoch.  The flip now compare-and-swaps
+    on the parent epoch the writer planned against.  Interleave: while
+    runner A's delta sync is about to flip flat_obs, runner B (second
+    runner, same store) commits a new epoch; A's flip must raise
+    ConcurrentCommitError, B's epoch stays live, and A's re-run
+    converges against the new snapshot."""
+    from mrsboraetl_spark.engine import ConcurrentCommitError
+    from tests.fixtures import to_spark
+
+    rA, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True,
+    )
+    rB = PipelineRunner(
+        spark, rA.root, partitioned=True, manifest=True
+    )
+    e0 = _raw_snapshot(rA, "flat_obs")["epoch"]
+
+    real_flip = PipelineRunner._flip_manifest_dir
+    fired: dict = {}
+
+    def interleaved_flip(self, table_dir, man, **kw):
+        if (
+            self is rA
+            and "flat_obs.parquet" in table_dir
+            and not fired
+        ):
+            fired["e_b"] = None
+            # runner B lands a full flat_obs epoch between A's plan
+            # and A's flip (content-identical rewrite — the race is
+            # about epochs, not rows)
+            rB._write(rB.read_target("flat_obs"), "flat_obs")
+            fired["e_b"] = _raw_snapshot(rB, "flat_obs")["epoch"]
+        return real_flip(self, table_dir, man, **kw)
+
+    monkeypatch.setattr(
+        PipelineRunner, "_flip_manifest_dir", interleaved_flip
+    )
+    pdfs2 = _small_delta(pdfs)
+    with pytest.raises(ConcurrentCommitError, match="concurrent"):
+        rA.run(to_spark(spark, pdfs2), mode="sync")
+    monkeypatch.setattr(
+        PipelineRunner, "_flip_manifest_dir", real_flip
+    )
+    assert fired.get("e_b") is not None and fired["e_b"] > e0
+
+    # the winner's epoch is live and the table reads B's state
+    assert _raw_snapshot(rA, "flat_obs")["epoch"] == fired["e_b"]
+    assert rA.read_target("flat_obs").count() > 0
+
+    # the loser re-runs against the new snapshot and converges
+    rA._man_cache.clear()
+    rA.run(to_spark(spark, pdfs2), mode="sync")
+    rf = PipelineRunner(
+        spark, str(tmp_path / "fresh_cc"), partitioned=True
+    )
+    rf.run(to_spark(spark, pdfs2), mode="rebuild")
+    assert _rows(rA, "flat_obs") == _rows(rf, "flat_obs")
