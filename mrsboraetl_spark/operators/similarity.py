@@ -63,10 +63,30 @@ def brute_force_topk(
     """Exact top-k neighbours per query (self-matches excluded).
 
     ``queries`` must have columns (query_id, query_vec); it is broadcast.
+
+    Norms are precomputed per ROW, not per pair (r11 — the trick
+    cosine_pairs_above measured at ~3x on the n^2 path): the per-pair
+    ``cosine()`` spelling re-evaluates each side's 64-step norm
+    aggregate n_queries (resp. n_vectors) times.  The formula stays
+    dot/(nq*nv) over the same cast arrays — the identical double
+    operations in the identical order, so results (and the driver's
+    4-dp oracle hash) are bit-for-bit unchanged.
     """
-    sim = F.round(cosine(F.col("query_vec"), F.col(vec_col)), 4)
+    qv = F.col("query_vec").cast("array<double>")
+    vv = F.col(vec_col).cast("array<double>")
+    qn = queries.select(
+        "query_id", qv.alias("query_vec"), norm(qv).alias("_qn")
+    )
+    vn = vectors.select(
+        F.col(id_col), vv.alias(vec_col), norm(vv).alias("_vn")
+    )
+    sim = F.round(
+        dot(F.col("query_vec"), F.col(vec_col))
+        / (F.col("_qn") * F.col("_vn")),
+        4,
+    )
     scored = (
-        vectors.join(F.broadcast(queries))
+        vn.join(F.broadcast(qn))
         .filter(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
@@ -275,13 +295,22 @@ def ivf_topk(
     def nearest_cells(col_name: str, n: int) -> Column:
         return _nearest_cells_expr(centers, col_name, n)
 
-    cells = vectors.withColumn(
-        "cell", nearest_cells(vec_col, 1).getItem(0)
+    # per-ROW norms (r11, same bit-identical trick as brute_force_topk):
+    # the candidate join re-evaluated both sides' norm aggregates per
+    # PAIR; the probe side also gets column-pruned before broadcast
+    qv = F.col("query_vec").cast("array<double>")
+    vv = F.col(vec_col).cast("array<double>")
+    cells = vectors.select(
+        F.col(id_col), vv.alias(vec_col), norm(vv).alias("_vn")
+    ).withColumn("cell", nearest_cells(vec_col, 1).getItem(0))
+    probes = queries.select(
+        "query_id", qv.alias("query_vec"), norm(qv).alias("_qn")
+    ).withColumn("cell", F.explode(nearest_cells("query_vec", nprobe)))
+    sim = F.round(
+        dot(F.col("query_vec"), F.col(vec_col))
+        / (F.col("_qn") * F.col("_vn")),
+        4,
     )
-    probes = queries.withColumn(
-        "cell", F.explode(nearest_cells("query_vec", nprobe))
-    )
-    sim = F.round(cosine(F.col("query_vec"), F.col(vec_col)), 4)
     scored = (
         cells.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col(id_col))
@@ -577,9 +606,29 @@ def lsh_bucketed_topk(
     The bucket equi-join replaces the cross join — at scale the vector side
     is hash-partitioned by bucket, so each query probes one partition.
     """
-    bucketed = vectors.withColumn("bucket", sign_bucket(F.col(vec_col), bits))
-    qb = queries.withColumn("bucket", sign_bucket(F.col("query_vec"), bits))
-    sim = F.round(cosine(F.col("query_vec"), F.col(vec_col)), 4)
+    # per-ROW norms (r11): see brute_force_topk — bit-identical values,
+    # each side's norm aggregate evaluated once per row, not per pair.
+    # sign_bucket reads the raw column BEFORE the double cast (identical
+    # signs; the cast commutes with >= 0).
+    qv = F.col("query_vec").cast("array<double>")
+    vv = F.col(vec_col).cast("array<double>")
+    bucketed = vectors.select(
+        F.col(id_col),
+        vv.alias(vec_col),
+        norm(vv).alias("_vn"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    qb = queries.select(
+        "query_id",
+        qv.alias("query_vec"),
+        norm(qv).alias("_qn"),
+        sign_bucket(F.col("query_vec"), bits).alias("bucket"),
+    )
+    sim = F.round(
+        dot(F.col("query_vec"), F.col(vec_col))
+        / (F.col("_qn") * F.col("_vn")),
+        4,
+    )
     scored = (
         bucketed.join(F.broadcast(qb), "bucket")
         .filter(F.col("query_id") != F.col(id_col))
@@ -639,6 +688,7 @@ def ivf_cell_join(
     la = left.select(
         F.col(left_id).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("vec_a"),
+        norm(F.col(vec_col).cast("array<double>")).alias("na"),
     ).withColumn(
         "cell",
         F.explode(_nearest_cells_expr(centers, "vec_a", nprobe)),
@@ -646,6 +696,7 @@ def ivf_cell_join(
     rb = right.select(
         F.col(right_id).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("vec_b"),
+        norm(F.col(vec_col).cast("array<double>")).alias("nb"),
     ).withColumn(
         "cell", _nearest_cells_expr(centers, "vec_b", 1).getItem(0)
     )
@@ -660,7 +711,11 @@ def ivf_cell_join(
         )
         la = la.join(F.broadcast(keep), "cell")
         rb = rb.join(F.broadcast(keep), "cell")
-    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
+    # per-ROW norms (r11): bit-identical to the per-pair cosine()
+    sim = F.round(
+        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("na") * F.col("nb")),
+        4,
+    )
     return (
         la.join(rb, "cell")
         .select("id_a", "id_b", sim.alias("cosine"))
