@@ -440,6 +440,14 @@ class PipelineRunner:
     # probe/debug knob — False restores the run-every-stage behavior.
     _STAGE_SKIP = True
 
+    # Bounded retry budget for a stage write that LOSES an optimistic-
+    # concurrency race (VERDICT r11 item 1): on ConcurrentCommitError
+    # the stage re-reads the target from the winner's live snapshot,
+    # re-runs its plan (the delete + reaggregate algebra is idempotent
+    # against any base), and re-commits — the loser converges instead
+    # of crashing its sync.  0 restores raise-on-first-conflict.
+    _COMMIT_RETRIES = 2
+
     def read_target_months(
         self, table: str, months: list[str]
     ) -> DataFrame:
@@ -653,6 +661,24 @@ class PipelineRunner:
                 self._man_cache[ref] = cached
             out[m] = cached
         return out
+
+    def _raw_pointer_epoch(self, table_dir: str) -> int:
+        """Epoch of the on-disk snapshot pointer AS THE FLIP'S CAS
+        READS IT (parse ``_snapshot.json``, take ``epoch``), -1 when
+        cold or unparseable.  This is deliberately WEAKER than
+        _load_manifest: a pointer whose epoch parses but whose months
+        cannot be resolved (missing/corrupt ``_man_`` ref) still has a
+        raw epoch.  Writers that planned against a None manifest (cold
+        OR engine-unreadable snapshot) must pass THIS value as their
+        CAS parent, not -1 — otherwise the documented self-healing
+        rebuild of an unreadable-but-parseable pointer would compare
+        -1 against the intact epoch and raise ConcurrentCommitError
+        forever (ADVICE r11, high)."""
+        try:
+            with open(self._snapshot_path_dir(table_dir)) as f:
+                return int(json.load(f)["epoch"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return -1
 
     def _load_manifest(self, table: str) -> dict | None:
         """The live snapshot with months RESOLVED to plain file lists
@@ -887,7 +913,9 @@ class PipelineRunner:
             # the > live guard rejects crash orphans: a history file
             # written before a flip that never happened names state
             # that never committed, and the next write reuses its
-            # epoch directory with mode=overwrite (review finding r10)
+            # epoch NUMBER — overwriting the orphan history file —
+            # while staging into a fresh uuid-suffixed data dir
+            # (review finding r10; dir uniqueness ADVICE r11)
             raise ValueError(
                 f"snapshot {epoch} of {table} is not retained "
                 f"(available: {self.snapshots(table)})"
@@ -1016,35 +1044,64 @@ class PipelineRunner:
                     pass
         return removed
 
+    @classmethod
+    def _epoch_of_dirname(cls, entry: str) -> int | None:
+        """Leading epoch number of an ``_e{N}[_{uuid}]`` directory
+        name, None for anything else (legacy un-suffixed names parse
+        too)."""
+        digits = entry[len(cls._EPOCH_PREFIX):].split("_", 1)[0]
+        try:
+            return int(digits)
+        except ValueError:
+            return None
+
     def _next_epoch_dir(
         self, table: str, man: dict | None = None
     ) -> tuple[int, str]:
-        """Next epoch number + staging dir.  Floored by BOTH the live
-        snapshot's epoch and any epoch directory already on disk: after
-        a corrupt manifest read as cold (see _load_manifest), a naive
-        epoch-0 restart would mode-overwrite a directory whose files
-        older snapshots may still reference."""
+        """Next epoch number + a UNIQUELY-NAMED staging dir
+        (``_e{N}_{uuid}``).  The uniqueness is the concurrent-writer
+        guard for the DATA (ADVICE r11, medium): two runners that both
+        planned against the same parent epoch would otherwise
+        mode-overwrite the SAME ``_e{N}`` directory — the loser's
+        interleaved write silently corrupting the files the winner's
+        flip is about to (or already did) publish.  With per-writer
+        dirs, only the pointer CAS in _flip_manifest_dir arbitrates;
+        the loser's staged dir is an un-referenced orphan the next
+        successful flip's GC sweeps (GC walks every ``_e*`` dir and
+        keys on relpaths, not epoch numbers).
+
+        The epoch NUMBER is floored by the live snapshot's epoch, the
+        raw pointer's epoch (heal path, ADVICE r11 — a parseable
+        pointer with unresolvable months still speaks an epoch the
+        history guard trusts), and any epoch directory already on
+        disk: after a corrupt manifest read as cold, a naive epoch-0
+        restart would collide with history files older snapshots still
+        reference."""
+        import uuid
+
         path = self._path(table)
         man = man if man is not None else self._load_manifest(table)
-        epoch = (int(man["epoch"]) + 1) if man else 0
+        epoch = (
+            int(man["epoch"]) if man else self._raw_pointer_epoch(path)
+        ) + 1
         on_disk = -1
         for entry in os.listdir(path) if os.path.isdir(path) else ():
             if entry.startswith(self._EPOCH_PREFIX):
-                try:
-                    on_disk = max(
-                        on_disk, int(entry[len(self._EPOCH_PREFIX):])
-                    )
-                except ValueError:
-                    continue
+                e = self._epoch_of_dirname(entry)
+                if e is not None:
+                    on_disk = max(on_disk, e)
         # an on-disk epoch == the computed next is a crashed staging
-        # attempt of exactly this write: reuse it (mode=overwrite
-        # clears it); anything HIGHER means the manifest went backwards
-        # (corruption read as cold) — step past every existing dir,
-        # never clobber one
+        # attempt of exactly this write: REUSE THE NUMBER (the crashed
+        # attempt's _snap_ history orphan is then overwritten by this
+        # flip, keeping it un-time-travelable) but never its dir — the
+        # fresh uuid suffix keeps the data writes disjoint.  Anything
+        # HIGHER means the manifest went backwards (corruption read as
+        # cold): step past every existing dir.
         if on_disk > epoch:
             epoch = on_disk + 1
         return epoch, os.path.join(
-            path, f"{self._EPOCH_PREFIX}{epoch:08d}"
+            path,
+            f"{self._EPOCH_PREFIX}{epoch:08d}_{uuid.uuid4().hex[:8]}",
         )
 
     def _staged_month_files(self, edir: str) -> dict[str, list[str]]:
@@ -2090,9 +2147,18 @@ class PipelineRunner:
         path = self._path(table)
         os.makedirs(path, exist_ok=True)
         man_old = self._load_manifest(table)  # loaded ONCE per write
-        # a crashed staging attempt of this same epoch needs no sweep:
-        # mode=overwrite clears edir, and the post-flip GC covers any
-        # other leftovers (second review pass)
+        # CAS parent, captured AT PLAN TIME: the resolved epoch, else
+        # the RAW pointer epoch — a parseable-but-unresolvable pointer
+        # plans a cold rebuild yet its heal flip must CAS against the
+        # epoch the pointer still speaks, not -1 (ADVICE r11, high).
+        parent_epoch = (
+            int(man_old["epoch"]) if man_old
+            else self._raw_pointer_epoch(path)
+        )
+        # staging dir is uniquely named (_e{N}_{uuid}) — a crashed or
+        # CONCURRENT staging attempt of the same epoch can never be
+        # overwritten or interleaved with; its orphan files are swept
+        # by the post-flip GC (ADVICE r11, medium)
         epoch, edir = self._next_epoch_dir(table, man_old)
         writer = df.write.mode("overwrite").partitionBy(
             self.PARTITION_COL
@@ -2135,10 +2201,7 @@ class PipelineRunner:
             self._write_bounds(path, widened)
         man_new = {"epoch": epoch, "months": months_files}
         self._fsync_tree(edir)  # staged data durable BEFORE it's named
-        self._flip_manifest_dir(
-            path, man_new,
-            parent_epoch=int(man_old["epoch"]) if man_old else -1,
-        )
+        self._flip_manifest_dir(path, man_new, parent_epoch=parent_epoch)
         if bounds_cols:
             # exact: a full rewrite's content is exactly the staged set
             self._write_bounds(path, staged)
@@ -2246,10 +2309,17 @@ class PipelineRunner:
             if table is None:
                 table = os.path.basename(path)[: -len(".parquet")]
             # content authority while staging: the CURRENT snapshot,
-            # loaded once per write.  A crashed prior staging of this
-            # same epoch needs no sweep — mode=overwrite clears the
-            # dir, post-flip GC covers the rest.
+            # loaded once per write.  Staging dirs are uniquely named
+            # (_e{N}_{uuid}): crashed or concurrent attempts of the
+            # same epoch never collide; post-flip GC sweeps orphans.
             man_old = self._load_manifest(table)
+            # CAS parent at plan time; raw-pointer fallback keeps the
+            # heal flip of an unresolvable snapshot possible (ADVICE
+            # r11, high — see _raw_pointer_epoch)
+            parent_epoch = (
+                int(man_old["epoch"]) if man_old
+                else self._raw_pointer_epoch(path)
+            )
             epoch, tmp = self._next_epoch_dir(table, man_old)
         else:
             tmp = path + ".delta-tmp"
@@ -2326,8 +2396,7 @@ class PipelineRunner:
             # staged data durable BEFORE the pointer names it
             self._fsync_tree(tmp)
             self._flip_manifest_dir(
-                path, man_new,
-                parent_epoch=int(man_old["epoch"]) if man_old else -1,
+                path, man_new, parent_epoch=parent_epoch
             )
         else:
             # Assemble carried files into the staged directories BEFORE
@@ -2742,13 +2811,15 @@ class PipelineRunner:
             # flat_obs max_date_created snapshot read.
             vs_ran = False
         vs_out: dict = {}
-        if self.versioned:
+        if self.versioned or not self.partitioned:
             # The latest-summary merge consumes the plan's queue in a
-            # separate action after the stage's own write; the
-            # versioned layout never sets pin_recomputed (no two-phase
-            # re-run), so without naming the key here the plan would
-            # not publish it and the merge_delta leg of
-            # _merge_latest_summary was unreachable (ADVICE r10).
+            # separate action after the stage's own write; layouts that
+            # never set pin_recomputed (no two-phase re-run) — the
+            # versioned layout AND the plain unpartitioned directory
+            # layout — would otherwise never publish the key, leaving
+            # _merge_latest_summary's merge leg unreachable and those
+            # deployments silently on the full latest-table rewrite
+            # (ADVICE r10; plain-dir gap ADVICE r11).
             vs_out["pin_keys"] = ("queue_keys",)
         if vs_ran:
             flat_obs = self.read_target("flat_obs")
@@ -3065,6 +3136,35 @@ class PipelineRunner:
             )
         ):
             return False
+        # Optimistic-concurrency consumer (VERDICT r11 item 1): a flip
+        # that loses to a concurrent commit re-plans against the new
+        # live snapshot — re-read target, re-run the plan, re-write.
+        # Caller-seeded out_sink keys (pin_keys) are restored per
+        # attempt; plan-published keys from the failed attempt are
+        # dropped (they described the stale base).
+        seed = dict(out_sink) if out_sink is not None else None
+        for attempt in range(self._COMMIT_RETRIES + 1):
+            if attempt and out_sink is not None:
+                out_sink.clear()
+                out_sink.update(seed)
+            try:
+                return self._stage_attempt(
+                    table, plan, data_wm, change_signal, started,
+                    version, vp_stable, out_sink,
+                )
+            except ConcurrentCommitError:
+                if attempt == self._COMMIT_RETRIES:
+                    raise
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    def _stage_attempt(
+        self, table: str, plan, data_wm, change_signal, started,
+        version: str, vp_stable: bool, out_sink: dict | None,
+    ) -> bool:
+        """One optimistic attempt of a stage: read the live target,
+        build the plan, write, log the watermark + signal.  Raises
+        ConcurrentCommitError back to _stage's retry loop when the
+        commit loses a concurrent-writer race."""
         target = self.read_target(table)
         wm = self.watermarks.last_update(version, fallback=target)
         part_src = self._PARTITION_SRC.get(table) if self.partitioned else None

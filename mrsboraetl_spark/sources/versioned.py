@@ -98,6 +98,40 @@ class VersionedTable:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path())  # the atomic commit point
 
+    def _promote_staging(
+        self, staging: str, data_dir: str, next_v: int
+    ) -> None:
+        """Move a fully-written staging dir into place as ``v{next_v}``
+        — WITHOUT clobbering a concurrent winner's committed data
+        (ADVICE r11, medium).  The old spelling rmtree'd any existing
+        ``v{next_v}`` unconditionally: under the concurrent-writer
+        scenario the CAS defends against, a winner that committed
+        ``v{next_v}`` while this (losing) writer was still staging its
+        parquet had its committed data directory deleted and replaced —
+        then the loser's manifest CAS raised, leaving the live manifest
+        naming files that no longer match its entry (silent corruption
+        despite the error).  Re-running the parent check HERE means an
+        existing ``v{next_v}`` is only removed while the manifest still
+        points at ``next_v - 1`` — i.e. it is provably an un-manifested
+        orphan of a crashed commit.  The residual window between this
+        check and the rename is the same documented local
+        check-then-act gap as _commit_manifest's; an object store
+        closes both with put-if-absent on the data prefix plus a
+        conditional PUT on the pointer."""
+        import shutil
+
+        live = self._read_manifest()["version"]
+        if live != next_v - 1:
+            raise ConcurrentCommitError(
+                f"{self.root}: staged v{next_v} against version "
+                f"{next_v - 1} but live is {live} — a concurrent "
+                "commit landed; re-read and re-plan (the caller "
+                "discards the staging dir)"
+            )
+        if os.path.exists(data_dir):
+            shutil.rmtree(data_dir)  # un-manifested orphan — never committed
+        os.rename(staging, data_dir)
+
     # -------------------------------------------------------------- public
 
     def version(self) -> int:
@@ -140,7 +174,42 @@ class VersionedTable:
             for r in rows
         }
 
+    # Default bounded retry budget for a LOSING concurrent writer
+    # (VERDICT r11 item 1): on ConcurrentCommitError the operation
+    # re-reads the live manifest, re-plans against it, and re-commits —
+    # up to this many extra attempts before the error escapes.  Each
+    # retry is serial-equivalent: commit() is a full REPLACE whose df
+    # is state-independent; merge()/merge_delta() re-read the winner's
+    # base and apply the same delta on top of it.
+    _DEFAULT_COMMIT_RETRIES = 2
+
+    def _retry_commits(self, fn, retries: int | None):
+        n = self._DEFAULT_COMMIT_RETRIES if retries is None else retries
+        for attempt in range(n + 1):
+            try:
+                return fn()
+            except ConcurrentCommitError:
+                if attempt == n:
+                    raise
+
     def commit(
+        self, df: DataFrame, note: str = "", stats_key: str | None = None,
+        max_records_per_file: int | None = None,
+        retries: int | None = None,
+    ) -> int:
+        """Write ``df`` as the next version (see _commit_once).  On a
+        concurrent commit, retries re-plan against the new live version
+        — a full REPLACE is serial-equivalent regardless of base, so
+        only the version number changes across attempts."""
+        return self._retry_commits(
+            lambda: self._commit_once(
+                df, note=note, stats_key=stats_key,
+                max_records_per_file=max_records_per_file,
+            ),
+            retries,
+        )
+
+    def _commit_once(
         self, df: DataFrame, note: str = "", stats_key: str | None = None,
         max_records_per_file: int | None = None,
     ) -> int:
@@ -185,9 +254,7 @@ class VersionedTable:
         try:
             writer.parquet(staging)
             n_rows = df.sparkSession.read.parquet(staging).count()
-            if os.path.exists(data_dir):
-                shutil.rmtree(data_dir)  # un-manifested orphan — never committed
-            os.rename(staging, data_dir)
+            self._promote_staging(staging, data_dir, next_v)
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
@@ -258,22 +325,53 @@ class VersionedTable:
         self, spark: SparkSession, delta: DataFrame, keys: Sequence[str],
         note: str = "merge",
         evolve_schema: bool = False,
+        retries: int | None = None,
     ) -> int:
         """REPLACE-INTO merge as a new version (upsert with history).
         First merge on an empty table commits the delta as v0.
         ``evolve_schema=True`` lets the delta add columns (existing rows
         read NULL for them) — and because every version is an immutable
         full snapshot, time travel still returns each version under the
-        schema it was written with."""
+        schema it was written with.  A losing concurrent attempt
+        re-reads the winner's version as its new base and re-merges
+        (the retry loop owns the base read, so commit itself runs with
+        retries=0)."""
         from mrsboraetl_spark.operators.upsert import replace_into
 
-        base = self.read(spark) if self.version() >= 0 else None
-        return self.commit(
-            replace_into(base, delta, list(keys), evolve_schema=evolve_schema),
-            note=note,
-        )
+        def once() -> int:
+            base = self.read(spark) if self.version() >= 0 else None
+            return self._commit_once(
+                replace_into(
+                    base, delta, list(keys), evolve_schema=evolve_schema
+                ),
+                note=note,
+            )
+
+        return self._retry_commits(once, retries)
 
     def merge_delta(
+        self,
+        spark: SparkSession,
+        delta: DataFrame,
+        keys: Sequence[str],
+        note: str = "merge_delta",
+        delete_keys: DataFrame | None = None,
+        retries: int | None = None,
+    ) -> int:
+        """File-reuse MERGE (see _merge_delta_once).  A losing
+        concurrent attempt re-runs the WHOLE plan — manifest re-read,
+        touched-file probe, survivor rewrite — against the winner's
+        version, so the retry applies the same delta on top of the
+        winner's rows (serial-equivalent, pinned in
+        tests/test_versioned.py)."""
+        return self._retry_commits(
+            lambda: self._merge_delta_once(
+                spark, delta, keys, note=note, delete_keys=delete_keys
+            ),
+            retries,
+        )
+
+    def _merge_delta_once(
         self,
         spark: SparkSession,
         delta: DataFrame,
@@ -336,7 +434,10 @@ class VersionedTable:
         manifest = self._read_manifest()
         base_v = manifest["version"]
         if base_v < 0:
-            return self.commit(delta, note=note, stats_key=keys[0])
+            # _commit_once, not commit: the enclosing merge_delta retry
+            # loop owns re-planning (a racing first-commit must re-run
+            # the whole merge against the winner's base, not blind-land)
+            return self._commit_once(delta, note=note, stats_key=keys[0])
         base_files = self._files_of(base_v)
         abs_files = [os.path.join(self.root, f) for f in base_files]
         base = spark.read.parquet(*abs_files)
@@ -430,9 +531,7 @@ class VersionedTable:
         try:
             new_rows.write.mode("errorifexists").parquet(staging)
             n_new = spark.read.parquet(staging).count()
-            if os.path.exists(data_dir):
-                shutil.rmtree(data_dir)  # un-manifested orphan
-            os.rename(staging, data_dir)
+            self._promote_staging(staging, data_dir, next_v)
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise

@@ -110,13 +110,14 @@ def test_manifest_file_level_sync_carries_by_reference(
     assert 0 < n_rewritten <= 3, per_month
 
     # Carried entries are relpaths into OLDER epochs — the reference
-    # form of the carry (no re-staging under the new epoch).
-    cur = f"{r._EPOCH_PREFIX}{_manifest(r, 'flat_obs')['epoch']:08d}/"
+    # form of the carry (no re-staging under the new epoch).  Epoch
+    # dirs are uuid-suffixed (r12): compare by leading epoch number.
+    cur_e = _manifest(r, "flat_obs")["epoch"]
     old_epoch_refs = [
         rp
         for m, files in after.items()
         for rp in files
-        if not rp.startswith(cur)
+        if r._epoch_of_dirname(rp.split("/", 1)[0]) != cur_e
     ]
     assert old_epoch_refs, "no cross-epoch manifest references"
 
@@ -825,6 +826,10 @@ def test_concurrent_flip_raises_and_preserves_winner(
     monkeypatch.setattr(
         PipelineRunner, "_flip_manifest_dir", interleaved_flip
     )
+    # retries=0 pins the RAISE contract itself; the default bounded
+    # retry's convergence is pinned in
+    # test_concurrent_flip_retries_and_both_land (r12).
+    monkeypatch.setattr(PipelineRunner, "_COMMIT_RETRIES", 0)
     pdfs2 = _small_delta(pdfs)
     with pytest.raises(ConcurrentCommitError, match="concurrent"):
         rA.run(to_spark(spark, pdfs2), mode="sync")
@@ -845,3 +850,106 @@ def test_concurrent_flip_raises_and_preserves_winner(
     )
     rf.run(to_spark(spark, pdfs2), mode="rebuild")
     assert _rows(rA, "flat_obs") == _rows(rf, "flat_obs")
+
+
+def test_concurrent_flip_retries_and_both_land(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 item 1 (engine half): the CAS now has a CONSUMER.
+    Same interleave as test_concurrent_flip_raises_and_preserves_winner
+    — runner B commits a flat_obs epoch between runner A's plan and
+    A's flip — but with the default bounded retry A's losing stage
+    re-reads the live snapshot, re-plans its delta against it, and
+    re-commits: ONE rA.run() call converges, both writers' commits are
+    in the epoch history, and the final state equals a serial
+    execution (B's rewrite, then A's delta == a fresh rebuild on the
+    delta'd sources)."""
+    from tests.fixtures import to_spark
+
+    rA, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True,
+    )
+    rB = PipelineRunner(
+        spark, rA.root, partitioned=True, manifest=True
+    )
+    e0 = _raw_snapshot(rA, "flat_obs")["epoch"]
+
+    real_flip = PipelineRunner._flip_manifest_dir
+    fired: dict = {}
+
+    def interleaved_flip(self, table_dir, man, **kw):
+        if (
+            self is rA
+            and "flat_obs.parquet" in table_dir
+            and not fired
+        ):
+            fired["e_b"] = None
+            rB._write(rB.read_target("flat_obs"), "flat_obs")
+            fired["e_b"] = _raw_snapshot(rB, "flat_obs")["epoch"]
+        return real_flip(self, table_dir, man, **kw)
+
+    monkeypatch.setattr(
+        PipelineRunner, "_flip_manifest_dir", interleaved_flip
+    )
+    pdfs2 = _small_delta(pdfs)
+    rA.run(to_spark(spark, pdfs2), mode="sync")  # must NOT raise
+    monkeypatch.setattr(
+        PipelineRunner, "_flip_manifest_dir", real_flip
+    )
+
+    # B's epoch landed AND A's retry landed on top of it
+    assert fired.get("e_b") is not None and fired["e_b"] > e0
+    e_final = _raw_snapshot(rA, "flat_obs")["epoch"]
+    assert e_final > fired["e_b"], (e_final, fired["e_b"])
+
+    # serial-equivalent: final state == fresh rebuild on the sources
+    rf = PipelineRunner(
+        spark, str(tmp_path / "fresh_rl"), partitioned=True
+    )
+    rf.run(to_spark(spark, pdfs2), mode="rebuild")
+    for t in ("flat_obs", "flat_visit_summary",
+              "flat_latest_hiv_summary"):
+        assert _rows(rA, t) == _rows(rf, t), t
+
+
+def test_unreadable_snapshot_heals_under_cas(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (high): a live _snapshot.json that still PARSES but
+    whose months cannot be resolved (missing _man_ ref) reads as None
+    — the documented self-healing path plans a cold rebuild.  The r11
+    CAS compared that rebuild's parent (-1) against the intact
+    pointer's epoch and raised ConcurrentCommitError on every heal
+    attempt, forever.  The flip must CAS against the RAW pointer epoch
+    instead: one sync heals the table, the epoch advances past the
+    wedged one, and the rows equal a fresh rebuild."""
+    from tests.fixtures import to_spark
+
+    monkeypatch.setattr(PipelineRunner, "_MANIFEST_SPLIT_BYTES", 0)
+    r, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True,
+    )
+    table = "flat_obs"
+    e0 = _raw_snapshot(r, table)["epoch"]
+    refs = [
+        v["ref"] for v in _raw_snapshot(r, table)["months"].values()
+    ]
+    assert refs, "split mode must store refs"
+    os.remove(os.path.join(r._path(table), refs[0]))
+    r._man_cache.clear()  # content-addressed cache would mask the loss
+    assert r._load_manifest(table) is None, "snapshot must read as None"
+    assert r._raw_pointer_epoch(r._path(table)) == e0
+
+    # the heal sync must neither raise nor wedge
+    r.run(to_spark(spark, pdfs), mode="sync")
+    assert r._load_manifest(table) is not None
+    e1 = _raw_snapshot(r, table)["epoch"]
+    assert e1 > e0, (e1, e0)
+
+    rf = PipelineRunner(
+        spark, str(tmp_path / "fresh_heal"), partitioned=True
+    )
+    rf.run(to_spark(spark, pdfs), mode="rebuild")
+    assert _rows(r, table) == _rows(rf, table)

@@ -375,10 +375,13 @@ def test_concurrent_commit_raises_instead_of_dropping(spark, tmp_path):
 
     VersionedTable._commit_manifest = interleaved
     try:
+        # retries=0 pins the RAISE contract itself; the default
+        # bounded-retry convergence is pinned separately in
+        # test_concurrent_merge_retries_and_both_land (r12).
         with pytest.raises(ConcurrentCommitError, match="concurrent"):
             a.merge_delta(
                 spark, _df(spark, [(1, "A2")]), keys=["pk"],
-                note="loser",
+                note="loser", retries=0,
             )
     finally:
         VersionedTable._commit_manifest = real
@@ -467,3 +470,117 @@ def test_history_compaction_bounds_manifest(spark, tmp_path, monkeypatch):
     sz_c = len(_json.dumps(vt._read_manifest()))
     sz_u = len(_json.dumps(vt2._read_manifest()))
     assert sz_c < 0.7 * sz_u, (sz_c, sz_u)
+
+
+def test_concurrent_merge_retries_and_both_land(spark, tmp_path):
+    """VERDICT r11 item 1 (VersionedTable half): the CAS now has a
+    CONSUMER.  Two interleaved writers over one table root — writer B
+    commits between writer A's plan and A's manifest commit.  With the
+    default bounded retry, A's losing attempt re-reads the live
+    manifest, re-plans its merge against B's version, and re-commits:
+    BOTH deltas land and the final state equals a serial execution
+    (B, then A)."""
+    root = str(tmp_path / "ccr")
+    a, b = VersionedTable(root), VersionedTable(root)
+    a.commit(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+        note="base", stats_key="pk",
+    )
+
+    real = VersionedTable._commit_manifest
+    fired: list[int] = []
+
+    def interleaved(self, manifest, parent_version=None):
+        if self is a and not fired:
+            fired.append(1)
+            b.merge_delta(
+                spark, _df(spark, [(2, "B2"), (9, "B9")]),
+                keys=["pk"], note="winner",
+            )
+        return real(self, manifest, parent_version)
+
+    VersionedTable._commit_manifest = interleaved
+    try:
+        v = a.merge_delta(
+            spark, _df(spark, [(1, "A1")]), keys=["pk"], note="loser",
+        )
+    finally:
+        VersionedTable._commit_manifest = real
+
+    # both commits are in the history, winner below loser
+    assert vt_notes(a) == ["base", "winner", "loser"]
+    assert v == a.version() == 2
+
+    # final state == serial execution: base, then B's merge, then A's
+    serial = VersionedTable(str(tmp_path / "serial"))
+    serial.commit(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+        note="base", stats_key="pk",
+    )
+    serial.merge_delta(
+        spark, _df(spark, [(2, "B2"), (9, "B9")]), keys=["pk"]
+    )
+    serial.merge_delta(spark, _df(spark, [(1, "A1")]), keys=["pk"])
+    got = {r.pk: r.v for r in a.read(spark).collect()}
+    want = {r.pk: r.v for r in serial.read(spark).collect()}
+    assert got == want == {1: "A1", 2: "B2", 3: "c", 9: "B9"}
+
+
+def test_losing_writer_never_clobbers_winner_data(spark, tmp_path):
+    """ADVICE r11 (medium): the CAS fired only at the manifest swap,
+    but the loser rmtree'd an existing v{next_v} BEFORE the check — a
+    winner that committed v{next_v} during the loser's (long) parquet
+    write had its committed data directory deleted and replaced with
+    the loser's rows, then the loser raised, leaving the live manifest
+    naming files that no longer match its entry.  The parent check now
+    re-runs immediately before the clobber: the loser must raise
+    WITHOUT touching the winner's committed directory."""
+    from mrsboraetl_spark.sources.versioned import ConcurrentCommitError
+
+    root = str(tmp_path / "clb")
+    a, b = VersionedTable(root), VersionedTable(root)
+    a.commit(_df(spark, [(1, "a"), (2, "b")]), note="base",
+             stats_key="pk")
+
+    real_promote = VersionedTable._promote_staging
+    fired: list[int] = []
+    winner_files: dict = {}
+
+    def interleaved(self, staging, data_dir, next_v):
+        if self is a and not fired:
+            fired.append(1)
+            # the winner lands v{next_v} while the loser is still in
+            # its write path (pre-promote == mid-staging in the
+            # malignant ordering this pins)
+            b.commit(_df(spark, [(9, "B")]), note="winner")
+            d = os.path.join(root, f"v{next_v}")
+            winner_files.update({
+                f: os.stat(os.path.join(d, f)).st_mtime_ns
+                for f in os.listdir(d)
+            })
+        return real_promote(self, staging, data_dir, next_v)
+
+    VersionedTable._promote_staging = interleaved
+    try:
+        with pytest.raises(ConcurrentCommitError, match="concurrent"):
+            a.commit(_df(spark, [(1, "A")]), note="loser", retries=0)
+    finally:
+        VersionedTable._promote_staging = real_promote
+
+    # the winner's committed directory is byte-untouched and live
+    assert fired and winner_files
+    d = os.path.join(root, f"v{b.version()}")
+    now = {
+        f: os.stat(os.path.join(d, f)).st_mtime_ns
+        for f in os.listdir(d)
+    }
+    assert now == winner_files, "loser touched the winner's data dir"
+    assert vt_notes(b) == ["base", "winner"]
+    assert {r.pk: r.v for r in b.read(spark).collect()} == {9: "B"}
+    # no stray staging dirs left behind
+    strays = [e for e in os.listdir(root) if e.startswith(".v")]
+    assert strays == [], strays
+
+    # and with the default retries the same loser converges
+    a.commit(_df(spark, [(1, "A")]), note="retry-lands")
+    assert vt_notes(a)[-1] == "retry-lands"
