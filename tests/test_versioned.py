@@ -429,14 +429,24 @@ def test_history_compaction_bounds_manifest(spark, tmp_path, monkeypatch):
     man = vt._read_manifest()
     latest = man["version"]
     assert latest == n_syncs
+    # r12: entries below the window are ROLLED OUT of the hot pointer
+    # into the archive — hot history is exactly the kept window
+    hot_versions = {e["version"] for e in man["history"]}
+    assert hot_versions == {latest - 1, latest}, hot_versions
     for e in man["history"]:
-        if e["version"] < latest - 1:
-            assert "files" not in e and "file_stats" not in e, e
-            assert e.get("compacted") is True
-            # audit fields survive
-            assert {"version", "rows", "note"} <= set(e)
-        else:
-            assert "files" in e and "file_stats" in e, e
+        assert "files" in e and "file_stats" in e, e
+    archived = vt.archived_history()
+    assert {e["version"] for e in archived} == set(
+        range(latest - 1)
+    ), archived
+    for e in archived:
+        assert "files" not in e and "file_stats" not in e, e
+        assert e.get("compacted") is True
+        assert {"version", "rows", "note"} <= set(e)  # audit survives
+    # the full audit trail is retrievable in order
+    assert [
+        e["version"] for e in vt.history(include_archived=True)
+    ] == list(range(latest + 1))
 
     # kept window: readable, and the next merge still prunes its probe
     # via the latest entry's carried stats (candidates < base files)
@@ -584,3 +594,78 @@ def test_losing_writer_never_clobbers_winner_data(spark, tmp_path):
     # and with the default retries the same loser converges
     a.commit(_df(spark, [(1, "A")]), note="retry-lands")
     assert vt_notes(a)[-1] == "retry-lands"
+
+
+def test_history_archive_keeps_hot_pointer_bounded(tmp_path):
+    """VERDICT r11 item 2 / ADVICE r11 (low): the r11 compaction kept
+    every audit row in the hot pointer forever, so past enough syncs
+    the manifest re-crossed the threshold with nothing left to strip
+    and grew linearly again.  Drive synthetic history past the
+    threshold TWICE: after each vacuum-cadence compaction the live
+    manifest must be back under the bound, every archived row must
+    remain retrievable (in order, exactly once), and a crash-duplicate
+    archive line must be de-duplicated on read.  No Spark needed —
+    this is pure manifest mechanics."""
+    import json as _json
+
+    vt = VersionedTable(str(tmp_path / "arch"))
+    vt._HISTORY_COMPACT_BYTES = 2000  # instance override
+
+    def land(n):
+        man = vt._read_manifest()
+        for _ in range(n):
+            v = man["version"] + 1
+            man["version"] = v
+            man["history"] = [
+                *man["history"],
+                {
+                    "version": v,
+                    "rows": 10 + v,
+                    "note": f"sync{v}",
+                    "files": [f"v{v}/part-{i}.parquet" for i in range(4)],
+                    "file_stats": {
+                        f"v{v}/part-{i}.parquet": [0, 9, 3]
+                        for i in range(4)
+                    },
+                },
+            ]
+            vt._commit_manifest(man, parent_version=v - 1)
+
+    land(40)
+    assert os.path.getsize(vt._manifest_path()) > 2000
+    n1 = vt.compact_history(keep_last=2)
+    assert n1 == 38  # everything below the kept window (38, 39) rolled
+    assert os.path.getsize(vt._manifest_path()) <= 2000
+
+    # second wave: the hot pointer crosses the threshold AGAIN and the
+    # compaction still has material to roll (the r11 failure mode was
+    # exactly here — nothing left to strip)
+    land(40)
+    assert os.path.getsize(vt._manifest_path()) > 2000
+    n2 = vt.compact_history(keep_last=2)
+    assert n2 == 40
+    assert os.path.getsize(vt._manifest_path()) <= 2000
+
+    # every audit row retrievable, in order, exactly once
+    full = vt.history(include_archived=True)
+    assert [e["version"] for e in full] == list(range(80))
+    assert all(e["note"] == f"sync{e['version']}" for e in full)
+    # archived rows carry audit fields, never bulk metadata
+    for e in vt.archived_history():
+        assert "files" not in e and "file_stats" not in e
+
+    # crash-duplicate batch (archive append landed, manifest commit
+    # did not, batch re-archived): reader de-duplicates by version
+    dup = vt.archived_history()[0]
+    with open(vt._archive_path(), "a") as f:
+        f.write(_json.dumps(dup) + "\n")
+        f.write('{"torn line')  # append crash tail: tolerated
+    full2 = vt.history(include_archived=True)
+    assert [e["version"] for e in full2] == list(range(80))
+
+    # an archived version refuses to read rather than serving a
+    # partial directory
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compacted"):
+        vt.read(None, version=0)
