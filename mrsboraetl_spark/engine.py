@@ -936,6 +936,78 @@ class PipelineRunner:
         ]
         return self.spark.read.parquet(*files)
 
+    # ------------------------------------------ pipeline-level snapshot
+    # (r12, VERDICT r11 item 5.)  Each table's manifest commits
+    # independently, so an external reader BETWEEN stage commits can
+    # see flat_obs at epoch N+1 joined against flat_visit_summary at N.
+    # The pipeline itself self-heals (idempotent delete+reaggregate),
+    # but cross-table consumers deserve a consistent cut: after EVERY
+    # stage of a run has committed, run() records the five tables' live
+    # epochs/versions in one atomically-replaced pointer file — the
+    # per-run epoch map, committed last.  read_pipeline() resolves a
+    # table THROUGH that map, so a set of reads against one map is a
+    # single cross-table-consistent snapshot: the exact state some
+    # completed run published, never a mid-cascade mix.  Retention
+    # caveat (same as read_target_at): with keep_snapshots=1 a map read
+    # DURING the next sync can name just-GC'd epochs; keep_snapshots>=2
+    # gives cross-table readers one full sync of isolation.
+
+    _PIPELINE_SNAPSHOT_FILE = "_pipeline_snapshot.json"
+
+    def _write_pipeline_snapshot(self) -> None:
+        """Record the live epoch/version of every pipeline table as
+        one atomic pointer — called by run() strictly after all stages
+        (and the latest-summary table) committed.  Manifest mode only:
+        it is the layout with retained-epoch reads; the other layouts
+        keep the documented self-healing contract instead."""
+        if not self.manifest:
+            return
+        tables: dict[str, int] = {}
+        for t in TABLE_VERSIONS:
+            if t in self._PARTITION_SRC:
+                tables[t] = self._raw_pointer_epoch(self._path(t))
+            else:
+                tables[t] = self._versioned(t).version()
+        p = os.path.join(self.root, self._PIPELINE_SNAPSHOT_FILE)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"tables": tables}, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+
+    def pipeline_snapshot(self) -> dict | None:
+        """The last completed run's {table: epoch/version} map, or None
+        (no completed run / unreadable pointer — a crash mid-run leaves
+        the PREVIOUS map, which is still a consistent cut)."""
+        try:
+            with open(os.path.join(
+                self.root, self._PIPELINE_SNAPSHOT_FILE
+            )) as f:
+                snap = json.load(f)
+            return snap if isinstance(snap.get("tables"), dict) else None
+        except (OSError, ValueError):
+            return None
+
+    def read_pipeline(
+        self, table: str, snapshot: dict | None = None
+    ) -> DataFrame:
+        """Cross-table-consistent read: ``table`` at the epoch the last
+        COMPLETED run committed (or an explicit map from
+        pipeline_snapshot(), so a caller can pin one map across many
+        reads).  Raises when no completed-run map exists or the pinned
+        epoch fell out of retention (read_target_at's contract)."""
+        snap = snapshot if snapshot is not None else self.pipeline_snapshot()
+        if snap is None:
+            raise ValueError(
+                f"{self.root}: no pipeline snapshot — no run has "
+                "completed on the manifest layout"
+            )
+        v = snap["tables"][table]
+        if table in self._PARTITION_SRC:
+            return self.read_target_at(table, int(v))
+        return self._versioned(table).read(self.spark, version=int(v))
+
     def _gc_epochs(self, table: str, man: dict | None = None) -> int:
         """Delete epoch-directory files not referenced by any RETAINED
         snapshot (the live one plus the keep_snapshots-1 before it):
@@ -2899,6 +2971,10 @@ class PipelineRunner:
         # completed: a crashed run leaves the old fingerprint, so the
         # next run re-processes (idempotent) rather than skips.
         self._save_person_fingerprint(person_fp)
+        # Publish the per-run epoch map LAST (VERDICT r11 item 5): a
+        # crash anywhere above leaves the previous map — still a
+        # consistent cross-table cut of a completed run.
+        self._write_pipeline_snapshot()
 
     # ------------------------------------------- person-void fingerprint
 

@@ -953,3 +953,94 @@ def test_unreadable_snapshot_heals_under_cas(
     )
     rf.run(to_spark(spark, pdfs), mode="rebuild")
     assert _rows(r, table) == _rows(rf, table)
+
+
+def test_pipeline_snapshot_gives_cross_table_consistent_reads(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 item 5: each table's manifest commits independently,
+    so a reader between stage commits could see flat_obs at epoch N+1
+    joined against flat_visit_summary at N.  run() now publishes a
+    per-run epoch map STRICTLY LAST; read_pipeline resolves tables
+    through it.  Pins: (a) map reads equal live reads after a completed
+    run; (b) a map pinned before the next sync keeps serving the OLD
+    consistent cut of every table after that sync commits
+    (keep_snapshots=2); (c) a run that crashes mid-cascade — upstream
+    committed, downstream not — leaves the previous map untouched, so
+    map readers never see the mixed state the live pointers hold."""
+    from tests.fixtures import to_spark
+
+    r, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True, keep_snapshots=2,
+    )
+    tables = (
+        "flat_obs", "flat_orders", "flat_lab_obs",
+        "flat_visit_summary", "flat_latest_hiv_summary",
+    )
+    snap0 = r.pipeline_snapshot()
+    assert snap0 is not None
+    assert set(snap0["tables"]) == set(tables)
+
+    def rows_at(snap, t):
+        df = r.read_pipeline(t, snapshot=snap)
+        if r.PARTITION_COL in df.columns:
+            df = df.drop(r.PARTITION_COL)
+        cols = sorted(c for c in df.columns if c != "obs_map")
+        return sorted(
+            map(repr, df.toPandas()[cols].itertuples(index=False))
+        )
+
+    # (a) completed run: map reads == live reads
+    before = {}
+    for t in tables:
+        before[t] = rows_at(snap0, t)
+        assert before[t] == _rows(r, t), t
+
+    # (b) next sync advances the live pointers; the pinned map still
+    # serves the pre-sync cut of EVERY table
+    pdfs2 = _small_delta(pdfs)
+    r.run(to_spark(spark, pdfs2), mode="sync")
+    snap1 = r.pipeline_snapshot()
+    assert snap1["tables"]["flat_obs"] > snap0["tables"]["flat_obs"]
+    assert rows_at(snap0, "flat_obs") == before["flat_obs"]
+    assert (
+        rows_at(snap0, "flat_visit_summary")
+        == before["flat_visit_summary"]
+    )
+    for t in tables:
+        assert rows_at(snap1, t) == _rows(r, t), t
+
+    # (c) crash mid-cascade: flat_obs commits its new epoch, the
+    # visit-summary flip explodes — the live pointers now hold a MIXED
+    # state, but the map still names snap1's completed cut
+    pdfs3 = _small_delta(pdfs2)
+    real_flip = PipelineRunner._flip_manifest_dir
+
+    def exploding_flip(self, table_dir, man, **kw):
+        if "flat_visit_summary.parquet" in table_dir:
+            raise RuntimeError("crash before downstream commit")
+        return real_flip(self, table_dir, man, **kw)
+
+    monkeypatch.setattr(
+        PipelineRunner, "_flip_manifest_dir", exploding_flip
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        r.run(to_spark(spark, pdfs3), mode="sync")
+    monkeypatch.setattr(
+        PipelineRunner, "_flip_manifest_dir", real_flip
+    )
+    assert (
+        r._raw_pointer_epoch(r._path("flat_obs"))
+        > snap1["tables"]["flat_obs"]
+    ), "upstream must have committed for the pin to mean anything"
+    snap_after_crash = r.pipeline_snapshot()
+    assert snap_after_crash["tables"] == snap1["tables"]
+    # the map's cut is the completed run's state — recovery converges
+    r.run(to_spark(spark, pdfs3), mode="sync")
+    rf = PipelineRunner(
+        spark, str(tmp_path / "fresh_ps"), partitioned=True
+    )
+    rf.run(to_spark(spark, pdfs3), mode="rebuild")
+    for t in ("flat_obs", "flat_visit_summary"):
+        assert _rows(r, t) == _rows(rf, t), t
