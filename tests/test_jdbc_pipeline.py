@@ -420,3 +420,143 @@ def test_stale_src_snapshot_dirs_swept_at_run_start(
         assert _os.path.exists(_os.path.join(root, e)), (
             e, "live source's staging copy must survive the sweep",
         )
+
+
+def test_jdbc_watermark_scoped_staging_is_o_delta(spark, tmp_path):
+    """VERDICT r11 item 3: AUTO snapshot staging used to re-copy the
+    FULL table per changed table per run.  With delta_key/delta_cols
+    declared, a sync pushes the previous snapshot's change-column maxes
+    into the JDBC WHERE and upserts only the delta into a versioned
+    local snapshot.  Pins: (a) the staged row count after a 1-row
+    append is O(delta), not O(table); (b) a dated in-place UPDATE
+    (void) is staged and propagates; (c) the final pipeline state is
+    row-identical to a parquet-path rebuild on the same post-edit
+    source; (d) the snapshot itself equals the live source table."""
+    import datetime as dt
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.fixtures import make_sources, to_spark
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    pdfs = make_sources(n_persons=12, seed=37)
+    dfs = to_spark(spark, pdfs)
+    decl = {
+        "obs": ("obs_id", ("date_created", "date_voided")),
+        "encounter": ("encounter_id", ("date_created", "date_changed")),
+        "orders": ("order_id", ("date_created", "date_voided")),
+        # person can mutate undated (voided flip, no date) — stays on
+        # the full-copy path by declaration
+        "person": (None, ()),
+    }
+    jdbc_src = {}
+    for name, df in dfs.items():
+        df.write.format("jdbc").option("url", url).option(
+            "dbtable", name
+        ).option("driver", DRIVER).mode("overwrite").save()
+        dk, dc = decl[name]
+        jdbc_src[name] = JdbcSource(
+            url, name, properties=(("driver", DRIVER),),
+            delta_key=dk, delta_cols=dc,
+        )
+    rj = PipelineRunner(
+        spark, f"{tmp_path}/store_jdbc", partitioned=True
+    )
+    rj.run(jdbc_src, mode="rebuild")
+
+    # (a) append ONE obs row, sync: staged rows must be O(delta)
+    obs = jdbc_src["obs"].load(spark)
+    n_obs = obs.count()
+    late = dt.datetime(2030, 6, 1, 10, 0, 0)
+    new_row = (
+        obs.orderBy(F.desc("obs_id")).limit(1)
+        .withColumn("obs_id", F.col("obs_id") + 1000)
+        .withColumn("encounter_id", F.lit(1).cast("long"))
+        .withColumn(
+            "concept_id",
+            F.lit(99999).cast(obs.schema["concept_id"].dataType),
+        )
+        .withColumn(
+            "voided", F.lit(0).cast(obs.schema["voided"].dataType)
+        )
+        .withColumn("date_voided", F.lit(None).cast("timestamp"))
+        .withColumn("date_created", F.lit(late).cast("timestamp"))
+    )
+    new_row.write.format("jdbc").option("url", url).option(
+        "dbtable", "obs"
+    ).option("driver", DRIVER).mode("append").save()
+    rj.run(jdbc_src, mode="sync")
+
+    state_p = os.path.join(
+        rj.root, "_src_snapshot_obs", "_delta_state.json"
+    )
+    with open(state_p) as f:
+        st = _json.load(f)
+    assert st["last_staged_rows"] is not None, "delta path must run"
+    assert 0 < st["last_staged_rows"] <= 5, (
+        st["last_staged_rows"], n_obs,
+    )
+    assert st["last_staged_rows"] < 0.05 * n_obs
+
+    # (b) dated in-place void via raw SQL: must be staged + propagate
+    victim = int(
+        rj.read_target("flat_obs")
+        .filter(F.col("encounter_id") == 1)
+        .select("encounter_id").first()["encounter_id"]
+    )
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        s = conn.createStatement()
+        s.executeUpdate(
+            'UPDATE obs SET "voided" = 1, "date_voided" = '
+            "TIMESTAMP('2030-06-02 10:00:00') "
+            'WHERE "concept_id" = 99999'
+        )
+        s.close()
+    finally:
+        conn.close()
+    rj.run(jdbc_src, mode="sync")
+    with open(state_p) as f:
+        st2 = _json.load(f)
+    assert st2["last_staged_rows"] is not None
+    assert 0 < st2["last_staged_rows"] <= 5
+    row = (
+        rj.read_target("flat_obs")
+        .filter(F.col("encounter_id") == victim)
+        .select("obs").first()
+    )
+    assert row is None or "99999" not in (row["obs"] or ""), (
+        "voided obs must be retracted"
+    )
+
+    # (d) the incremental snapshot equals the live source table
+    from mrsboraetl_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(os.path.join(rj.root, "_src_snapshot_obs"))
+    snap_ids = sorted(
+        r["obs_id"] for r in vt.read(spark).select("obs_id").collect()
+    )
+    live_ids = sorted(
+        r["obs_id"]
+        for r in jdbc_src["obs"].load(spark).select("obs_id").collect()
+    )
+    assert snap_ids == live_ids
+
+    # (c) row-identical to a parquet-path rebuild on post-edit source
+    path_src = {}
+    for name in dfs:
+        p = f"{tmp_path}/pq2_{name}"
+        jdbc_src[name].load(spark).write.parquet(p)
+        path_src[name] = p
+    rp = PipelineRunner(
+        spark, f"{tmp_path}/store_path", partitioned=True
+    )
+    rp.run(path_src, mode="rebuild")
+    for t in (
+        "flat_obs", "flat_orders", "flat_lab_obs",
+        "flat_visit_summary", "flat_latest_hiv_summary",
+    ):
+        assert _rows(rj.read_target(t)) == _rows(rp.read_target(t)), t
