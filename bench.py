@@ -55,6 +55,61 @@ BASELINE = {
 }
 GUARD_FACTOR = 2.0
 
+# Box-speed calibration (VERDICT r11 item 4): the r11 bisection proved
+# the box itself drifts (the r9 tree re-ran 31% slower on a provably
+# idle box), so raw ratchet ratios brush the guard on a slow-box day
+# with zero code change.  _calibration_df below is a FIXED-plan,
+# pure-built-in workload whose code never changes; its min-of-3 wall is
+# measured every run and recorded in the artifact.  The guard divides
+# each query's ratchet ratio by max(1.0, calibration_sec /
+# CALIBRATION_BASELINE): a slower box relaxes the guard by its
+# measured slowdown, a faster box never loosens it (clamp at 1.0), and
+# the query BASELINE entries are never silently re-based.  RAW ratios
+# still land in the artifact for the reader.
+#
+# Scope, measured (r12 session): the normalization covers UNIFORM
+# box-speed drift — per-core clock / memory-bandwidth / steal changes
+# that slow every workload alike (the proven r9->r11 phenomenon; this
+# exact plan ran 2.5x slower while a full pytest suite held the box,
+# and its ratio read 1.48 under a 32-process spin burner).  It is NOT
+# a contention corrector: extreme oversubscription inflates multi-stage
+# queries super-linearly vs the short calibration plan (measured 2-3.8x
+# query raw ratios at calibration ratio 1.48), so the guard still fails
+# there — correctly, since those walls are garbage and the BENCH LOAD
+# annotation already labels them untrustworthy.  Workload size is a
+# deliberate trade: ~0.45s keeps samples tight (a noisy divisor would
+# randomly relax the guard); a 192M-row variant tracked core-count cuts
+# no better (this box is bandwidth-bound: 16 vs 32 cores ran it equal)
+# while tripling sample variance.
+# Provenance: the IN-BENCH min-of-3 of an idle-box bench run (start
+# load1 0.51/32, r12 session) — the anchor must be measured in the
+# same fully-warm post-bench JVM context the guard reads each run (a
+# fresh-session measurement of the identical plan ran 0.518, and
+# 1.292 while a full-suite pytest held the box — 2.5x, confirming the
+# workload tracks contention).
+CALIBRATION_BASELINE = 0.435
+
+
+def _calibration_df(spark):
+    """FROZEN calibration plan — never edit (its stability across
+    rounds is what makes the guard's normalization meaningful): one
+    32-partition range scan, integer modulo projections, a hash
+    aggregate into ~10k groups, and a scalar re-aggregate.  Exercises
+    the same resources the headline queries bill (codegen'd CPU + one
+    shuffle) with zero dependence on testdata or repo operators."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, 24_000_000, 1, 32)
+        .select(
+            (F.col("id") % 9973).alias("k"),
+            ((F.col("id") * 2654435761) % 104729).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("s").alias("ss"), F.sum("c").alias("cc"))
+    )
+
 HEADLINE = [
     "q1_pricing_summary",
     "join_multi_dims",
@@ -149,6 +204,28 @@ def main() -> None:
 
     timings = {name: min(ts) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
+
+    # Calibration AFTER the timed passes (fully-warm JVM, same state a
+    # slow-box day would show): 1 warmup + min-of-3.
+    cal_samples: list[float] = []
+    try:
+        _calibration_df(spark).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _calibration_df(spark).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            cal_samples.append(round(time.perf_counter() - t0, 3))
+    except Exception:  # noqa: BLE001 - calibration must never fail a bench
+        pass
+    cal_sec = min(cal_samples) if cal_samples else None
+    cal_ratio = (
+        round(cal_sec / CALIBRATION_BASELINE, 3)
+        if cal_sec is not None and CALIBRATION_BASELINE
+        else None
+    )
     load_end = _load_context()
     workers = int(os.environ.get("SPARK_GRAFT_CPUS") or load_end["cpus"])
     load = {"start": load_start, "end": load_end, "workers": workers}
@@ -162,6 +239,12 @@ def main() -> None:
                 "samples": samples,
                 "sf": sf,
                 "load": load,
+                "calibration": {
+                    "sec": cal_sec,
+                    "samples": cal_samples,
+                    "baseline": CALIBRATION_BASELINE,
+                    "ratio": cal_ratio,
+                },
             }
         )
     )
@@ -202,11 +285,21 @@ def main() -> None:
                 file=sys.stderr,
             )
             sys.exit(1)
+        # Normalize by measured box speed (see CALIBRATION_BASELINE):
+        # only ever RELAXES the guard, by exactly the box's measured
+        # slowdown vs the calibration anchor — never tightens it, and
+        # never rewrites the per-query best-knowns.
+        norm = max(1.0, cal_ratio) if cal_ratio else 1.0
         slow = {
-            n: {"min_of_3": timings[n], "best_known": BASELINE[n]}
+            n: {
+                "min_of_3": timings[n],
+                "best_known": BASELINE[n],
+                "normalized": round(timings[n] / norm, 3),
+                "box_norm": norm,
+            }
             for n in timings
             if BASELINE[n] is not None
-            and timings[n] > GUARD_FACTOR * BASELINE[n]
+            and timings[n] / norm > GUARD_FACTOR * BASELINE[n]
         }
         unbaselined = [n for n in timings if BASELINE[n] is None]
         if unbaselined:
@@ -218,7 +311,8 @@ def main() -> None:
         if slow:
             print(
                 f"BENCH GUARD: {len(slow)} queries past "
-                f"{GUARD_FACTOR}x their best-known min-of-3: {json.dumps(slow)}",
+                f"{GUARD_FACTOR}x their best-known min-of-3 after "
+                f"box-speed normalization: {json.dumps(slow)}",
                 file=sys.stderr,
             )
             sys.exit(1)
