@@ -2758,6 +2758,10 @@ class PipelineRunner:
                 src.load(self.spark), note=f"full stage {key}",
                 stats_key=src.delta_key, max_records_per_file=file_rows,
             )
+            # the snapshot is a cache, not a history: retain only the
+            # live version (repeated rebuilds must not stack full
+            # copies on disk)
+            vt.vacuum(keep_last=1)
             out = vt.read(self.spark)
             maxes = dict(zip(cols, self._maxes(out, *cols)))
             n_staged = None  # full copy: the table itself
