@@ -2775,43 +2775,64 @@ class PipelineRunner:
                 )
                 cond = leg if cond is None else (cond | leg)
             delta = src.load(self.spark).filter(cond)
+            maxes = dict(state)
+            n_staged = 0
             if delta.isEmpty():
                 # one pushed limit-1 probe; no version churn on a
                 # no-op resolution
-                self._write_delta_state(state_path, state, 0)
-                return vt.read(self.spark)
-            try:
-                ver = vt.merge_delta(
-                    self.spark, delta, [src.delta_key],
-                    note=f"delta stage {key}",
+                pass
+            else:
+                try:
+                    ver = vt.merge_delta(
+                        self.spark, delta, [src.delta_key],
+                        note=f"delta stage {key}",
+                    )
+                except ValueError:
+                    # source schema changed under the snapshot: full
+                    # restage
+                    shutil.rmtree(snap)
+                    return self._stage_jdbc_snapshot(key, src, "rebuild")
+                entry = vt._entry(ver) or {}
+                new_files = [
+                    f for f in entry.get("files", ())
+                    if f.startswith(f"v{ver}/")
+                ]
+                if new_files:
+                    nf = self.spark.read.parquet(
+                        *[os.path.join(snap, f) for f in new_files]
+                    )
+                    row = nf.agg(
+                        F.count(F.lit(1)).alias("_n"),
+                        *[F.max(c).alias(c) for c in cols],
+                    ).first()
+                    n_staged = int(row["_n"])
+                    for c in cols:
+                        v_new = row[c]
+                        if v_new is not None and (
+                            maxes.get(c) is None or v_new > maxes[c]
+                        ):
+                            maxes[c] = v_new
+                vt.vacuum(keep_last=1)
+            if src.reconcile:
+                # Hard-delete drift detector (opt-in, see JdbcSource):
+                # a deleted row moves no change column; only the count
+                # can reveal it.  A live row landing between the delta
+                # fetch and this count reads HIGHER and triggers a
+                # (safe, idempotent) full restage — same conservative
+                # direction as every other race in the protocol.
+                from mrsboraetl_spark.sources.footer_stats import (
+                    jdbc_row_count,
                 )
-            except ValueError:
-                # source schema changed under the snapshot: full restage
-                shutil.rmtree(snap)
-                return self._stage_jdbc_snapshot(key, src, "rebuild")
-            entry = vt._entry(ver) or {}
-            new_files = [
-                f for f in entry.get("files", ())
-                if f.startswith(f"v{ver}/")
-            ]
-            maxes = dict(state)
-            n_staged = 0
-            if new_files:
-                nf = self.spark.read.parquet(
-                    *[os.path.join(snap, f) for f in new_files]
+
+                live_n = jdbc_row_count(
+                    self.spark, src.url, src.table, src.props()
                 )
-                row = nf.agg(
-                    F.count(F.lit(1)).alias("_n"),
-                    *[F.max(c).alias(c) for c in cols],
-                ).first()
-                n_staged = int(row["_n"])
-                for c in cols:
-                    v_new = row[c]
-                    if v_new is not None and (
-                        maxes.get(c) is None or v_new > maxes[c]
-                    ):
-                        maxes[c] = v_new
-            vt.vacuum(keep_last=1)
+                snap_n = (vt._entry(vt.version()) or {}).get("rows")
+                if snap_n != live_n:
+                    shutil.rmtree(snap)
+                    return self._stage_jdbc_snapshot(
+                        key, src, "rebuild"
+                    )
             out = vt.read(self.spark)
         self._write_delta_state(state_path, maxes, n_staged)
         return out

@@ -170,6 +170,22 @@ def jdbc_column_maxes(
 VOID_FP_MOD = 2_147_483_647
 
 
+def jdbc_row_count(
+    spark, url: str, table: str, properties: dict | None = None
+) -> int:
+    """Exact source row count via ONE pushed-down one-row aggregate —
+    the reconcile probe for watermark-scoped snapshot staging (r12):
+    a hard-deleted source row moves no change column, so only a count
+    mismatch can reveal it.  Cost note: COUNT(*) is an index walk on
+    InnoDB (not O(1)), which is why reconciliation is OPT-IN per
+    source (JdbcSource.reconcile) rather than a per-sync default."""
+    sub = f"(SELECT COUNT(*) AS n FROM {table}) count_probe"
+    row = _one_row(spark, url, sub, properties)
+    # positional: an unquoted alias round-trips case-folded on some
+    # engines (Derby stores it as N), and the one-column shape is fixed
+    return int(row[0])
+
+
 def _one_row(spark, url: str, dbtable: str, properties: dict | None):
     reader = spark.read.format("jdbc").option("url", url).option(
         "dbtable", dbtable

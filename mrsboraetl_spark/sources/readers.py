@@ -108,6 +108,16 @@ class JdbcSource:
     # does not delete); a rebuild restages from scratch.
     delta_key: str | None = None
     delta_cols: tuple[str, ...] = ()
+    # Opt-in drift detector for the watermark-scoped staging above: a
+    # HARD-deleted source row moves no change column, so the
+    # incremental snapshot would keep it forever.  With
+    # ``reconcile=True`` every delta staging also issues ONE
+    # pushed-down COUNT(*) and full-restages on any mismatch with the
+    # snapshot's recorded row count.  Opt-in because COUNT(*) is an
+    # index walk on InnoDB — per-sync cost proportional to the table,
+    # worth paying only for sources that actually hard-delete
+    # (OpenMRS voids instead).
+    reconcile: bool = False
 
     def props(self) -> dict:
         return dict(self.properties or {})

@@ -560,3 +560,65 @@ def test_jdbc_watermark_scoped_staging_is_o_delta(spark, tmp_path):
         "flat_visit_summary", "flat_latest_hiv_summary",
     ):
         assert _rows(rj.read_target(t)) == _rows(rp.read_target(t)), t
+
+
+def test_jdbc_reconcile_catches_hard_deletes(spark, tmp_path):
+    """r12 follow-on to the watermark-scoped staging: a HARD-deleted
+    source row moves no change column, so the incremental snapshot
+    keeps it — contractually (OpenMRS voids, it never deletes).  With
+    ``reconcile=True`` the staging issues one pushed-down COUNT(*) per
+    sync and full-restages on mismatch.  Pins both sides: without the
+    flag the stale row persists (the documented blind spot), with it
+    the snapshot reconverges to the live table."""
+    import dataclasses
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mrsboraetl_spark.sources.versioned import VersionedTable
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    df = spark.range(200).select(
+        F.col("id").alias("pk"),
+        (
+            F.lit(dt.datetime(2024, 1, 1))
+            + F.make_interval(secs=F.col("id"))
+        ).alias("date_created"),
+        F.lit(None).cast("timestamp").alias("date_voided"),
+    )
+    df.write.format("jdbc").option("url", url).option(
+        "dbtable", "t1"
+    ).option("driver", DRIVER).mode("overwrite").save()
+    src = JdbcSource(
+        url, "t1", properties=(("driver", DRIVER),),
+        delta_key="pk", delta_cols=("date_created", "date_voided"),
+    )
+    r = PipelineRunner(spark, f"{tmp_path}/store")
+    r._stage_jdbc_snapshot("t1", src, "rebuild")
+
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate('DELETE FROM t1 WHERE "pk" = 7')
+        st.close()
+    finally:
+        conn.close()
+
+    # without reconcile: the deleted row survives in the snapshot
+    out = r._stage_jdbc_snapshot("t1", src, "sync")
+    assert out.filter(F.col("pk") == 7).count() == 1
+
+    # with reconcile: count mismatch -> full restage -> row gone
+    src_r = dataclasses.replace(src, reconcile=True)
+    out = r._stage_jdbc_snapshot("t1", src_r, "sync")
+    assert out.filter(F.col("pk") == 7).count() == 0
+    assert out.count() == 199
+    # and a quiet follow-up sync stays on the cheap path (no restage:
+    # the versioned snapshot advances no version on a no-op)
+    import os
+
+    vt = VersionedTable(os.path.join(r.root, "_src_snapshot_t1"))
+    v_before = vt.version()
+    r._stage_jdbc_snapshot("t1", src_r, "sync")
+    assert vt.version() == v_before
