@@ -158,10 +158,12 @@ class VersionedTable:
         return os.path.join(self.root, _HISTORY_ARCHIVE)
 
     def archived_history(self) -> list[dict]:
-        """Audit rows rolled out of the hot manifest, oldest first.
-        Tolerates a torn final line (append crash) and de-duplicates by
-        version, first line wins — a crash between the archive append
-        and the manifest commit re-archives the same batch once."""
+        """Audit rows rolled out of the hot manifest, oldest first
+        (sorted by version — file order is not trusted: a torn line
+        from an append crash can eat a row that a later re-archive
+        restores out of order).  De-duplicates by version, first line
+        wins — a crash between the archive append and the manifest
+        commit re-archives the same batch once."""
         out: list[dict] = []
         seen: set = set()
         try:
@@ -181,6 +183,7 @@ class VersionedTable:
                     out.append(e)
         except FileNotFoundError:
             return []
+        out.sort(key=lambda e: (e.get("version") is None, e.get("version")))
         return out
 
     def _file_key_stats(
@@ -699,6 +702,10 @@ class VersionedTable:
         if not rolled:
             return 0
         with open(self._archive_path(), "a") as f:
+            # leading newline: a previous append's torn final line can
+            # never swallow this batch's first row by concatenation
+            # (blank lines are skipped on read)
+            f.write("\n")
             for e in rolled:
                 f.write(json.dumps(e) + "\n")
             f.flush()
@@ -708,9 +715,16 @@ class VersionedTable:
             int(manifest.get("archived_through", -1)),
             max(e["version"] for e in rolled),
         )
-        self._commit_manifest(
-            manifest, parent_version=manifest["version"]
-        )
+        try:
+            self._commit_manifest(
+                manifest, parent_version=manifest["version"]
+            )
+        except ConcurrentCommitError:
+            # Compaction is housekeeping: losing a race to a real
+            # commit must not fail the sync that already landed its
+            # work — the next vacuum re-compacts, and the archive
+            # reader de-duplicates the rows this attempt appended.
+            return 0
         return len(rolled)
 
     def vacuum(self, keep_last: int = 2) -> list[int]:

@@ -669,3 +669,26 @@ def test_history_archive_keeps_hot_pointer_bounded(tmp_path):
 
     with _pytest.raises(ValueError, match="compacted"):
         vt.read(None, version=0)
+
+    # housekeeping loses a CAS race: compact must yield (return 0,
+    # live manifest untouched), and the retried compaction later must
+    # not duplicate audit rows (reader dedupe + re-roll)
+    from mrsboraetl_spark.sources.versioned import ConcurrentCommitError
+
+    land(40)  # versions 80..119
+    before = vt._read_manifest()
+    real = vt._commit_manifest
+
+    def racy(manifest, parent_version=None):
+        raise ConcurrentCommitError("simulated racing writer")
+
+    vt._commit_manifest = racy
+    try:
+        assert vt.compact_history(keep_last=2) == 0
+    finally:
+        vt._commit_manifest = real
+    assert vt._read_manifest() == before, "losing compact must not publish"
+    assert vt.compact_history(keep_last=2) == 40
+    assert [
+        e["version"] for e in vt.history(include_archived=True)
+    ] == list(range(120))
