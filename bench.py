@@ -205,21 +205,26 @@ def main() -> None:
     timings = {name: min(ts) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
 
-    # Calibration AFTER the timed passes (fully-warm JVM, same state a
-    # slow-box day would show): 1 warmup + min-of-3.
-    cal_samples: list[float] = []
-    try:
-        _calibration_df(spark).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        for _ in range(3):
-            t0 = time.perf_counter()
+    def _measure_calibration() -> list[float]:
+        """1 warmup + min-of-3 of the frozen calibration plan."""
+        out: list[float] = []
+        try:
             _calibration_df(spark).write.format("noop").mode(
                 "overwrite"
             ).save()
-            cal_samples.append(round(time.perf_counter() - t0, 3))
-    except Exception:  # noqa: BLE001 - calibration must never fail a bench
-        pass
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _calibration_df(spark).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                out.append(round(time.perf_counter() - t0, 3))
+        except Exception:  # noqa: BLE001 - calibration never fails a bench
+            pass
+        return out
+
+    # Calibration AFTER the timed passes (fully-warm JVM, same state a
+    # slow-box day would show): 1 warmup + min-of-3.
+    cal_samples = _measure_calibration()
     cal_sec = min(cal_samples) if cal_samples else None
     cal_ratio = (
         round(cal_sec / CALIBRATION_BASELINE, 3)
@@ -229,25 +234,148 @@ def main() -> None:
     load_end = _load_context()
     workers = int(os.environ.get("SPARK_GRAFT_CPUS") or load_end["cpus"])
     load = {"start": load_start, "end": load_end, "workers": workers}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "sf": sf,
-                "load": load,
+    # Regression guard — only meaningful at the baseline's scale
+    # factor.  Computed BEFORE the artifact prints so a guard trip's
+    # re-measurement (below) lands IN the artifact.  HEADLINE and
+    # BASELINE must never drift apart (a renamed or demoted headline
+    # query silently losing coverage): hard-fail on any skew.
+    guard_fail: str | None = None
+    remeasure: dict | None = None
+    if sf == 0.1 and not os.environ.get("SPARK_GRAFT_NO_GUARD"):
+        skew = set(BASELINE) ^ set(timings)
+        if skew:
+            guard_fail = (
+                f"HEADLINE/BASELINE key skew {sorted(skew)} — "
+                "re-baseline in the same commit as the headline change"
+            )
+        unbaselined = [
+            n for n in timings if not skew and BASELINE[n] is None
+        ]
+        if unbaselined:
+            print(
+                f"BENCH GUARD: unbaselined entries {unbaselined} — record "
+                "their min-of-3 in BASELINE",
+                file=sys.stderr,
+            )
+        # Normalize by measured box speed (see CALIBRATION_BASELINE):
+        # only ever RELAXES the guard, by exactly the box's measured
+        # slowdown vs the calibration anchor — never tightens it, and
+        # never rewrites the per-query best-knowns.
+        norm = max(1.0, cal_ratio) if cal_ratio else 1.0
+
+        def _over_bar(t: float, n: float, name: str) -> bool:
+            return (
+                BASELINE[name] is not None
+                and t / n > GUARD_FACTOR * BASELINE[name]
+            )
+
+        slow = {} if skew else {
+            n: {
+                "min_of_3": timings[n],
+                "best_known": BASELINE[n],
+                "normalized": round(timings[n] / norm, 3),
+                "box_norm": norm,
+            }
+            for n in timings
+            if _over_bar(timings[n], norm, n)
+        }
+        if slow:
+            # Re-measure before failing (VERDICT r12 item 1): the r12
+            # rc=1 was a query at 2.21x whose steady state reproduced
+            # at 1.35x minutes later — transient fleet contention that
+            # inflated the timed passes and had already subsided by
+            # the time the post-run calibration read its ratio, so the
+            # normalization could not excuse it.  On a trip, re-run
+            # ONLY the flagged queries (fresh warmup + min-of-3) plus
+            # a FRESH calibration, and fail only the queries slow in
+            # BOTH measurement sets.  A true plan regression is slow
+            # every time and still fails; a contention spike that
+            # cleared passes on the spot — with both sets recorded in
+            # the artifact so the reader can audit the adjudication.
+            re_samples: dict[str, list[float]] = {}
+            for name in slow:
+                fn = REGISTRY[name].fn
+                try:  # warmup (JIT/footers may have been evicted)
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:  # noqa: BLE001 - warmup best-effort
+                    pass
+                re_samples[name] = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    re_samples[name].append(
+                        round(time.perf_counter() - t0, 3)
+                    )
+            re_cal_samples = _measure_calibration()
+            re_cal_sec = min(re_cal_samples) if re_cal_samples else None
+            re_cal_ratio = (
+                round(re_cal_sec / CALIBRATION_BASELINE, 3)
+                if re_cal_sec is not None and CALIBRATION_BASELINE
+                else None
+            )
+            re_norm = max(1.0, re_cal_ratio) if re_cal_ratio else 1.0
+            still_slow, cleared = {}, {}
+            for name, ts in re_samples.items():
+                m = min(ts)
+                entry = {
+                    "first": slow[name],
+                    "samples": ts,
+                    "min_of_3": m,
+                    "normalized": round(m / re_norm, 3),
+                    "box_norm": re_norm,
+                }
+                if _over_bar(m, re_norm, name):
+                    still_slow[name] = entry
+                else:
+                    cleared[name] = entry
+            remeasure = {
+                "queries": {**cleared, **still_slow},
+                "cleared": sorted(cleared),
+                "still_slow": sorted(still_slow),
                 "calibration": {
-                    "sec": cal_sec,
-                    "samples": cal_samples,
-                    "baseline": CALIBRATION_BASELINE,
-                    "ratio": cal_ratio,
+                    "sec": re_cal_sec,
+                    "samples": re_cal_samples,
+                    "ratio": re_cal_ratio,
                 },
             }
-        )
-    )
+            if still_slow:
+                guard_fail = (
+                    f"{len(still_slow)} queries past {GUARD_FACTOR}x "
+                    "their best-known min-of-3 in BOTH the timed "
+                    "passes and the fresh re-measurement: "
+                    f"{json.dumps(still_slow)}"
+                )
+            else:
+                print(
+                    f"BENCH GUARD: {len(cleared)} flagged queries "
+                    "cleared the bar on fresh re-measurement "
+                    "(transient contention, adjudicated in-harness): "
+                    f"{json.dumps({n: cleared[n]['min_of_3'] for n in cleared})}",
+                    file=sys.stderr,
+                )
+
+    artifact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "samples": samples,
+        "sf": sf,
+        "load": load,
+        "calibration": {
+            "sec": cal_sec,
+            "samples": cal_samples,
+            "baseline": CALIBRATION_BASELINE,
+            "ratio": cal_ratio,
+        },
+    }
+    if remeasure is not None:
+        artifact["remeasure"] = remeasure
+    print(json.dumps(artifact))
     # Annotation, not a gate: walls from a contended box are noise, and
     # the bench itself contributes ~one busy thread per local[N] worker —
     # the signal is the load ALREADY on the box at start, and whatever
@@ -272,50 +400,9 @@ def main() -> None:
         ),
         file=sys.stderr,
     )
-
-    # Regression guard — only meaningful at the baseline's scale factor.
-    # HEADLINE and BASELINE must never drift apart (a renamed or demoted
-    # headline query silently losing coverage): hard-fail on any skew.
-    if sf == 0.1 and not os.environ.get("SPARK_GRAFT_NO_GUARD"):
-        skew = set(BASELINE) ^ set(timings)
-        if skew:
-            print(
-                f"BENCH GUARD: HEADLINE/BASELINE key skew {sorted(skew)} — "
-                "re-baseline in the same commit as the headline change",
-                file=sys.stderr,
-            )
-            sys.exit(1)
-        # Normalize by measured box speed (see CALIBRATION_BASELINE):
-        # only ever RELAXES the guard, by exactly the box's measured
-        # slowdown vs the calibration anchor — never tightens it, and
-        # never rewrites the per-query best-knowns.
-        norm = max(1.0, cal_ratio) if cal_ratio else 1.0
-        slow = {
-            n: {
-                "min_of_3": timings[n],
-                "best_known": BASELINE[n],
-                "normalized": round(timings[n] / norm, 3),
-                "box_norm": norm,
-            }
-            for n in timings
-            if BASELINE[n] is not None
-            and timings[n] / norm > GUARD_FACTOR * BASELINE[n]
-        }
-        unbaselined = [n for n in timings if BASELINE[n] is None]
-        if unbaselined:
-            print(
-                f"BENCH GUARD: unbaselined entries {unbaselined} — record "
-                "their min-of-3 in BASELINE",
-                file=sys.stderr,
-            )
-        if slow:
-            print(
-                f"BENCH GUARD: {len(slow)} queries past "
-                f"{GUARD_FACTOR}x their best-known min-of-3 after "
-                f"box-speed normalization: {json.dumps(slow)}",
-                file=sys.stderr,
-            )
-            sys.exit(1)
+    if guard_fail is not None:
+        print(f"BENCH GUARD: {guard_fail}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,29 @@ def _parquet_files(path: str) -> list[str]:
     return out
 
 
+def parquet_row_count(path: str, files=None) -> int | None:
+    """Exact row count of the parquet files under ``path`` from footer
+    metadata alone (sum of per-file num_rows — the same number Spark's
+    metadata-only COUNT(*) reads), or None when any footer is
+    unreadable (caller falls back to a scan).  One footer read per
+    file, zero Spark jobs — the freshly-staged JDBC delta's emptiness
+    probe (VERDICT r12 item 3: the separate pushed isEmpty query and
+    the post-merge count job were two of the fixed per-sync jobs that
+    made a small delta sync slower on wall than a full copy)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    files = _parquet_files(path) if files is None else list(files)
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 def parquet_column_maxes(path: str, cols, files=None) -> dict:
     """{col: max-or-None} for every column of ``cols`` whose maximum is
     PROVABLE from footer statistics alone; columns that are not are

@@ -116,7 +116,14 @@ class JdbcSource:
     # snapshot's recorded row count.  Opt-in because COUNT(*) is an
     # index walk on InnoDB — per-sync cost proportional to the table,
     # worth paying only for sources that actually hard-delete
-    # (OpenMRS voids instead).
+    # (OpenMRS voids instead).  Blind spot (ADVICE r12): the probe is
+    # COUNT-based, so a deletion offset by an EQUAL number of inserts
+    # between two syncs (the inserts arrive through the delta filter,
+    # the counts match) leaves the deleted row in the snapshot until
+    # some later sync's counts diverge — or a rebuild.  Sources where
+    # compensating churn is plausible and deletions must be exact
+    # should schedule periodic ``mode='rebuild'`` runs rather than
+    # rely on reconcile alone.
     reconcile: bool = False
 
     def props(self) -> dict:

@@ -157,13 +157,25 @@ class VersionedTable:
     def _archive_path(self) -> str:
         return os.path.join(self.root, _HISTORY_ARCHIVE)
 
-    def archived_history(self) -> list[dict]:
+    def archived_history(
+        self, since_version: int | None = None
+    ) -> list[dict]:
         """Audit rows rolled out of the hot manifest, oldest first
         (sorted by version — file order is not trusted: a torn line
         from an append crash can eat a row that a later re-archive
         restores out of order).  De-duplicates by version, first line
         wins — a crash between the archive append and the manifest
-        commit re-archives the same batch once."""
+        commit re-archives the same batch once.
+
+        Cost: one sequential read of the WHOLE archive file — the
+        JSONL is append-only with no index, so there is nothing to
+        seek to.  ``since_version`` (VERDICT r12 item 5) bounds the
+        parse/sort/return side for pollers: rows with version <=
+        since_version are dropped as read (a caller tracking the last
+        version it saw pays O(file bytes) I/O but O(new rows) memory
+        and parsing — the dominant cost for large archives).  Audit
+        tooling that re-reads at sync cadence should carry that
+        cursor; a one-shot cold audit can read whole."""
         out: list[dict] = []
         seen: set = set()
         try:
@@ -177,6 +189,12 @@ class VersionedTable:
                     except ValueError:
                         continue  # torn tail line from an append crash
                     v = e.get("version")
+                    if (
+                        since_version is not None
+                        and isinstance(v, int)
+                        and v <= since_version
+                    ):
+                        continue
                     if v in seen:
                         continue
                     seen.add(v)
@@ -229,6 +247,9 @@ class VersionedTable:
     _DEFAULT_COMMIT_RETRIES = 2
 
     def _retry_commits(self, fn, retries: int | None):
+        import random
+        import time
+
         n = self._DEFAULT_COMMIT_RETRIES if retries is None else retries
         for attempt in range(n + 1):
             try:
@@ -236,20 +257,38 @@ class VersionedTable:
             except ConcurrentCommitError:
                 if attempt == n:
                     raise
+                # Jittered backoff (VERDICT r12 item 2): two losers
+                # re-racing on identical clocks can livelock through
+                # their whole retry budgets; a small random stagger
+                # lets one land each round.  Negligible next to the
+                # re-plan's own Spark jobs.
+                time.sleep(random.uniform(0.05, 0.2) * (attempt + 1))
 
     def commit(
         self, df: DataFrame, note: str = "", stats_key: str | None = None,
         max_records_per_file: int | None = None,
         retries: int | None = None,
+        parent_version: int | None = None,
     ) -> int:
         """Write ``df`` as the next version (see _commit_once).  On a
         concurrent commit, retries re-plan against the new live version
         — a full REPLACE is serial-equivalent regardless of base, so
-        only the version number changes across attempts."""
+        only the version number changes across attempts.
+
+        ``parent_version`` (ADVICE r12, medium): the version the CALLER
+        read when it planned ``df``.  When given, the commit lands as
+        ``parent_version + 1`` and raises ConcurrentCommitError if the
+        live manifest has moved past the pin — including commits that
+        landed DURING the caller's plan/probe phase, which the default
+        read-parent-at-commit-time capture silently builds on top of
+        when ``df`` is state-dependent.  A pinned parent makes internal
+        retries futile (same stale pin, same failure), so callers that
+        pin must own the re-read + re-plan loop and pass ``retries=0``."""
         return self._retry_commits(
             lambda: self._commit_once(
                 df, note=note, stats_key=stats_key,
                 max_records_per_file=max_records_per_file,
+                parent_version=parent_version,
             ),
             retries,
         )
@@ -257,6 +296,7 @@ class VersionedTable:
     def _commit_once(
         self, df: DataFrame, note: str = "", stats_key: str | None = None,
         max_records_per_file: int | None = None,
+        parent_version: int | None = None,
     ) -> int:
         """Write ``df`` as the next version; atomic at the manifest swap.
 
@@ -286,6 +326,19 @@ class VersionedTable:
         import uuid
 
         manifest = self._read_manifest()
+        if (
+            parent_version is not None
+            and manifest["version"] != parent_version
+        ):
+            # Fast-fail before any data is written; and because next_v
+            # below derives from the SAME manifest read, the final CAS
+            # necessarily checks against the caller's pin too.
+            raise ConcurrentCommitError(
+                f"{self.root}: planned against version {parent_version} "
+                f"but live is {manifest['version']} — a concurrent "
+                "commit landed during the caller's plan phase; "
+                "re-read and re-plan"
+            )
         next_v = manifest["version"] + 1
         data_dir = os.path.join(self.root, f"v{next_v}")
         staging = os.path.join(

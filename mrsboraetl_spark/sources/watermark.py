@@ -80,8 +80,40 @@ class WatermarkStore:
         """
         finished = finished or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         seconds = int((finished - started).total_seconds())
-        row = self.spark.createDataFrame(
-            [(started, data_watermark, table_name, seconds)],
-            FLAT_LOG_SCHEMA,
-        )
-        row.coalesce(1).write.mode("append").parquet(self.path)
+        # Driver-side single-file append, NOT a Spark write (r13): the
+        # log row is one tuple, and Spark's FileOutputCommitter stages
+        # every append under ONE shared ``_temporary/0`` inside the
+        # output path — two CONCURRENT runs appending their run rows
+        # raced on it and crashed (the whole-pipeline race pin), and
+        # each append paid a full Spark job for four fields.  A
+        # uuid-named file written whole and os.replace'd in is atomic,
+        # concurrent-safe (writers never share a name), and free of
+        # Spark fixed cost; pyarrow writes UTC-adjusted timestamps so
+        # the bytes read back identically under the engine's UTC-pinned
+        # session, mixed with Spark-written legacy files.
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        ts = pa.timestamp("us", tz="UTC")
+
+        def enc(v):
+            return (
+                None if v is None
+                else v.replace(tzinfo=dt.timezone.utc)
+            )
+
+        table = pa.table({
+            "date_created": pa.array([enc(started)], type=ts),
+            "date_updated": pa.array([enc(data_watermark)], type=ts),
+            "table_name": pa.array([table_name], type=pa.string()),
+            "seconds_to_complete": pa.array(
+                [seconds], type=pa.int32()
+            ),
+        })
+        name = f"part-{uuid.uuid4().hex}-wmlog.parquet"
+        tmp = os.path.join(self.path, f".{name}.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(self.path, name))

@@ -156,6 +156,33 @@ def main() -> None:
     )
     assert n_snap == n_live and diff == 0, (n_snap, n_live, diff)
 
+    # phase 3 (r13, VERDICT r12 item 3 done-criterion): a no-op delta
+    # sync's wall — the FIXED per-sync overhead with zero delta rows —
+    # plus a comparison full copy, so the artifact answers "does the
+    # delta path now beat the full copy on wall, not just bytes".
+    t0 = time.perf_counter()
+    r._stage_jdbc_snapshot("t1", src, "sync")
+    t_noop = round(time.perf_counter() - t0, 1)
+
+    # reconcile cost (r13, VERDICT r12 item 6): same no-op sync with
+    # the opt-in pushed COUNT(*) — the delta is the probe's price
+    import dataclasses
+
+    src_rec = dataclasses.replace(src, reconcile=True)
+    t0 = time.perf_counter()
+    r._stage_jdbc_snapshot("t1", src_rec, "sync")
+    t_noop_reconcile = round(time.perf_counter() - t0, 1)
+
+    # comparison full copy of the SAME post-edit table (plain path:
+    # what a source without delta_key/delta_cols pays every sync)
+    src_full = dataclasses.replace(
+        src, delta_key=None, delta_cols=(),
+    )
+    r2 = PipelineRunner(spark, os.path.join(root, "store_full"))
+    t0 = time.perf_counter()
+    r2._stage_jdbc_snapshot("t1f", src_full, "sync")
+    t_full_copy = round(time.perf_counter() - t0, 1)
+
     print(json.dumps({
         "n_rows": n_rows,
         "n_delta_edits": 2 * n_delta,
@@ -177,6 +204,12 @@ def main() -> None:
         "bytes_ratio_full_over_delta": round(
             full_bytes / max(1, delta_bytes), 1
         ),
+        "noop_delta_sync_sec": t_noop,
+        "noop_delta_sync_reconcile_sec": t_noop_reconcile,
+        "reconcile_probe_overhead_sec": round(
+            t_noop_reconcile - t_noop, 1
+        ),
+        "full_copy_sync_sec": t_full_copy,
         "row_identical_to_full_copy": True,
     }, indent=2))
 

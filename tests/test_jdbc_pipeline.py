@@ -622,3 +622,102 @@ def test_jdbc_reconcile_catches_hard_deletes(spark, tmp_path):
     v_before = vt.version()
     r._stage_jdbc_snapshot("t1", src_r, "sync")
     assert vt.version() == v_before
+
+
+def test_delta_state_date_column_round_trips(tmp_path):
+    """ADVICE r12 (low): a SQL DATE delta column's max is a
+    datetime.date.  The old state codec (a) crashed json.dump outright
+    on encode (date is not JSON-native), and (b) had it encoded, would
+    have decoded '2020-01-01' into a datetime.datetime — making the
+    `>` comparison at the next sync's max update a TypeError, crashing
+    every subsequent delta sync of that source.  Pin: date, datetime,
+    int, and plain-string maxes all round-trip through
+    _write_delta_state/_decode_state_val to their ORIGINAL type, and
+    the decoded values compare cleanly against fresh Spark-returned
+    values of the same type."""
+    import datetime as dt
+    import json
+    import os
+
+    maxes = {
+        "d_date": dt.date(2020, 1, 1),
+        "d_ts": dt.datetime(2020, 1, 1, 10, 30, 0),
+        "d_int": 42,
+        "d_str": "abc",
+        "d_null": None,
+    }
+    p = os.path.join(tmp_path, "_delta_state.json")
+    PipelineRunner._write_delta_state(p, maxes, 5)
+    with open(p) as f:
+        raw = json.load(f)["maxes"]
+    dec = {c: PipelineRunner._decode_state_val(v) for c, v in raw.items()}
+    assert dec == maxes
+    assert type(dec["d_date"]) is dt.date
+    assert type(dec["d_ts"]) is dt.datetime
+    # the comparison the max update performs, with Spark-typed values
+    assert dt.date(2020, 2, 1) > dec["d_date"]
+    assert dt.datetime(2020, 2, 1) > dec["d_ts"]
+
+
+def test_jdbc_date_typed_delta_column_syncs(spark, tmp_path):
+    """End-to-end half of the DATE fix: a Derby source whose
+    delta_cols include a SQL DATE column must survive full-stage ->
+    delta-stage -> delta-stage (the second delta sync is the one the
+    old codec crashed with TypeError), with the snapshot row-identical
+    to the live table."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mrsboraetl_spark.sources.versioned import VersionedTable
+
+    url = f"jdbc:derby:{tmp_path}/db_date;create=true"
+    df = spark.range(50).select(
+        F.col("id").alias("pk"),
+        F.date_add(
+            F.lit(dt.date(2024, 1, 1)), F.col("id").cast("int")
+        ).alias("created_day"),
+    )
+    df.write.format("jdbc").option("url", url).option(
+        "dbtable", "t1"
+    ).option("driver", DRIVER).mode("overwrite").save()
+    src = JdbcSource(
+        url, "t1", properties=(("driver", DRIVER),),
+        delta_key="pk", delta_cols=("created_day",),
+    )
+    r = PipelineRunner(spark, f"{tmp_path}/store_date")
+    r._stage_jdbc_snapshot("t1", src, "rebuild")
+
+    jvm = spark.sparkContext._jvm
+
+    def append(pk, day):
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            st.executeUpdate(
+                f'INSERT INTO t1 ("pk", "created_day") VALUES '
+                f"({pk}, DATE('{day}'))"
+            )
+            st.close()
+        finally:
+            conn.close()
+
+    append(1000, "2030-06-01")
+    out = r._stage_jdbc_snapshot("t1", src, "sync")
+    assert out.filter(F.col("pk") == 1000).count() == 1
+    # the second delta sync exercises decoded-state > fresh-date
+    # comparisons (the old crash point)
+    append(1001, "2030-06-02")
+    out = r._stage_jdbc_snapshot("t1", src, "sync")
+    assert out.filter(F.col("pk") == 1001).count() == 1
+    assert out.count() == 52
+    vt = VersionedTable(os.path.join(r.root, "_src_snapshot_t1"))
+    import json
+
+    with open(os.path.join(vt.root, "_delta_state.json")) as f:
+        st = json.load(f)
+    assert st["last_staged_rows"] == 1
+    dec = PipelineRunner._decode_state_val(st["maxes"]["created_day"])
+    assert dec == dt.date(2030, 6, 2)
+    assert type(dec) is dt.date

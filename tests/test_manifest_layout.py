@@ -231,26 +231,48 @@ def test_manifest_crash_at_flip_keeps_contract(spark, tmp_path, monkeypatch):
             live.get(m, [])
         ), (m, "stale per-file bounds would be trusted next sync")
 
-    # recovery: next sync converges; orphaned staged files are GC'd
+    # recovery: next sync converges
     r.run(to_spark(spark, pdfs2), mode="sync")
     rb = PipelineRunner(spark, str(tmp_path / "rebuild"), partitioned=True)
     rb.run(to_spark(spark, pdfs2), mode="rebuild")
     assert _rows(r, "flat_obs") == _rows(rb, "flat_obs")
 
-    base = r._path("flat_obs")
-    on_disk = set()
-    for entry in os.listdir(base):
-        if entry.startswith(r._EPOCH_PREFIX):
-            for root, _d, files in os.walk(os.path.join(base, entry)):
-                for fn in files:
-                    on_disk.add(
-                        os.path.relpath(os.path.join(root, fn), base)
-                    )
+    def files_on_disk():
+        base = r._path("flat_obs")
+        out = set()
+        for entry in os.listdir(base):
+            if entry.startswith(r._EPOCH_PREFIX):
+                for root, _d, files in os.walk(
+                    os.path.join(base, entry)
+                ):
+                    for fn in files:
+                        out.add(os.path.relpath(
+                            os.path.join(root, fn), base
+                        ))
+        return out
+
     referenced = {
         rp
         for fl in _manifest(r, "flat_obs")["months"].values()
         for rp in fl
     }
+    # The crashed staging is a NEVER-flipped epoch dir: since r13 GC
+    # age-gates those (it cannot distinguish a crash orphan from a
+    # CONCURRENT runner's in-progress staging — sweeping the latter
+    # crashed the two-runner race pin), the orphan survives the
+    # recovery sync's young GC...
+    fresh_leaks = files_on_disk() - referenced
+    assert all(e.split("/")[0].startswith("_e") for e in fresh_leaks)
+    # ...but once provably dead (older than the orphan window) the
+    # next GC sweeps it and disk holds exactly the referenced set.
+    import time as _time
+
+    old = _time.time() - r._SCRATCH_ORPHAN_SECONDS - 60
+    base = r._path("flat_obs")
+    for entry in set(e.split("/")[0] for e in fresh_leaks):
+        os.utime(os.path.join(base, entry), (old, old))
+    r._gc_epochs("flat_obs")
+    on_disk = files_on_disk()
     assert on_disk == referenced, (
         "disk holds unreferenced (leaked) or missing files",
         on_disk ^ referenced,
@@ -1044,3 +1066,212 @@ def test_pipeline_snapshot_gives_cross_table_consistent_reads(
     rf.run(to_spark(spark, pdfs3), mode="rebuild")
     for t in ("flat_obs", "flat_visit_summary"):
         assert _rows(r, t) == _rows(rf, t), t
+
+
+def test_commit_during_plan_phase_raises_then_converges(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 (medium), engine half: the CAS parent used to be
+    captured inside _write/_write_delta when STAGING began — a
+    concurrent commit landing during the (long) plan/probe phase
+    advanced the pointer first, so the stale plan's flip passed the
+    epoch check and silently dropped the winner's rows.  The parent is
+    now pinned at the top of _stage_attempt, before read_target pins
+    the plan base.  Interleave: runner B lands a flat_obs epoch at
+    A's _write_delta ENTRY (i.e. after A's plan was built against the
+    old snapshot, before the old capture point would have run).  With
+    retries=0 A must RAISE (the old code silently passed); with the
+    default budget one run() converges and equals a fresh rebuild."""
+    from mrsboraetl_spark.engine import ConcurrentCommitError
+    from tests.fixtures import to_spark
+
+    # keep_snapshots=2: B's commit GCs nothing A's already-pinned plan
+    # still reads (the race under test is the POINTER, not retention)
+    rA, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True, keep_snapshots=2,
+    )
+    rB = PipelineRunner(
+        spark, rA.root, partitioned=True, manifest=True,
+        keep_snapshots=2,
+    )
+    e0 = _raw_snapshot(rA, "flat_obs")["epoch"]
+
+    real_wd = PipelineRunner._write_delta
+    fired: dict = {}
+
+    def interleaved_write_delta(self, df, table, months, **kw):
+        if self is rA and table == "flat_obs" and not fired:
+            fired["e_b"] = None
+            rB._write(rB.read_target("flat_obs"), "flat_obs")
+            fired["e_b"] = _raw_snapshot(rB, "flat_obs")["epoch"]
+        return real_wd(self, df, table, months, **kw)
+
+    monkeypatch.setattr(
+        PipelineRunner, "_write_delta", interleaved_write_delta
+    )
+    monkeypatch.setattr(PipelineRunner, "_COMMIT_RETRIES", 0)
+    pdfs2 = _small_delta(pdfs)
+    with pytest.raises(ConcurrentCommitError, match="concurrent"):
+        rA.run(to_spark(spark, pdfs2), mode="sync")
+    assert fired.get("e_b") is not None and fired["e_b"] > e0
+    # winner's epoch stays live — the stale plan never published
+    assert _raw_snapshot(rA, "flat_obs")["epoch"] == fired["e_b"]
+
+    # default budget: the same interleave (already fired) converges
+    monkeypatch.setattr(PipelineRunner, "_COMMIT_RETRIES", 2)
+    rA._man_cache.clear()
+    rA.run(to_spark(spark, pdfs2), mode="sync")
+    rf = PipelineRunner(
+        spark, str(tmp_path / "fresh_pp"), partitioned=True
+    )
+    rf.run(to_spark(spark, pdfs2), mode="rebuild")
+    for t in ("flat_obs", "flat_visit_summary",
+              "flat_latest_hiv_summary"):
+        assert _rows(rA, t) == _rows(rf, t), t
+
+
+def test_pipeline_snapshot_records_own_commits_not_live_pointers(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 (low): _write_pipeline_snapshot re-read the five
+    live pointers AFTER run() finished, so a concurrent runner
+    committing in that window put ANOTHER run's mid-cascade epoch into
+    the map — the exact inconsistent cut the map exists to prevent.
+    The map is now built from the epochs THIS run recorded as it
+    committed them.  Interleave: B lands a flat_obs epoch between A's
+    last stage commit and A's map write; A's map must name A's OWN
+    epoch (readable, retained), not B's live one."""
+    from tests.fixtures import to_spark
+
+    rA, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True, keep_snapshots=2,
+    )
+    rB = PipelineRunner(
+        spark, rA.root, partitioned=True, manifest=True,
+        keep_snapshots=2,
+    )
+
+    real_snap = PipelineRunner._write_pipeline_snapshot
+    fired: dict = {}
+
+    def interleaved_snap(self):
+        if self is rA and not fired:
+            fired["e_b"] = None
+            rB._write(rB.read_target("flat_obs"), "flat_obs")
+            fired["e_b"] = _raw_snapshot(rB, "flat_obs")["epoch"]
+        return real_snap(self)
+
+    monkeypatch.setattr(
+        PipelineRunner, "_write_pipeline_snapshot", interleaved_snap
+    )
+    pdfs2 = _small_delta(pdfs)
+    rA.run(to_spark(spark, pdfs2), mode="sync")
+    monkeypatch.setattr(
+        PipelineRunner, "_write_pipeline_snapshot", real_snap
+    )
+    assert fired.get("e_b") is not None
+
+    e_a = rA._run_commit_map["flat_obs"]
+    snap = rA.pipeline_snapshot()
+    # the map names A's own commit, not B's later live epoch
+    assert snap["tables"]["flat_obs"] == e_a
+    assert fired["e_b"] > e_a
+    assert (
+        rA._raw_pointer_epoch(rA._path("flat_obs")) == fired["e_b"]
+    )
+    # and the cut is readable (retention holds it)
+    assert rA.read_pipeline("flat_obs", snapshot=snap).count() > 0
+
+
+def test_pipeline_snapshot_tolerates_non_dict_pointer(tmp_path, spark):
+    """ADVICE r12 (low): a corrupt _pipeline_snapshot.json that parses
+    to a list/str/number must read as None per the docstring, not
+    raise AttributeError at snap.get."""
+    r = PipelineRunner(
+        spark, str(tmp_path / "store_nd"), partitioned=True,
+        manifest=True,
+    )
+    p = os.path.join(r.root, r._PIPELINE_SNAPSHOT_FILE)
+    for garbage in ('[1, 2, 3]', '"str"', '7', '{"tables": [1]}'):
+        with open(p, "w") as f:
+            f.write(garbage)
+        assert r.pipeline_snapshot() is None, garbage
+    with pytest.raises(ValueError, match="no pipeline snapshot"):
+        r.read_pipeline("flat_obs")
+
+
+def test_two_full_runs_race_end_to_end_and_converge(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r12 item 2: the stage-level and versioned-table
+    both-land pins are green, but the real deployment hazard is two
+    COMPLETE run() invocations racing end-to-end over one root (cron
+    sync racing a manual rebuild).  Two threads run a full sync of the
+    SAME delta'd sources concurrently; with the bounded retry +
+    jittered backoff BOTH must complete, the final state must equal a
+    serial execution (== fresh rebuild on those sources, since the
+    second serial run is an idempotent no-op), and the published
+    pipeline map must name a consistent readable cut."""
+    import threading
+
+    from tests.fixtures import to_spark
+
+    rA, pdfs = _mk_state(
+        spark, tmp_path, monkeypatch, n_persons=40, seed=47,
+        manifest=True, keep_snapshots=3,
+    )
+    rB = PipelineRunner(
+        spark, rA.root, partitioned=True, manifest=True,
+        keep_snapshots=3,
+    )
+    pdfs2 = _small_delta(pdfs)
+    dfsA = to_spark(spark, pdfs2)
+    dfsB = to_spark(spark, pdfs2)
+
+    errs: dict = {}
+
+    def go(name, runner, dfs):
+        try:
+            runner.run(dfs, mode="sync")
+        except Exception as exc:  # noqa: BLE001 - the pin IS no-raise
+            import traceback
+
+            tb = "".join(traceback.format_exception(exc))
+            with open(f"/tmp/race_err_{name}.txt", "w") as f:
+                f.write(tb)
+            errs[name] = tb[:1500]
+
+    tA = threading.Thread(target=go, args=("A", rA, dfsA))
+    tB = threading.Thread(target=go, args=("B", rB, dfsB))
+    tA.start()
+    tB.start()
+    tA.join(600)
+    tB.join(600)
+    assert not tA.is_alive() and not tB.is_alive(), "run() hung"
+    assert not errs, errs
+
+    # serial-equivalent final state
+    rf = PipelineRunner(
+        spark, str(tmp_path / "fresh_race"), partitioned=True
+    )
+    rf.run(to_spark(spark, pdfs2), mode="rebuild")
+    rA._man_cache.clear()
+    for t in ("flat_obs", "flat_orders", "flat_lab_obs",
+              "flat_visit_summary", "flat_latest_hiv_summary"):
+        assert _rows(rA, t) == _rows(rf, t), t
+
+    # the published map is a consistent readable cut: every table
+    # resolves through it and matches the converged state
+    snap = rA.pipeline_snapshot()
+    assert snap is not None
+    for t in ("flat_obs", "flat_visit_summary"):
+        df = rA.read_pipeline(t, snapshot=snap)
+        if rA.PARTITION_COL in df.columns:
+            df = df.drop(rA.PARTITION_COL)
+        cols = sorted(c for c in df.columns if c != "obs_map")
+        got = sorted(
+            map(repr, df.toPandas()[cols].itertuples(index=False))
+        )
+        assert got == _rows(rA, t), t

@@ -692,3 +692,78 @@ def test_history_archive_keeps_hot_pointer_bounded(tmp_path):
     assert [
         e["version"] for e in vt.history(include_archived=True)
     ] == list(range(120))
+
+
+def test_pinned_parent_commit_rejects_plan_phase_conflict(spark, vt):
+    """ADVICE r12 (medium), versioned half: the default commit captures
+    its CAS parent when _commit_once READS the manifest — a concurrent
+    commit landing while the caller was still planning (after it read
+    its base, before it called commit) advances the manifest first, so
+    the stale plan lands cleanly on top and the winner's rows are
+    silently replaced.  ``parent_version`` pins the parent at the
+    caller's plan time: the same interleave must now raise
+    ConcurrentCommitError, and a correct pin must land as pin+1."""
+    from mrsboraetl_spark.sources.versioned import ConcurrentCommitError
+
+    vt.commit(_df(spark, [(1, "a")]), note="v0")
+    planned_parent = vt.version()  # caller reads its base: v0
+
+    # concurrent writer lands DURING the caller's plan phase
+    vt.commit(_df(spark, [(1, "winner")]), note="concurrent")
+
+    with pytest.raises(ConcurrentCommitError, match="plan phase"):
+        vt.commit(
+            _df(spark, [(1, "stale-plan")]), note="loser",
+            parent_version=planned_parent, retries=0,
+        )
+    # winner preserved, no version landed for the loser
+    assert vt.version() == 1
+    assert [r.v for r in vt.read(spark).collect()] == ["winner"]
+
+    # re-plan against the live version: the pin now matches and the
+    # commit lands as pin+1
+    v = vt.commit(
+        _df(spark, [(1, "replanned")]), note="retry",
+        parent_version=vt.version(), retries=0,
+    )
+    assert v == 2
+    assert [r.v for r in vt.read(spark).collect()] == ["replanned"]
+
+
+def test_archived_history_since_version_cursor(tmp_path):
+    """VERDICT r12 item 5: archived_history() re-read, re-parsed, and
+    re-sorted the whole JSONL per call — a poller at sync cadence
+    re-paid O(total syncs) each time.  The ``since_version`` cursor
+    drops already-seen rows as read: a caller carrying the last
+    version it saw gets exactly the new tail, and the cursor composes
+    with the crash-duplicate dedupe."""
+    import json as _json
+
+    vt = VersionedTable(str(tmp_path / "cur"))
+    vt._HISTORY_COMPACT_BYTES = 500
+    man = vt._read_manifest()
+    for v in range(30):
+        man["version"] = v
+        man["history"] = [
+            *man["history"],
+            {"version": v, "rows": v, "note": f"s{v}",
+             "files": [f"v{v}/p.parquet"] * 8},
+        ]
+        vt._commit_manifest(man, parent_version=v - 1)
+    assert vt.compact_history(keep_last=2) == 28  # 0..27 archived
+
+    assert [e["version"] for e in vt.archived_history()] == list(
+        range(28)
+    )
+    # cursor: only rows past the caller's high-water mark
+    tail = vt.archived_history(since_version=24)
+    assert [e["version"] for e in tail] == [25, 26, 27]
+    assert vt.archived_history(since_version=27) == []
+    # composes with crash-duplicate dedupe and torn tails
+    with open(vt._archive_path(), "a") as f:
+        f.write(_json.dumps({"version": 26, "rows": 26,
+                             "note": "s26"}) + "\n")
+        f.write('{"torn')
+    assert [
+        e["version"] for e in vt.archived_history(since_version=24)
+    ] == [25, 26, 27]
