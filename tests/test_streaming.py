@@ -599,11 +599,20 @@ def test_streaming_pipeline_sync_manifest_mode_crash_and_gc(
         sb = sorted(map(tuple, b[cols].astype(str).itertuples(index=False)))
         assert sa == sb, table
 
-    # GC under the drain: disk == referenced, per manifest table
+    # GC under the drain, under the r13 concurrent-writer carve-out
+    # (engine._gc_epochs): every file a completed flip ever PUBLISHED
+    # and then replaced is swept immediately (the old contract), while
+    # a never-flipped staging dir — here, the crashed tick's
+    # uuid-suffixed epoch dir — is age-gated for _SCRATCH_ORPHAN_SECONDS
+    # so GC cannot destroy a live concurrent runner's half-written
+    # staging.  Pin both halves: (1) any on-disk extra beyond the live
+    # snapshot's references lives in a NEVER-FLIPPED staging dir (no
+    # published-file leak through the drain or the crash); (2) once the
+    # age gate lapses, one sweep removes them and disk == referenced
+    # exactly.
     import json as _json
 
-    for table in ("flat_obs", "flat_orders", "flat_visit_summary",
-                  "flat_lab_obs"):
+    def disk_vs_referenced(table):
         base = runner._path(table)
         with open(os.path.join(base, runner._SNAPSHOT_FILE)) as f:
             raw = _json.load(f)
@@ -619,4 +628,25 @@ def test_streaming_pipeline_sync_manifest_mode_crash_and_gc(
                         on_disk.add(os.path.relpath(
                             os.path.join(root, fn), base
                         ))
+        return on_disk, referenced
+
+    tables_gc = ("flat_obs", "flat_orders", "flat_visit_summary",
+                 "flat_lab_obs")
+    flipped_dirs: dict[str, set[str]] = {}
+    for table in tables_gc:
+        on_disk, referenced = disk_vs_referenced(table)
+        assert referenced <= on_disk, (table, referenced - on_disk)
+        flipped_dirs[table] = {rp.split("/", 1)[0] for rp in referenced}
+        for rp in on_disk - referenced:
+            # extras only in never-flipped staging dirs: nothing a flip
+            # published may outlive its replacement un-referenced
+            assert rp.split("/", 1)[0] not in flipped_dirs[table], (
+                table, rp
+            )
+    # age gate lapsed -> the orphaned stagings are provably dead and one
+    # sweep restores exact disk == referenced
+    monkeypatch.setattr(PipelineRunner, "_SCRATCH_ORPHAN_SECONDS", -1.0)
+    for table in tables_gc:
+        runner._gc_epochs(table)
+        on_disk, referenced = disk_vs_referenced(table)
         assert on_disk == referenced, (table, on_disk ^ referenced)
