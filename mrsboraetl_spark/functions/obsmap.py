@@ -92,9 +92,27 @@ def render_numeric(col: Column) -> Column:
         .when(exp >= 1, pos_split)
         .otherwise(neg_exp)
     )
-    s = F.when(s.rlike(r"E-?\d+$"), expanded).otherwise(s)
-    s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
-    return F.regexp_replace(s, r"\.$", "")
+    # Fast paths (r13, guide §1.2 "per-task work"): this expression runs
+    # once per obs row inside the blob aggregates, and the three regex
+    # ops below were ~all of its cost on the (overwhelmingly common)
+    # plain-decimal path.  Both rewrites are exact over every string a
+    # double cast can produce:
+    # * the E-notation gate: Java's Double.toString emits 'E' if and
+    #   only if the value is in scientific form (and 'NaN'/'Infinity'
+    #   contain no 'E'), so contains('E') == rlike('E-?\\d+$') here;
+    # * trailing-zero strip: shortest-round-trip mantissas never carry
+    #   redundant trailing zeros, so on the plain path the ONLY string
+    #   the old regexp_replace pair ever changed is the integral
+    #   'x.0' -> 'x' (and the E-expansions above are built from those
+    #   same shortest mantissas: pos_big has no dot, pos_split's tail
+    #   and neg_exp's last digit are the mantissa's final nonzero
+    #   digit) — one endswith + substr replaces both regex passes.
+    #   Byte-equality with the regex spelling is pinned in
+    #   tests/test_properties.py.
+    s = F.when(s.contains("E"), expanded).otherwise(s)
+    return F.when(
+        s.endswith(".0"), s.substr(F.lit(1), F.length(s) - 2)
+    ).otherwise(s)
 
 
 def typed_value(qualifier: str = "") -> Column:

@@ -45,10 +45,19 @@ def _exploded_ngrams(
     # element, so gram generation is CPU-bound: make sure it runs at full
     # parallelism.  Only the 2-column (id, text) projection is ever
     # reshuffled, and only when the scan is UNDER-parallel (a 100 TB
-    # corpus already arrives in thousands of partitions and skips this).
+    # corpus already arrives in thousands of files and skips this).
+    # r13 (guide §1.2): the under-parallel probe used to be
+    # ``df.rdd.getNumPartitions()``, which builds the full physical plan
+    # AND its RDD chain on the driver per invocation (~tens of ms of
+    # pure planning, paid again every bench pass); counting the scan's
+    # input files answers the same scale question from the (cached)
+    # file index without planning anything.  Behavior difference is
+    # confined to few-huge-files inputs (file count under-estimates the
+    # split count), where the extra 2-column repartition is the
+    # documented acceptable cost; results are identical either way.
     df = df.select(F.col(id_col), F.col(text_col))
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n_parts:
+    if len(df.inputFiles()) < n_parts:
         df = df.repartition(n_parts)
     toks = tokens(F.col(text_col))
     # sequence(1, 0) is DESCENDING in Spark, not empty — guard short docs
@@ -151,8 +160,13 @@ def contamination_counts(
     oracle-parity reference.  ``use_kernel=False`` keeps the all-JVM
     path for environments where Python workers are unavailable.
     """
+    # r13 (guide §2.4 "remove shuffles outright"): the probe set only
+    # needs the GLOBALLY distinct grams, so the per-document dedup that
+    # token_ngrams performs first (a full (id, gram) shuffle + aggregate
+    # of the eval side) was a wasted exchange — distinct directly on the
+    # bare gram stream; the resulting set is identical.
     eval_grams = (
-        token_ngrams(eval_df, id_col, text_col, n)
+        _exploded_ngrams(eval_df, id_col, text_col, n)
         .select("gram")
         .distinct()
     )

@@ -170,6 +170,7 @@ def hashed_sig_docs(
     text_col: str,
     k: int = 5,
     num_hashes: int = 8,
+    include_hashes: bool = True,
 ) -> DataFrame:
     """(doc, hs, sig): shingle-hash set AND minhash signature in ONE
     Arrow-batched pass (mapInPandas).
@@ -188,12 +189,23 @@ def hashed_sig_docs(
     corpus (115 s -> ~3 s of core-time).
 
     Scale shape: embarrassingly parallel, no shuffle beyond the spreading
-    repartition; Arrow batches bound worker memory."""
+    repartition; Arrow batches bound worker memory.
+
+    ``include_hashes=False`` omits the ``hs`` column from the Arrow
+    output (r13, guide §4.1 "pass only the columns the function needs" —
+    in reverse: ship only the columns the CALLER needs).  The shingle-hash
+    set is by far the widest column (~one bigint per distinct shingle vs
+    the fixed 8-element signature); candidate-only consumers
+    (minhash_lsh_pairs) never read it, so emitting it paid Arrow transfer
+    plus localCheckpoint serialization for dead weight.  The signature
+    values are computed identically either way."""
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
         f"doc {id_type}, hs array<bigint>, sig array<bigint>"
+        if include_hashes
+        else f"doc {id_type}, sig array<bigint>"
     )
     a = list(MINHASH_A[:num_hashes])
     b = list(MINHASH_B[:num_hashes])
@@ -222,9 +234,14 @@ def hashed_sig_docs(
                 ]
                 hv = np.array(hs, dtype=np.int64)[None, :]
                 sig = ((av * hv + bv) % MINHASH_MOD).min(axis=1)
-                hs_col.append(hs)
+                if include_hashes:
+                    hs_col.append(hs)
                 sig_col.append(sig.tolist())
-            yield pd.DataFrame({"doc": ids, "hs": hs_col, "sig": sig_col})
+            out = {"doc": ids}
+            if include_hashes:
+                out["hs"] = hs_col
+            out["sig"] = sig_col
+            yield pd.DataFrame(out)
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
@@ -310,8 +327,16 @@ def minhash_lsh_pairs(
     Deriving band keys from the 8-element sig is cheap enough to recompute
     per join side, so only ONE materialization remains.  On a real cluster
     the equivalent is a materialized table between pipeline steps.
+
+    Candidates never read the shingle-hash set, so the kernel is asked
+    for (doc, sig) only (r13): the checkpoint then stores the 8-element
+    signature instead of the ~|distinct shingles|-element hash array —
+    the widest column by far — and the Arrow boundary ships that much
+    less.
     """
-    sigged = hashed_sig_docs(df, id_col, text_col, k, num_hashes).localCheckpoint()
+    sigged = hashed_sig_docs(
+        df, id_col, text_col, k, num_hashes, include_hashes=False
+    ).localCheckpoint()
     bands = bands_from_sig(sigged, num_hashes, rows_per_band)
     return candidate_pairs(bands, max_band_freq)
 

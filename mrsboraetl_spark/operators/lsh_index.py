@@ -111,7 +111,7 @@ class LshBandIndex:
         spark = new_docs.sparkSession
         sigged = hashed_sig_docs(
             new_docs, id_col, text_col, self.params["k"],
-            self.params["num_hashes"],
+            self.params["num_hashes"], include_hashes=False,
         ).localCheckpoint()
         new_bands = bands_from_sig(
             sigged, self.params["num_hashes"], self.params["rows_per_band"]

@@ -62,12 +62,16 @@ def kmv_distinct(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    # Null filter on the RAW value, not on h (r13, guide §1.2): h is
+    # null iff the value is null (md5/conv/cast of a non-null string are
+    # never null), but filtering on h made Catalyst evaluate the whole
+    # md5+conv expression once in the Filter and AGAIN in the Project —
+    # Filter and Project do not share subexpressions across operators —
+    # doubling the per-occurrence hashing, the dominant per-row cost.
     hashed = (
-        df.select(
-            F.col(group_col),
-            _hash_frac(F.col(value_col).cast("string")).alias("h"),
-        )
-        .filter(F.col("h").isNotNull())
+        df.select(F.col(group_col), F.col(value_col).cast("string").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .select(F.col(group_col), _hash_frac(F.col("_v")).alias("h"))
         .distinct()
     )
     w = Window.partitionBy(group_col).orderBy("h")
@@ -132,12 +136,18 @@ def kmv_sketch(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    # Same raw-value null filter as kmv_distinct (r13): avoids the
+    # Filter+Project double evaluation of the md5+conv hash expression.
     hashed = (
         df.select(
             *[F.col(c) for c in group_cols],
-            _hash_frac(F.col(value_col).cast("string")).alias("h"),
+            F.col(value_col).cast("string").alias("_v"),
         )
-        .filter(F.col("h").isNotNull())
+        .filter(F.col("_v").isNotNull())
+        .select(
+            *[F.col(c) for c in group_cols],
+            _hash_frac(F.col("_v")).alias("h"),
+        )
         .distinct()
     )
     w = Window.partitionBy(*group_cols).orderBy("h")

@@ -39,6 +39,7 @@ def replace_into(
     new_rows: DataFrame,
     pk: Sequence[str],
     evolve_schema: bool = False,
+    new_keys: DataFrame | None = None,
 ) -> DataFrame:
     """MySQL REPLACE INTO: new rows win over existing rows with the same PK.
 
@@ -47,10 +48,23 @@ def replace_into(
     the Delta-MERGE ``mergeSchema`` behavior: rows from the side missing
     a column carry NULL for it.  Off by default so an accidental schema
     drift in a fixed-schema pipeline still fails loudly.
+
+    ``new_keys`` (r13, guide §2.4 "remove shuffles outright"): callers
+    that already hold the delta's key set — the change-detection output
+    that *produced* ``new_rows`` in the I1-I4 protocol — can pass it so
+    the retraction anti-join builds against that small key table
+    directly.  Without it the keys are re-derived from ``new_rows``,
+    which re-executes the delta's whole plan (scan + semi-join +
+    aggregate at 100 TB) a second time just to project its PK.  Caller
+    contract (asserted by test_replace_into_with_precomputed_keys):
+    ``new_keys[pk]`` must equal ``new_rows[pk]`` as a SET — REPLACE INTO
+    then deletes exactly the same rows and the result is identical.
     """
     if target is None:
         return new_rows
-    survivors = anti_delete(target, new_rows, pk)
+    survivors = anti_delete(
+        target, new_rows if new_keys is None else new_keys, pk
+    )
     return survivors.unionByName(
         new_rows, allowMissingColumns=evolve_schema
     )

@@ -528,13 +528,71 @@ def text_doc_metrics(spark, sf_dir):
     """Per-document text analysis in one pass: quality features (length,
     punctuation ratio, stopword ratio, mean word length, composite score),
     whitespace + BPE-ish-regex token counts, and the normalized-text md5
-    fingerprint.  One scan, one projection — each metric is a codegen'd
-    column, so merging them costs nothing and keeps the registry <= 50."""
+    fingerprint.  One scan; metrics computed over LAYERED projections
+    (r13, guide §1.2 "per-task work"): the single-Project spelling
+    (quality_features inlined) evaluated ``tokens(text)`` — a
+    lower+split+filter over the whole document — once per metric that
+    mentions it (~4x/row) and the stop-hit filter twice, because Project
+    does not share subexpressions across output columns when the shared
+    subtree sits under a CodegenFallback higher-order function.  Aliasing
+    each shared non-cheap subexpression in its own Project evaluates it
+    exactly once; CollapseProject keeps the split (it refuses to inline a
+    non-cheap alias referenced more than once), and every formula below
+    is byte-for-byte the quality_features spelling, so the DuckDB oracle
+    hash is unchanged (re-verified at sf0.001/0.01/0.1 this round)."""
+    from mrsboraetl_spark.functions.text import STOPWORDS, tokens
+
     docs = table(spark, sf_dir, "documents")
-    feats = quality_features(F.col("text"))
-    return docs.select(
+    base = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("_toks")
+    )
+    t, text = F.col("_toks"), F.col("text")
+    counted = base.select(
         "doc_id",
-        *[c.alias(name) for name, c in feats.items()],
+        "text",
+        F.length(text).alias("n_chars"),
+        F.size(t).alias("_nt"),
+        (
+            F.length(text)
+            - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+        ).alias("_np"),
+        F.size(
+            F.filter(t, lambda x: x.isin(*STOPWORDS["en"]))
+        ).alias("_ns"),
+        F.aggregate(
+            t, F.lit(0.0).cast("double"), lambda a, x: a + F.length(x)
+        ).alias("_mw"),
+    )
+    nt, nc = F.col("_nt"), F.col("n_chars")
+    ratios = counted.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        nt.alias("n_tokens"),
+        F.when(nc > 0, F.round(F.col("_np").cast("double") / nc, 4))
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+        F.when(nt > 0, F.round(F.col("_ns").cast("double") / nt, 4))
+        .otherwise(F.lit(0.0))
+        .alias("stop_ratio"),
+        F.when(nt > 0, F.round(F.col("_mw") / nt, 4))
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+    )
+    score = F.round(
+        F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.col("stop_ratio") * 0.4
+        + (1.0 - F.col("punct_ratio")) * 0.2,
+        4,
+    )
+    return ratios.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "punct_ratio",
+        "stop_ratio",
+        "mean_word_len",
+        score.alias("quality_score"),
         whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
         bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         fingerprint(F.col("text")).alias("fingerprint"),

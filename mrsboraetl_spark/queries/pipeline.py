@@ -132,7 +132,17 @@ def incremental_upsert_equiv(spark, sf_dir):
     phase1 = agg(ev.filter(F.col("ts") <= wm))
     changed_keys = ev.filter(F.col("ts") > wm).select("user_id").distinct()
     recomputed = agg(ev.join(changed_keys, "user_id", "left_semi"))
-    return replace_into(phase1, recomputed, ["user_id"])
+    # new_keys=changed_keys (r13, guide §2.4): recomputed's key set IS
+    # changed_keys (every changed key owns at least its own ts > wm
+    # event, so the semi-join drops none), and passing it spares the
+    # anti-join from re-running the scan+semi-join+aggregate subtree a
+    # second time just to list the delta's keys — plan: 8 exchanges ->
+    # 6, events scanned 4x -> 3x.  Result identical (oracle-verified
+    # sf0.001/0.01/0.1; key-set contract pinned in
+    # test_properties.test_replace_into_with_precomputed_keys).
+    return replace_into(
+        phase1, recomputed, ["user_id"], new_keys=changed_keys
+    )
 
 
 @register(
@@ -315,6 +325,18 @@ def visit_summary_equiv(spark, sf_dir):
     from mrsboraetl_spark.operators.latest import latest_per_group
 
     ev = table(spark, sf_dir, "events")
+    # ONE user_id exchange feeds both branches (r13, guide §2.4 "two
+    # operations keyed the same way can share one exchange"):
+    # HashPartitioning(user_id) satisfies the daily aggregate's
+    # ClusteredDistribution(user_id, day) AND the latest window's
+    # PARTITION BY user_id, and the two branches' identical
+    # scan+repartition subtrees collapse into a single shuffle via
+    # ReuseExchange.  Before: events scanned twice and shuffled twice
+    # (one Exchange per branch); after: one scan, one Exchange, and the
+    # final join is already co-partitioned on user_id.  Group contents
+    # are partitioning-independent (the blob is array_sort'ed, the
+    # window ordering is total), so results are identical.
+    ev = ev.repartition("user_id")
     entry = blob_entry(F.col("event_type"), render_numeric(F.col("value")))
 
     def has(t):

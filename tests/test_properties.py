@@ -423,3 +423,78 @@ def test_memo_md5_always_returns_the_true_hash():
             assert lookup(k) == want
 
     run()
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(RENDER_FLOAT, min_size=1, max_size=200))
+def test_render_numeric_fast_path_equals_regex_spelling(spark, xs):
+    """r13 obsmap fast path: byte-equality of the contains('E') gate and
+    the endswith('.0') strip with the old regex spelling, over the same
+    adversarial grid the DuckDB parity test uses PLUS NaN/inf (the gate
+    must not confuse 'Infinity'/'NaN' with E-notation).
+
+    Three pins, each over every double in the batch:
+    * gate:   contains('E')          == rlike('E-?\\d+$')   on cast(x)
+    * strip:  the regexp_replace pair leaves render_numeric's output
+              unchanged (the fast path already stripped everything the
+              regexes would);
+    * suffix: no render_numeric output ends with '.0' or '.'.
+    """
+    from mrsboraetl_spark.functions.obsmap import render_numeric
+
+    xs = xs + [float("nan"), float("inf"), float("-inf")]
+    df = spark.createDataFrame([(v,) for v in xs], "x double")
+    s = F.col("x").cast("string")
+    rendered = render_numeric(F.col("x"))
+    re_stripped = F.regexp_replace(
+        F.regexp_replace(rendered, r"(\.\d*?)0+$", r"$1"), r"\.$", ""
+    )
+    rows = df.select(
+        s.contains("E").alias("new_gate"),
+        s.rlike(r"E-?\d+$").alias("old_gate"),
+        rendered.alias("out"),
+        re_stripped.alias("restrip"),
+    ).collect()
+    for r in rows:
+        assert bool(r["new_gate"]) == bool(r["old_gate"]), r
+        assert r["out"] == r["restrip"], r
+        assert not r["out"].endswith(".0") and not r["out"].endswith("."), r
+
+
+def test_replace_into_with_precomputed_keys(spark):
+    """r13 upsert contract: when ``new_keys[pk]`` equals ``new_rows``' key
+    set, replace_into(..., new_keys=...) returns exactly the same rows as
+    the derived-keys spelling — and the incremental_upsert_equiv shape
+    (keys from the delta filter, rows from the semi-joined aggregate)
+    satisfies that contract by construction."""
+    from mrsboraetl_spark.operators.upsert import replace_into
+
+    target = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "pk int, v int"
+    )
+    new_rows = spark.createDataFrame([(2, 99), (4, 40)], "pk int, v int")
+    keys = new_rows.select("pk").distinct()
+    derived = replace_into(target, new_rows, ["pk"])
+    precomp = replace_into(target, new_rows, ["pk"], new_keys=keys)
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, precomp.collect())
+    ) == [(1, 10), (2, 99), (3, 30), (4, 40)]
+
+    # the incremental_upsert_equiv construction: every changed key owns at
+    # least one delta event, so the semi-joined aggregate emits a row for
+    # every key in changed_keys — the sets coincide.
+    ev = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 15, 2.0), (2, 18, 3.0)], "user_id int, ts int, v double"
+    )
+    wm = 10
+    changed = ev.filter(F.col("ts") > wm).select("user_id").distinct()
+    recomputed = (
+        ev.join(changed, "user_id", "left_semi")
+        .groupBy("user_id").agg(F.sum("v").alias("s"))
+    )
+    assert sorted(r["user_id"] for r in changed.collect()) == sorted(
+        r["user_id"] for r in recomputed.select("user_id").collect()
+    )
