@@ -239,6 +239,68 @@ def _nearest_cells_expr(
     )
 
 
+def nearest_cells_kernel(
+    df: DataFrame,
+    vec_col: str,
+    centers: list[tuple[int, list[float]]],
+    n: int = 1,
+    out_col: str = "_cells",
+) -> DataFrame:
+    """Pass ``df`` through an Arrow batch kernel that appends ``out_col``:
+    array<int> of the ``n`` nearest center ids (squared L2; ties break on
+    the smaller id) for ``vec_col`` — the vectorized twin of
+    :func:`_nearest_cells_expr`.
+
+    Bit-identical selection (pinned kernel-vs-expr in
+    tests/test_similarity.py): distances accumulate one dimension at a
+    time in ascending dim order with float64 ops — the same sequential
+    ``acc + (x-y)^2`` fold the SQL ``aggregate`` performs element by
+    element — and ties sort by (distance, cell id) exactly like
+    ``array_sort`` over (d, cell) structs.  ``vec_col`` must be non-null
+    (ivf callers scan a non-null embedding column; the SQL spelling's
+    behavior on NULL — an arbitrary cell with NULL distances — carries no
+    information anyway).
+
+    Why (r13, guide §4.1/§4.2 + §7.3, measured at 16 centers x 64 dims):
+    the expr spelling bills twice per invocation — the driver
+    analyzes/optimizes an n_centers x dim literal tree (~0.45s
+    single-threaded; 84 KB formatted plan for ann_ivf_topk), and the
+    executors evaluate the zip_with/aggregate lambdas INTERPRETED per
+    element (n_centers * dim steps per row).  The kernel is one small
+    MapInPandas node (plan shrinks to ~4 KB) and a numpy loop that is
+    vectorized across the batch.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 - mapInPandas contract
+
+    ordered = sorted((int(c), list(map(float, v))) for c, v in centers)
+    ids = np.array([c for c, _ in ordered], dtype=np.int64)
+    cmat = np.array([v for _, v in ordered], dtype=np.float64)  # (K, D)
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out_col}` array<int>"
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (B, D)
+            acc = np.zeros((v.shape[0], cmat.shape[0]), dtype=np.float64)
+            # dim-at-a-time accumulation == the SQL fold's float64 op
+            # order, so every distance is bit-identical to the expr path
+            for d in range(cmat.shape[1]):
+                diff = v[:, d, None] - cmat[None, :, d]
+                acc += diff * diff
+            order = np.argsort(acc, axis=1, kind="stable")[:, :n]
+            pdf[out_col] = [row.tolist() for row in ids[order]]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -250,6 +312,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     sample_fraction: float = 0.25,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer partitions
     the corpus into cells; each query probes its ``nprobe`` nearest cells
@@ -292,20 +355,48 @@ def ivf_topk(
     else:
         centers = [(int(cell), [float(x) for x in c]) for cell, c in centroids]
 
-    def nearest_cells(col_name: str, n: int) -> Column:
-        return _nearest_cells_expr(centers, col_name, n)
-
     # per-ROW norms (r11, same bit-identical trick as brute_force_topk):
     # the candidate join re-evaluated both sides' norm aggregates per
     # PAIR; the probe side also gets column-pruned before broadcast
     qv = F.col("query_vec").cast("array<double>")
     vv = F.col(vec_col).cast("array<double>")
-    cells = vectors.select(
-        F.col(id_col), vv.alias(vec_col), norm(vv).alias("_vn")
-    ).withColumn("cell", nearest_cells(vec_col, 1).getItem(0))
-    probes = queries.select(
-        "query_id", qv.alias("query_vec"), norm(qv).alias("_qn")
-    ).withColumn("cell", F.explode(nearest_cells("query_vec", nprobe)))
+    if use_kernel:
+        # r13: cell assignment through the Arrow kernel (see
+        # nearest_cells_kernel) — bit-identical ids, one small plan node
+        # instead of the n_centers x dim literal tree on both sides.
+        # The norm stays a JVM fold over the SAME casted array (the
+        # kernel passes float64 through Arrow losslessly), so every
+        # downstream value is unchanged.
+        cells = nearest_cells_kernel(
+            vectors.select(F.col(id_col), vv.alias(vec_col)),
+            vec_col, centers, 1,
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("_vn"),
+            F.col("_cells").getItem(0).alias("cell"),
+        )
+        probes = nearest_cells_kernel(
+            queries.select("query_id", qv.alias("query_vec")),
+            "query_vec", centers, nprobe,
+        ).select(
+            "query_id",
+            F.col("query_vec"),
+            norm(F.col("query_vec")).alias("_qn"),
+            F.explode("_cells").alias("cell"),
+        )
+    else:
+        cells = vectors.select(
+            F.col(id_col), vv.alias(vec_col), norm(vv).alias("_vn")
+        ).withColumn(
+            "cell", _nearest_cells_expr(centers, vec_col, 1).getItem(0)
+        )
+        probes = queries.select(
+            "query_id", qv.alias("query_vec"), norm(qv).alias("_qn")
+        ).withColumn(
+            "cell",
+            F.explode(_nearest_cells_expr(centers, "query_vec", nprobe)),
+        )
     sim = F.round(
         dot(F.col("query_vec"), F.col(vec_col))
         / (F.col("_qn") * F.col("_vn")),
@@ -685,20 +776,33 @@ def ivf_cell_join(
     is retraining centroids on a corpus sample — ``cell_occupancy``
     is the probe that tells you."""
     centers = [(int(c), [float(x) for x in v]) for c, v in centroids]
-    la = left.select(
-        F.col(left_id).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("vec_a"),
-        norm(F.col(vec_col).cast("array<double>")).alias("na"),
-    ).withColumn(
-        "cell",
-        F.explode(_nearest_cells_expr(centers, "vec_a", nprobe)),
+    # r13: both sides' cell assignment through the Arrow kernel — the
+    # full-corpus pass on each side was the expr spelling's interpreted
+    # n_centers x dim per-row loop (see nearest_cells_kernel; ids
+    # bit-identical, pinned kernel-vs-expr in tests/test_similarity.py).
+    la = nearest_cells_kernel(
+        left.select(
+            F.col(left_id).alias("id_a"),
+            F.col(vec_col).cast("array<double>").alias("vec_a"),
+        ),
+        "vec_a", centers, nprobe,
+    ).select(
+        "id_a",
+        "vec_a",
+        norm(F.col("vec_a")).alias("na"),
+        F.explode("_cells").alias("cell"),
     )
-    rb = right.select(
-        F.col(right_id).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vec_b"),
-        norm(F.col(vec_col).cast("array<double>")).alias("nb"),
-    ).withColumn(
-        "cell", _nearest_cells_expr(centers, "vec_b", 1).getItem(0)
+    rb = nearest_cells_kernel(
+        right.select(
+            F.col(right_id).alias("id_b"),
+            F.col(vec_col).cast("array<double>").alias("vec_b"),
+        ),
+        "vec_b", centers, 1,
+    ).select(
+        "id_b",
+        "vec_b",
+        norm(F.col("vec_b")).alias("nb"),
+        F.col("_cells").getItem(0).alias("cell"),
     )
     if max_cell_freq is not None:
         keep = (

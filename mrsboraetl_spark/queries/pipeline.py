@@ -45,12 +45,22 @@ def flat_events_blob(spark, sf_dir):
     (flat_lab_obs_v1.0.sql:105), ordered obs blob (A2), deterministic
     lineage blob (A4, sorted where MySQL left it nondeterministic)."""
     ev = table(spark, sf_dir, "events")
-    entry = blob_entry(F.col("event_type"), render_numeric(F.col("value")))
+    # r13 (guide §2.3): the blob entry is a pure function of the
+    # (event_type, value) sort key — render it post-shuffle from the
+    # sorted key struct instead of carrying the rendered string through
+    # the collect buffer and the exchange (see ordered_collect.entry_of).
+    entry_of = lambda x: blob_entry(  # noqa: E731
+        x["_k0"], render_numeric(x["_k1"])
+    )
     return (
         ev.groupBy("user_id", F.to_date("ts").cast("string").alias("day"))
         .agg(
             (F.min("event_id") + SYNTHETIC_ENCOUNTER_OFFSET).alias("synthetic_id"),
-            packed_blob(entry, [F.col("event_type"), F.col("value")]).alias("obs"),
+            packed_blob(
+                None,
+                [F.col("event_type"), F.col("value")],
+                entry_of=entry_of,
+            ).alias("obs"),
             F.array_join(
                 F.array_sort(F.collect_list(F.col("event_id"))).cast(
                     "array<string>"
@@ -337,7 +347,11 @@ def visit_summary_equiv(spark, sf_dir):
     # are partitioning-independent (the blob is array_sort'ed, the
     # window ordering is total), so results are identical.
     ev = ev.repartition("user_id")
-    entry = blob_entry(F.col("event_type"), render_numeric(F.col("value")))
+    # r13 (guide §2.3): blob entries rendered post-shuffle from the sort
+    # keys (see flat_events_blob / ordered_collect.entry_of).
+    entry_of = lambda x: blob_entry(  # noqa: E731
+        x["_k0"], render_numeric(x["_k1"])
+    )
 
     def has(t):
         return F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
@@ -346,7 +360,9 @@ def visit_summary_equiv(spark, sf_dir):
         "user_id", F.to_date("ts").cast("string").alias("day")
     ).agg(
         (F.min("event_id") + SYNTHETIC_ENCOUNTER_OFFSET).alias("synthetic_id"),
-        packed_blob(entry, [F.col("event_type"), F.col("value")]).alias("obs"),
+        packed_blob(
+            None, [F.col("event_type"), F.col("value")], entry_of=entry_of
+        ).alias("obs"),
         F.count("*").alias("n_events"),
         F.max("ts").alias("max_ts"),
         has("purchase").alias("has_p"),

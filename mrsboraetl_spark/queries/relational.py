@@ -367,32 +367,42 @@ def obs_blob_pack(spark, sf_dir):
     """A2+A3 — the signature op: ordered GROUP_CONCAT into the legacy blob,
     plus the GROUP_CONCAT(DISTINCT ...) variant, from ONE collect buffer.
 
-    The struct carries the sort key, the rendered entry AND the flag; the
-    A2 blob projects ``_v`` from the sorted array while the A3 column is
-    array_distinct + array_sort over the same array's ``_f`` field — one
-    collect_list buffer and one sort per group instead of two of each
-    (the two-packed_blob spelling aggregated the 600k lineitem rows into
-    two independent buffers; this is the r2-item-5 fusion).  ``_f`` sits
-    LAST in the struct so it cannot perturb the (linenumber, quantity,
-    entry) sort the blob depends on."""
+    The struct carries the sort key AND the flag; the A2 blob renders its
+    entries from the sorted key tuple in the final projection while the
+    A3 column is array_distinct + array_sort over the same array's ``_f``
+    field — one collect_list buffer and one sort per group instead of two
+    of each (the two-packed_blob spelling aggregated the 600k lineitem
+    rows into two independent buffers; this is the r2-item-5 fusion).
+
+    r13 (guide §2.3 "shuffle keys and metadata instead of payloads"): the
+    rendered entry ``!!k=render(v)!!`` is a pure function of the
+    (linenumber, quantity) sort key, so carrying it through the collect
+    buffer and the l_orderkey exchange was pure payload weight — the
+    4-field struct (int, double, ~14-char string, 1-char string) cost
+    1.85s in the aggregate alone vs 0.58s for a bare double.  The struct
+    now carries (k0, k1, _f) only and the entry is derived POST-shuffle
+    via transform over the sorted array.  Output is identical: the blob
+    depends only on the multiset of key tuples (equal keys render equal
+    strings, so the dropped ``_v`` tiebreak cannot reorder distinguishable
+    entries), and ``flags`` is order-insensitive (distinct + sort).
+    Measured 2.25 -> 1.59s min-of-3 at sf0.1, exceptAll-equal both ways;
+    plan: partial_collect_list input 4 fields -> 3, render moved above
+    the Exchange (plans/r13/obs_blob_pack_{before,after}.txt)."""
     from mrsboraetl_spark.config import BLOB_SEP
 
     li = table(spark, sf_dir, "lineitem")
-    entry = blob_entry(F.col("l_linenumber"), render_numeric(F.col("l_quantity")))
     s = F.struct(
         F.col("l_linenumber").alias("_k0"),
         F.col("l_quantity").alias("_k1"),
-        entry.alias("_v"),
         F.col("l_returnflag").alias("_f"),
     )
+    entry_of = lambda x: blob_entry(x["_k0"], render_numeric(x["_k1"]))  # noqa: E731
     return (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_list(s)).alias("_arr"))
         .select(
             "l_orderkey",
-            F.array_join(
-                F.transform("_arr", lambda x: x["_v"]), BLOB_SEP
-            ).alias("obs"),
+            F.array_join(F.transform("_arr", entry_of), BLOB_SEP).alias("obs"),
             F.array_join(
                 F.array_sort(
                     F.array_distinct(F.transform("_arr", lambda x: x["_f"]))

@@ -911,3 +911,50 @@ def test_cluster_keepers_by_priority_picks_best_not_min(spark):
     assert out[3] == (1, 2, False)
     # Singleton keeps itself.
     assert out[7] == (7, 7, True)
+
+
+def test_nearest_cells_kernel_matches_expr(spark):
+    """r13 pin: the Arrow assignment kernel and the SQL expr spelling pick
+    IDENTICAL cell ids — including exact distance ties (rows equidistant
+    to several centers must break to the SMALLEST cell id under both),
+    arbitrary center-id order, and n > 1 probe lists."""
+    from mrsboraetl_spark.operators.similarity import (
+        _nearest_cells_expr,
+        nearest_cells_kernel,
+    )
+
+    # centers deliberately OUT of id order; c7 == c2 duplicated so every
+    # vector ties exactly between ids 2 and 7 -> must pick 2 first.
+    centers = [
+        (7, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (0, [0.0, 1.0, 0.0]),
+        (5, [0.25, -3.5, 1e-7]),
+    ]
+    import random
+
+    rng = random.Random(13)
+    rows = [([rng.uniform(-2, 2) for _ in range(3)],) for _ in range(500)]
+    rows += [([1.0, 0.0, 0.0],), ([0.0, 0.0, 0.0],), ([-0.0, 1.0, 0.0],)]
+    df = spark.createDataFrame(rows, "v array<double>")
+
+    for n in (1, 3):
+        expr_out = [
+            tuple(r["c"])
+            for r in df.select(
+                _nearest_cells_expr(centers, "v", n).alias("c")
+            ).collect()
+        ]
+        kern_out = [
+            tuple(r["_cells"])
+            for r in nearest_cells_kernel(df, "v", centers, n).select(
+                "_cells"
+            ).collect()
+        ]
+        assert expr_out == kern_out, (n, expr_out[:5], kern_out[:5])
+    # the duplicated-center tie must resolve to the smaller id
+    tied = nearest_cells_kernel(
+        spark.createDataFrame([([1.0, 0.0, 0.0],)], "v array<double>"),
+        "v", centers, 2,
+    ).collect()[0]["_cells"]
+    assert list(tied) == [2, 7], tied

@@ -498,3 +498,45 @@ def test_replace_into_with_precomputed_keys(spark):
     assert sorted(r["user_id"] for r in changed.collect()) == sorted(
         r["user_id"] for r in recomputed.select("user_id").collect()
     )
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # group
+            st.integers(min_value=0, max_value=5),      # key (k0)
+            st.one_of(RENDER_FLOAT, st.none()),         # value (k1)
+        ),
+        min_size=1, max_size=120,
+    )
+)
+def test_packed_blob_entry_of_equals_in_struct_entry(spark, rows):
+    """r13 pin (guide §2.3): rendering blob entries POST-shuffle from the
+    sort-key struct (entry_of) yields byte-identical blobs to carrying the
+    rendered entry through the collect buffer — including NULL values
+    (NULL entry dropped by array_join under both spellings), duplicate
+    keys, and the distinct=True variant."""
+    from mrsboraetl_spark.functions.obsmap import (
+        blob_entry,
+        packed_blob,
+        render_numeric,
+    )
+
+    df = spark.createDataFrame(rows, "g int, k int, v double")
+    order = [F.col("k"), F.col("v")]
+    entry = blob_entry(F.col("k"), render_numeric(F.col("v")))
+    entry_of = lambda x: blob_entry(x["_k0"], render_numeric(x["_k1"]))  # noqa: E731
+    for distinct in (False, True):
+        old = df.groupBy("g").agg(
+            packed_blob(entry, order, distinct).alias("obs")
+        )
+        new = df.groupBy("g").agg(
+            packed_blob(None, order, distinct, entry_of=entry_of).alias("obs")
+        )
+        got_old = {r["g"]: r["obs"] for r in old.collect()}
+        got_new = {r["g"]: r["obs"] for r in new.collect()}
+        assert got_old == got_new
