@@ -82,6 +82,23 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # r13 (guide §3.1/§9): allow shuffled-hash join when Spark's own
+        # size conditions say a partition's build side fits — SMJ pays
+        # two full sorts that SHJ skips.  Interleaved same-JVM A/B at
+        # sf0.1 (drift-cancelled): join-bearing headline queries 0.91x
+        # overall (join_multi_dims/dedup_minhash 0.83x, upsert 0.87x),
+        # none slower beyond noise.  The AQE threshold enables the
+        # runtime SMJ->SHJ rewrite only when every post-shuffle
+        # partition is under 256 MB (sized with the advisory partition
+        # target, guide §2.2) — at cluster scale the same gates keep SHJ
+        # confined to joins whose per-partition hash map fits, so this
+        # is the production default too, not a local[32] tune; both are
+        # plain confs, overridable per-session via extra_conf.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "256m",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The driver's events.parquet carries TIMESTAMP(NANOS), which Spark
         # rejects by default; read as long and convert at the source wrapper.
