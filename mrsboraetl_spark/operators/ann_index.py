@@ -49,6 +49,7 @@ from mrsboraetl_spark.operators._swap import rescue_orphan
 from mrsboraetl_spark.operators.similarity import (
     _nearest_cells_expr,
     cosine,
+    nearest_cells_kernel,
 )
 
 
@@ -143,12 +144,16 @@ class IvfIndex:
 
     def assign_cells(self, vectors: DataFrame) -> DataFrame:
         """(id, cell, vec) — the pure-function assignment every ingest
-        and every batch comparison shares."""
-        return vectors.select(
+        and every batch comparison shares.  r13: runs through the Arrow
+        assignment kernel (bit-identical ids, pinned kernel-vs-expr in
+        tests/test_llmdata.py) — this is the full-batch pass, exactly
+        where the expr spelling's interpreted per-element loop billed."""
+        return nearest_cells_kernel(
+            vectors.select(F.col(self.id_col), F.col(self.vec_col)),
+            self.vec_col, self.centroids, 1,
+        ).select(
             F.col(self.id_col),
-            _nearest_cells_expr(self.centroids, self.vec_col, 1)
-            .getItem(0)
-            .alias("cell"),
+            F.col("_cells").getItem(0).alias("cell"),
             F.col(self.vec_col),
         )
 
@@ -373,10 +378,10 @@ class IvfIndex:
         ]
         dims = len(cents[0][1])
         for _ in range(iters):
-            assigned = sample.select(
-                _nearest_cells_expr(cents, self.vec_col, 1)
-                .getItem(0)
-                .alias("cell"),
+            assigned = nearest_cells_kernel(
+                sample.select(self.vec_col), self.vec_col, cents, 1
+            ).select(
+                F.col("_cells").getItem(0).alias("cell"),
                 *[
                     F.col(self.vec_col)[i].alias(f"d{i}")
                     for i in range(dims)
@@ -399,12 +404,13 @@ class IvfIndex:
         new_epoch = self.epoch + 1
         new_dir = os.path.join(self.path, f"cells.e{new_epoch}")
         (
-            stored.select(self.id_col, self.vec_col)
+            nearest_cells_kernel(
+                stored.select(self.id_col, self.vec_col),
+                self.vec_col, cents, 1,
+            )
             .select(
                 F.col(self.id_col),
-                _nearest_cells_expr(cents, self.vec_col, 1)
-                .getItem(0)
-                .alias("cell"),
+                F.col("_cells").getItem(0).alias("cell"),
                 F.col(self.vec_col),
             )
             .repartition(max(k // 4, 1), F.col("cell"))
@@ -446,14 +452,14 @@ class IvfIndex:
             raise ValueError(f"index at {self.path} is empty")
         from mrsboraetl_spark.operators.similarity import cosine
 
-        probes = new_vectors.select(
-            F.col(self.id_col).alias("id_a"),
-            F.col(self.vec_col).cast("array<double>").alias("vec_a"),
-        ).withColumn(
-            "cell",
-            F.explode(
-                _nearest_cells_expr(self.centroids, "vec_a", nprobe)
+        probes = nearest_cells_kernel(
+            new_vectors.select(
+                F.col(self.id_col).alias("id_a"),
+                F.col(self.vec_col).cast("array<double>").alias("vec_a"),
             ),
+            "vec_a", self.centroids, nprobe,
+        ).select(
+            "id_a", "vec_a", F.explode("_cells").alias("cell")
         )
         if max_cell_freq is not None:
             keep = (

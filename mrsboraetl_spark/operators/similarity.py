@@ -301,6 +301,66 @@ def nearest_cells_kernel(
     return df.mapInPandas(batches, out_schema)
 
 
+def pq_codes_kernel(
+    df: DataFrame,
+    vec_col: str,
+    centers: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Append ``cell`` (int, nearest coarse center) AND ``codes``
+    (array<int>, per-subspace nearest codebook entry) in ONE Arrow pass —
+    the index-side encoding of IVF-PQ (the kernel twin of the m+1
+    `_nearest_cells_expr` projections it replaces).
+
+    Bit-identical ids: each subspace's distances accumulate over its own
+    dims in ascending order with float64 ops (matching the SQL fold over
+    ``slice(vec, s*sub+1, sub)``), and ties break to the smaller
+    center/entry id exactly like ``array_sort`` over (d, id) structs
+    (codebook entries are id-ordered by construction; centers are sorted
+    here).  ``vec_col`` must be non-null, as in nearest_cells_kernel.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 - mapInPandas contract
+
+    ordered = sorted((int(c), list(map(float, v))) for c, v in centers)
+    cid = np.array([c for c, _ in ordered], dtype=np.int64)
+    cmat = np.array([v for _, v in ordered], dtype=np.float64)
+    books = [
+        np.array([list(map(float, e)) for e in cb], dtype=np.float64)
+        for cb in codebooks
+    ]
+    sub = books[0].shape[1]
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", `cell` int, `codes` array<int>"
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                pdf["cell"] = []
+                pdf["codes"] = []
+                yield pdf
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            acc = np.zeros((v.shape[0], cmat.shape[0]), dtype=np.float64)
+            for d in range(cmat.shape[1]):
+                diff = v[:, d, None] - cmat[None, :, d]
+                acc += diff * diff
+            pdf["cell"] = cid[np.argmin(acc, axis=1)]
+            codes = np.empty((v.shape[0], len(books)), dtype=np.int64)
+            for s, cb in enumerate(books):
+                accs = np.zeros((v.shape[0], cb.shape[0]), dtype=np.float64)
+                for d in range(sub):
+                    diff = v[:, s * sub + d, None] - cb[None, :, d]
+                    accs += diff * diff
+                codes[:, s] = np.argmin(accs, axis=1)
+            pdf["codes"] = [row.tolist() for row in codes]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -588,18 +648,15 @@ def ivf_pq_topk(
     nvec = vectors.select(
         F.col(id_col), unit(F.col(vec_col)).alias("_nv")
     )
-    coded = nvec.select(
-        F.col(id_col),
-        _nearest_cells_expr(centers, "_nv", 1).getItem(0).alias("cell"),
-        F.array(
-            *[
-                _nearest_cells_expr(
-                    list(enumerate(codebooks[s])), "_nv", 1,
-                    offset=s * sub, width=sub,
-                ).getItem(0)
-                for s in range(m)
-            ]
-        ).alias("codes"),
+    # r13: the index-side pass (coarse cell + all m subspace codes) runs
+    # in ONE Arrow kernel instead of m+1 literal expression trees — the
+    # same planning-size + interpreted-lambda motivation as ivf_topk's
+    # nearest_cells_kernel, and the full-corpus pass is exactly where it
+    # bills at scale.  Ids bit-identical (same sequential float64 fold
+    # per subspace, ties to the smaller id; pinned kernel-vs-expr in
+    # tests/test_llmdata.py).
+    coded = pq_codes_kernel(nvec, "_nv", centers, codebooks).select(
+        F.col(id_col), "cell", "codes"
     )
 
     nq = queries.select(

@@ -958,3 +958,51 @@ def test_nearest_cells_kernel_matches_expr(spark):
         "v", centers, 2,
     ).collect()[0]["_cells"]
     assert list(tied) == [2, 7], tied
+
+
+def test_pq_codes_kernel_matches_expr(spark):
+    """r13 pin: the one-pass PQ encoding kernel (cell + m codes) equals
+    the m+1 `_nearest_cells_expr` projections it replaced — including a
+    duplicated codebook entry (exact tie -> smaller code id)."""
+    from pyspark.sql import functions as F
+
+    from mrsboraetl_spark.operators.similarity import (
+        _nearest_cells_expr,
+        pq_codes_kernel,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    dim, m, K = 8, 2, 4
+    sub = dim // m
+    centers = [(3, [rng.uniform(-1, 1) for _ in range(dim)]),
+               (0, [rng.uniform(-1, 1) for _ in range(dim)])]
+    codebooks = []
+    for s in range(m):
+        cb = [[rng.uniform(-1, 1) for _ in range(sub)] for _ in range(K)]
+        cb[2] = list(cb[0])  # exact tie: entries 0 and 2 identical
+        codebooks.append(cb)
+    rows = [([rng.uniform(-1, 1) for _ in range(dim)],) for _ in range(300)]
+    # rows placed exactly ON the duplicated entry in subspace 0
+    rows += [(codebooks[0][0] + [0.0] * sub,)]
+    df = spark.createDataFrame(rows, "v array<double>")
+
+    expr_out = df.select(
+        _nearest_cells_expr(centers, "v", 1).getItem(0).alias("cell"),
+        F.array(*[
+            _nearest_cells_expr(
+                list(enumerate(codebooks[s])), "v", 1,
+                offset=s * sub, width=sub,
+            ).getItem(0)
+            for s in range(m)
+        ]).alias("codes"),
+    ).collect()
+    kern_out = pq_codes_kernel(df, "v", centers, codebooks).select(
+        "cell", "codes"
+    ).collect()
+    assert [(r["cell"], list(r["codes"])) for r in expr_out] == [
+        (r["cell"], list(r["codes"])) for r in kern_out
+    ]
+    # the tied row must code to entry 0, not 2
+    assert list(kern_out[-1]["codes"])[0] == 0
