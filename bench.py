@@ -155,7 +155,27 @@ def _load_context() -> dict:
         nproc = sum(1 for p in os.listdir("/proc") if p.isdigit())
     except OSError:  # pragma: no cover
         nproc = -1
-    return {"load1": load1, "cpus": cpus, "procs": nproc}
+    # Hypervisor steal (r13): load1 cannot see a neighbor VM stealing
+    # cycles or memory bandwidth — the r12/r13 adjudications both hit
+    # contended runs whose load read idle.  /proc/stat's steal and total
+    # tick counters at start/end let the artifact carry the one external
+    # signal the guest CAN see; the steal FRACTION over the run is
+    # derived at print time (see below).
+    steal = total = -1
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        steal = int(parts[8])
+        total = sum(int(x) for x in parts[1:])
+    except (OSError, IndexError, ValueError):  # pragma: no cover
+        pass
+    return {
+        "load1": load1,
+        "cpus": cpus,
+        "procs": nproc,
+        "steal_ticks": steal,
+        "total_ticks": total,
+    }
 
 
 def main() -> None:
@@ -234,6 +254,12 @@ def main() -> None:
     load_end = _load_context()
     workers = int(os.environ.get("SPARK_GRAFT_CPUS") or load_end["cpus"])
     load = {"start": load_start, "end": load_end, "workers": workers}
+    # Steal fraction across the whole run (external by definition —
+    # unlike load1 it cannot be polluted by the bench's own workers).
+    if load_start["total_ticks"] > 0 and load_end["total_ticks"] > 0:
+        dt = load_end["total_ticks"] - load_start["total_ticks"]
+        ds = load_end["steal_ticks"] - load_start["steal_ticks"]
+        load["steal_frac"] = round(ds / dt, 4) if dt > 0 else -1.0
     # Regression guard — only meaningful at the baseline's scale
     # factor.  Computed BEFORE the artifact prints so a guard trip's
     # re-measurement (below) lands IN the artifact.  HEADLINE and
@@ -389,10 +415,17 @@ def main() -> None:
         load_start["load1"] / load_start["cpus"],
         (load_end["load1"] - workers) / load_end["cpus"],
     )
-    verdict = "LOADED" if ratio > 0.3 else "idle"
+    # Steal > ~5% of the whole run's ticks means a neighbor held the
+    # cores/bandwidth for a material slice of the run even if load1
+    # read idle (the r12/r13 failure mode).
+    steal_frac = load.get("steal_frac", -1.0)
+    verdict = (
+        "LOADED" if (ratio > 0.3 or steal_frac > 0.05) else "idle"
+    )
     print(
         f"BENCH LOAD: {verdict} (start load1={load_start['load1']}/"
-        f"{load_start['cpus']} cpus, end load1={load_end['load1']}) — "
+        f"{load_start['cpus']} cpus, end load1={load_end['load1']}, "
+        f"steal_frac={steal_frac}) — "
         + (
             "walls overlap other work; trust bytes/plans, not walls"
             if verdict == "LOADED"

@@ -35,13 +35,50 @@ def stopword_hits(text: Column, lang: str) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Argmax of per-language stopword hit counts; ties resolve in
-    LANG_PRIORITY order; zero hits everywhere -> 'und'."""
+    LANG_PRIORITY order; zero hits everywhere -> 'und'.
+
+    Single-expression form: every ``hits[lang]`` reference re-evaluates
+    ``tokens(text)`` (Project does not share subexpressions under the
+    CodegenFallback higher-order filter), so this Column costs ~8
+    tokenizations per row.  Fine for one-off projections; DataFrame-level
+    consumers should use :func:`with_lang_id`, which layers the shared
+    subtrees so the tokenize runs once (r13, guide §1.2 — the same fix
+    text_doc_metrics measured at 0.74x)."""
     hits = {lang: stopword_hits(text, lang) for lang in LANG_PRIORITY}
     best = F.greatest(*hits.values())
     expr = F.lit("und")
     for lang in reversed(LANG_PRIORITY):
         expr = F.when((hits[lang] == best) & (best > 0), lang).otherwise(expr)
     return expr
+
+
+def with_lang_id(df, text_col: str, out_col: str = "lang_pred"):
+    """Append ``out_col`` = lang_id(text_col) with the shared subtrees
+    LAYERED (r13, guide §1.2): the tokenize runs once per row and each
+    language's stopword filter once, instead of the ~8 tokenizations the
+    single-expression :func:`lang_id` pays — each alias below is a
+    non-cheap expression referenced more than once downstream, which is
+    exactly what stops CollapseProject from inlining it back.  Formulas
+    are byte-for-byte lang_id's, so results (and the DuckDB oracle
+    hashes of every consumer) are identical."""
+    toks_df = df.withColumn("_lid_toks", tokens(F.col(text_col)))
+    hit_cols = {
+        lang: F.size(
+            F.filter(
+                F.col("_lid_toks"), lambda t: t.isin(*STOPWORDS[lang])
+            )
+        ).alias(f"_lid_h_{lang}")
+        for lang in LANG_PRIORITY
+    }
+    hits_df = toks_df.select("*", *hit_cols.values())
+    hits = {lang: F.col(f"_lid_h_{lang}") for lang in LANG_PRIORITY}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((hits[lang] == best) & (best > 0), lang).otherwise(expr)
+    return hits_df.withColumn(out_col, expr).drop(
+        "_lid_toks", *[f"_lid_h_{lang}" for lang in LANG_PRIORITY]
+    )
 
 
 def quality_features(text: Column) -> dict[str, Column]:

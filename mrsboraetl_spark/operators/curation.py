@@ -304,12 +304,16 @@ def quality_filter(
     ``filter(size(reasons) == 0)`` — same scan either way.  Thresholds
     are monotone: relaxing any of them can only shrink reasons/keep
     more (pytest-pinned)."""
-    from mrsboraetl_spark.functions.text import lang_id
+    from mrsboraetl_spark.functions.text import with_lang_id
 
     rep = repetition_metrics(df, id_col, text_col)
-    base = df.select(
-        F.col(id_col).alias("id"), lang_id(F.col(text_col)).alias("_lang")
-    ).join(rep, "id", "left")
+    # with_lang_id (r13, guide §1.2): one tokenize per row instead of
+    # the ~8 the single-expression lang_id pays — identical formulas.
+    base = (
+        with_lang_id(df, text_col, "_lang")
+        .select(F.col(id_col).alias("id"), "_lang")
+        .join(rep, "id", "left")
+    )
 
     rules = [
         ("too_short", F.coalesce(F.col("n_tokens"), F.lit(0)) < min_tokens),
@@ -429,19 +433,85 @@ def doc_features(
     the id key — at 100 TB the joins co-locate if the corpus is
     bucketed by id (sources/bucketing.py)."""
     from mrsboraetl_spark.functions.text import (
+        LANG_PRIORITY,
+        STOPWORDS,
         fingerprint,
-        lang_id,
-        quality_features,
+        tokens,
     )
 
-    base = df.select(
+    # Layered projections (r13, guide §1.2 — the text_doc_metrics fix):
+    # the single-Project spelling evaluated tokens(text) once per metric
+    # that mentions it (~12x per row across quality_features + lang_id,
+    # since Project shares no subexpressions under CodegenFallback HOFs).
+    # Aliasing each shared non-cheap subtree in its own Project runs the
+    # tokenize once and each stopword filter once; every formula below
+    # is byte-for-byte the quality_features / lang_id spelling (the en
+    # stopword-hit count serves both stop_ratio and the language vote).
+    toks_l = df.select(
         F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    t, text = F.col("_toks"), F.col("_text")
+    counted = toks_l.select(
+        "id",
+        "_text",
+        F.length(text).alias("n_chars"),
+        F.size(t).alias("_nt"),
+        (
+            F.length(text)
+            - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+        ).alias("_np"),
+        F.aggregate(
+            t, F.lit(0.0).cast("double"), lambda a, x: a + F.length(x)
+        ).alias("_mw"),
         *[
-            c.alias(name)
-            for name, c in quality_features(F.col(text_col)).items()
+            F.size(
+                F.filter(t, lambda x: x.isin(*STOPWORDS[lang]))
+            ).alias(f"_h_{lang}")
+            for lang in LANG_PRIORITY
         ],
-        lang_id(F.col(text_col)).alias("lang"),
-        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    nt, nc = F.col("_nt"), F.col("n_chars")
+    hits = {lang: F.col(f"_h_{lang}") for lang in LANG_PRIORITY}
+    best = F.greatest(*hits.values())
+    lang_expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        lang_expr = F.when(
+            (hits[lang] == best) & (best > 0), lang
+        ).otherwise(lang_expr)
+    ratios = counted.select(
+        "id",
+        "_text",
+        "n_chars",
+        nt.alias("n_tokens"),
+        F.when(nc > 0, F.round(F.col("_np").cast("double") / nc, 4))
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+        F.when(nt > 0, F.round(F.col("_h_en").cast("double") / nt, 4))
+        .otherwise(F.lit(0.0))
+        .alias("stop_ratio"),
+        F.when(nt > 0, F.round(F.col("_mw") / nt, 4))
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        lang_expr.alias("lang"),
+    )
+    score = F.round(
+        F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.col("stop_ratio") * 0.4
+        + (1.0 - F.col("punct_ratio")) * 0.2,
+        4,
+    )
+    base = ratios.select(
+        "id",
+        "n_chars",
+        "n_tokens",
+        "punct_ratio",
+        "stop_ratio",
+        "mean_word_len",
+        score.alias("quality_score"),
+        "lang",
+        fingerprint(F.col("_text")).alias("fingerprint"),
     )
     rep = repetition_metrics(df, id_col, text_col).select(
         "id", "dup_token_frac", "top_token_frac", "top_bigram_frac"
@@ -626,10 +696,17 @@ def oov_fraction(
     corpus-sized) -> deterministic top-V via orderBy+limit, which
     Catalyst plans as TakeOrderedAndProject (per-partition partial
     top-V + a V-row merge — no global sort, no single-partition
-    window).  The per-doc OOV count is then a broadcast
-    left-anti-style aggregation: tokens probe the broadcast vocab and
-    non-matches are counted.  Tokenization mirrors
-    functions.text.tokens for oracle parity.
+    window).  The per-doc OOV count is then IN-ROW (r13, guide §2.4):
+    the top-V vocabulary is a bounded driver-side list (the
+    seed-centroid / watermark-scalar precedent), so each document
+    counts its own out-of-vocabulary tokens with one codegen'd array
+    filter against the InSet — the previous spelling re-exploded the
+    whole corpus a second time and shuffled every (doc, token) row
+    through a broadcast join + per-doc aggregation just to compute a
+    per-document statistic.  Plan: 2 corpus explodes + join + 2 aggs ->
+    1 explode (the vocab count) + 1 zero-exchange projection; values
+    identical (same token multiset per doc, same membership rule).
+    Tokenization mirrors functions.text.tokens for oracle parity.
     """
     from mrsboraetl_spark.functions.text import tokens
 
@@ -639,28 +716,39 @@ def oov_fraction(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
     )
     counts = toks.groupBy("t").agg(F.count("*").alias("c"))
-    # deterministic top-V: count desc, token asc tiebreak
-    vocab = (
-        counts.orderBy(F.desc("c"), F.col("t"))
+    # deterministic top-V: count desc, token asc tiebreak; bounded
+    # vocab_size-row driver action
+    vset = [
+        r["t"]
+        for r in counts.orderBy(F.desc("c"), F.col("t"))
         .limit(vocab_size)
-        .select("t")
+        .collect()
+    ]
+    # One tokenize per row: a plain where(size(toks) > 0) would push
+    # below the projection and evaluate tokens() a second time (Filter
+    # and Project share no subexpressions); exploding the singleton
+    # [toks] filtered on emptiness evaluates tokens() once inside the
+    # Generate and drops zero-token / NULL-text docs exactly like the
+    # old explode spelling did (they had no rows to aggregate).
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.array(tokens(F.col(text_col))), lambda a: F.size(a) > 0
+            )
+        ).alias("_toks"),
     )
-    flagged = toks.join(
-        F.broadcast(vocab.withColumn("_in", F.lit(True))), "t", "left"
+    n_oov = (
+        F.size(F.filter("_toks", lambda x: ~x.isin(*vset)))
+        if vset
+        else F.size("_toks")
     )
-    return (
-        flagged.groupBy("id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias(
-                "n_oov"
-            ),
-        )
-        .select(
-            "id",
-            "n_tokens",
-            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_frac"),
-        )
+    return base.select(
+        "id",
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            n_oov / F.size("_toks"), 6
+        ).alias("oov_frac"),
     )
 
 
@@ -734,9 +822,94 @@ def unigram_logprob(
     )
 
 
+def _repetition_counts_kernel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_tokens: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, n_distinct, top_c, n_bigrams, top_bg_c) — the five
+    INTEGER ingredients of repetition_metrics from one Arrow map pass.
+
+    Why a kernel (r13, guide §2.4 + §4.2): every statistic here is a
+    function of ONE document, yet the explode spelling pushed the
+    corpus's whole token AND bigram streams through four hash
+    aggregations (two exchanges each after partial combine) plus a
+    final join — per-doc state needs no shuffle at all.  The kernel is
+    embarrassingly parallel: tokenize + two Counter passes per doc,
+    zero exchanges (plan: 4 Exchange + 1 join -> 0,
+    plans/r13/curation_repetition_metrics_{before,after}.txt).
+
+    Exact parity is kept by emitting ONLY integers — the divisions and
+    roundings stay in JVM columns, byte-identical to the explode
+    spelling (pinned kernel-vs-explode in tests/test_llmdata.py).  The
+    tokenizer mirrors the SQL one exactly: re.ASCII makes Python's
+    ``\\s`` the same 6-char class as Java's default, the normalize-
+    then-split-on-single-space sequence matches regexp_replace + trim +
+    split (Spark's trim strips spaces only — after normalization that
+    is all that remains at the edges), and an empty normalized string
+    yields the same singleton [''] token list on both paths.
+    """
+    import re
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    ws = re.compile(r"\s+", re.ASCII)
+    out_schema = (
+        f"id {id_type}, n_tokens bigint, n_distinct bigint, "
+        "top_c bigint, n_bigrams bigint, top_bg_c bigint"
+    )
+
+    def batches(it):
+        from collections import Counter
+
+        for pdf in it:
+            ids, nts, nds, tcs, nbs, tbs = [], [], [], [], [], []
+            for doc, t in zip(pdf[id_col], pdf[text_col]):
+                ts = ws.sub(" ", t).strip(" ").split(" ")
+                if max_doc_tokens is not None:
+                    ts = ts[:max_doc_tokens]
+                tc = Counter(ts)
+                ids.append(doc)
+                nts.append(len(ts))
+                nds.append(len(tc))
+                tcs.append(max(tc.values()))
+                if len(ts) >= 2:
+                    bc = Counter(
+                        a + " " + b for a, b in zip(ts, ts[1:])
+                    )
+                    nbs.append(len(ts) - 1)
+                    tbs.append(max(bc.values()))
+                else:
+                    nbs.append(0)
+                    tbs.append(0)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_tokens": nts,
+                    "n_distinct": nds,
+                    "top_c": tcs,
+                    "n_bigrams": nbs,
+                    "top_bg_c": tbs,
+                }
+            )
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        # NULL text dropped JVM-side — the explode spelling's
+        # where(ts.isNotNull()) does the same.
+        df.select(id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
+        .repartition(n_parts)
+        .mapInPandas(batches, out_schema)
+    )
+
+
 def repetition_metrics(
     df: DataFrame, id_col: str, text_col: str,
     max_doc_tokens: int | None = None,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """(id, n_tokens, n_distinct, dup_token_frac, top_token_frac,
     top_bigram_frac) per document.
@@ -756,7 +929,35 @@ def repetition_metrics(
     metrics are computed over each document's FIRST max_doc_tokens
     tokens (a documented approximation — a crawler artifact that long
     is degenerate and will score as such on any prefix), and
-    ``n_tokens`` then reflects the truncated count."""
+    ``n_tokens`` then reflects the truncated count.
+
+    ``use_kernel`` (r13, default True): the integer ingredients come
+    from the zero-shuffle Arrow pass (:func:`_repetition_counts_kernel`)
+    and only the divisions/roundings below run in the JVM — results
+    byte-identical to the explode spelling (pinned), plan loses all 4
+    exchanges and the stats join.  ``use_kernel=False`` keeps the
+    all-JVM explode path for environments without Python workers."""
+    if use_kernel:
+        counts = _repetition_counts_kernel(
+            df, id_col, text_col, max_doc_tokens
+        )
+        return counts.select(
+            "id",
+            "n_tokens",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "dup_token_frac"
+            ),
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(F.col("top_bg_c") / F.col("n_bigrams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
     ts = F.split(
         F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
     )

@@ -171,6 +171,7 @@ def hashed_sig_docs(
     k: int = 5,
     num_hashes: int = 8,
     include_hashes: bool = True,
+    compact_hashes: bool = False,
 ) -> DataFrame:
     """(doc, hs, sig): shingle-hash set AND minhash signature in ONE
     Arrow-batched pass (mapInPandas).
@@ -198,12 +199,25 @@ def hashed_sig_docs(
     the fixed 8-element signature); candidate-only consumers
     (minhash_lsh_pairs) never read it, so emitting it paid Arrow transfer
     plus localCheckpoint serialization for dead weight.  The signature
-    values are computed identically either way."""
+    values are computed identically either way.
+
+    ``compact_hashes=True`` (r13, guide §2.3 "narrower types") emits
+    ``hs`` as array<int>: the values are 32-bit by construction
+    (md5[:8] hex), stored int64 only because Spark's ``conv`` returns
+    long — reinterpreting each as a signed int32 (two's-complement
+    wrap) is a BIJECTION on [0, 2^32), so set sizes and intersection
+    sizes — all any verify consumer reads — are exactly preserved
+    while the widest column halves in the Arrow transfer, the
+    localCheckpoint, and the verify joins' exchanges.  Signatures are
+    still computed from the original 64-bit values (band keys
+    unchanged).  Equality of the downstream (pair, jaccard) output is
+    pinned in tests/test_llmdata.py."""
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
+    hs_type = "array<int>" if compact_hashes else "array<bigint>"
     out_schema = (
-        f"doc {id_type}, hs array<bigint>, sig array<bigint>"
+        f"doc {id_type}, hs {hs_type}, sig array<bigint>"
         if include_hashes
         else f"doc {id_type}, sig array<bigint>"
     )
@@ -235,7 +249,12 @@ def hashed_sig_docs(
                 hv = np.array(hs, dtype=np.int64)[None, :]
                 sig = ((av * hv + bv) % MINHASH_MOD).min(axis=1)
                 if include_hashes:
-                    hs_col.append(hs)
+                    if compact_hashes:
+                        hs_col.append(
+                            hv[0].astype(np.uint32).view(np.int32).tolist()
+                        )
+                    else:
+                        hs_col.append(hs)
                 sig_col.append(sig.tolist())
             out = {"doc": ids}
             if include_hashes:
@@ -513,7 +532,12 @@ def lsh_verified_pairs(
     exhaustive baseline.  ``max_band_freq`` caps hot bands (see
     candidate_pairs).
     """
-    sigged = hashed_sig_docs(df, id_col, text_col, k, num_hashes).localCheckpoint()
+    # compact_hashes (r13, guide §2.3): hs as int32 — bijective wrap, so
+    # intersection/size counts (hence jaccard) are identical while the
+    # checkpoint and both attach joins carry half the bytes.
+    sigged = hashed_sig_docs(
+        df, id_col, text_col, k, num_hashes, compact_hashes=True
+    ).localCheckpoint()
     bands = bands_from_sig(sigged, num_hashes, rows_per_band)
     cands = candidate_pairs(bands, max_band_freq)
     hashed = sigged.select("doc", "hs")
@@ -988,11 +1012,13 @@ def fuzzy_text_join(
     ``max_band_freq`` caps hot bands by the COMBINED frequency across
     both sides (a band degenerate in either table floods the join the
     same way)."""
+    # compact_hashes (r13): same bijective int32 narrowing as
+    # lsh_verified_pairs — jaccard unchanged, half the hs bytes moved.
     sl = hashed_sig_docs(
-        left, left_id, left_text, k, num_hashes
+        left, left_id, left_text, k, num_hashes, compact_hashes=True
     ).localCheckpoint()
     sr = hashed_sig_docs(
-        right, right_id, right_text, k, num_hashes
+        right, right_id, right_text, k, num_hashes, compact_hashes=True
     ).localCheckpoint()
     bl = bands_from_sig(sl, num_hashes, rows_per_band)
     br = bands_from_sig(sr, num_hashes, rows_per_band)

@@ -38,18 +38,37 @@ def _doc_terms(
     ``dl`` rides along through the explode and is folded into the tf
     aggregation (it is functionally dependent on the doc id), so scoring
     needs NO corpus-wide join back to a lengths table.
-    """
+
+    ONE corpus pass (r13, guide §1.2/§8 "decide with small rows"): the
+    previous spelling derived lengths, tf, and (via tf) df_t as three
+    independent subtrees, each re-scanning the corpus and re-evaluating
+    ``tokens(text)`` — the lower+split+filter over the whole document
+    that IS the operator's per-row cost — so the physical plan held
+    three corpus scans per score call.  The tokenize-and-filter now
+    runs once into a materialized compact table of (id, dl,
+    matched-terms array) — a few dozen bytes/doc (the matched array is
+    empty for every non-matching doc), the decision-pass proxy pattern —
+    and lengths/tf/df_t all derive from it.  Row-for-row identical:
+    ``explode(filter(toks, isin))`` emits exactly the rows
+    ``explode(toks).filter(isin)`` kept, and NULL text yields a NULL
+    array on both paths (size -1, explode drops it).  Plan diff: 3
+    parquet scans + 3 tokenize evaluations -> 1
+    (plans/r13/search_bm25_topk_{before,after}.txt)."""
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("toks")
     )
-    lengths = toks.select(id_col, F.size("toks").alias("dl"))
+    compact = toks.select(
+        F.col(id_col),
+        F.size("toks").alias("dl"),
+        F.filter(
+            "toks", lambda t: t.isin(*terms)
+        ).alias("_mt"),
+    ).localCheckpoint()
+    lengths = compact.select(id_col, "dl")
     tf = (
-        toks.select(
-            F.col(id_col),
-            F.size("toks").alias("dl"),
-            F.explode("toks").alias("term"),
+        compact.select(
+            F.col(id_col), "dl", F.explode("_mt").alias("term")
         )
-        .filter(F.col("term").isin(*terms))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )

@@ -61,7 +61,23 @@ def get_spark(
         # can skip inside candidate month directories.
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "100")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # r13 (guide §5): right-size the heap instead of grabbing most of
+        # the box.  The old 48g default left ~44g of the heap as pages the
+        # JVM reserves but never touches; G1 then grows/uncommits eden
+        # across that range and every cycle faults in FRESH pages — free
+        # on an idle host, but on a memory-throttled host (hypervisor
+        # ballooning/bandwidth caps, the documented bench-fleet failure
+        # mode) each fault storm stalls every executor thread.  Measured
+        # on such a window (same box, back-to-back sessions, identical
+        # plans): dedup_lsh_verified min-of-3 17.8s at 48g vs 5.5s at 16g,
+        # obs_blob_pack 7.7 vs 4.9, with per-stage REST metrics showing
+        # the 48g session's tasks waiting (runTime >> cpuTime) and 80%-GC
+        # stages on a heap using < 3g live.  16g bounds the fault surface
+        # while keeping ~8g execution memory — far above any local
+        # workload here (sf0.1 inputs are MBs; broadcasts cap at 64m).
+        # Production drivers size the same way: to the workload, not the
+        # machine.  Env-overridable for heavy ad-hoc work.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # Dozens of wide codegen'd plans (blob packing, minhash, decode
         # ladders) overflow the default 240 MB JIT code cache; once full the
         # JVM stops compiling and whichever query runs next executes

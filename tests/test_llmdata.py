@@ -1006,3 +1006,181 @@ def test_pq_codes_kernel_matches_expr(spark):
     ]
     # the tied row must code to entry 0, not 2
     assert list(kern_out[-1]["codes"])[0] == 0
+
+
+def test_compact_hashes_bijection_preserves_pairs(spark, sf_dir):
+    """compact_hashes=True (r13) reinterprets each 32-bit shingle hash as
+    a signed int32 — a bijection on [0, 2^32), so per-doc set sizes and
+    pairwise intersection sizes (hence every jaccard the verify path
+    emits) must be EXACTLY preserved while the column type narrows.
+    Pins both the elementwise wrap and the end-to-end pair output."""
+    from mrsboraetl_spark.operators.dedup import (
+        bands_from_sig,
+        candidate_pairs,
+        hashed_sig_docs,
+        lsh_verified_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    wide = {
+        r["doc"]: list(r["hs"])
+        for r in hashed_sig_docs(docs, "doc_id", "text", 5, 8).collect()
+    }
+    narrow_df = hashed_sig_docs(
+        docs, "doc_id", "text", 5, 8, compact_hashes=True
+    )
+    assert dict(narrow_df.dtypes)["hs"] == "array<int>"
+    narrow = {r["doc"]: list(r["hs"]) for r in narrow_df.collect()}
+    assert set(wide) == set(narrow)
+    for d, hs64 in wide.items():
+        expect = [h - (1 << 32) if h >= (1 << 31) else h for h in hs64]
+        assert narrow[d] == expect
+        assert len(set(narrow[d])) == len(set(hs64))
+
+    # End to end: the compact verify path (what lsh_verified_pairs now
+    # runs) must emit the same (pair, jaccard) set as an int64 verify
+    # built from the wide kernel output.
+    sigged = hashed_sig_docs(docs, "doc_id", "text", 5, 8).localCheckpoint()
+    cands = candidate_pairs(bands_from_sig(sigged, 8, 4))
+    hashed = sigged.select("doc", "hs")
+    joined = (
+        cands.join(
+            hashed.select(F.col("doc").alias("doc_a"), F.col("hs").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            hashed.select(F.col("doc").alias("doc_b"), F.col("hs").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("sz_a", F.size("sh_a"))
+        .withColumn("sz_b", F.size("sh_b"))
+    )
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    wide_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in joined.withColumn("jaccard", F.round(jac, 4))
+        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    compact_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in lsh_verified_pairs(
+            docs, "doc_id", "text", 8, 5, 4, 0.5
+        ).collect()
+    }
+    assert compact_pairs == wide_pairs
+    assert compact_pairs, "probe needs a non-empty pair set"
+
+
+def test_bm25_single_pass_matches_multi_pass_spelling(spark, sf_dir):
+    """The r13 single-corpus-pass bm25 (compact materialized (id, dl,
+    matched-terms) table) must score identically to the original
+    three-subtree spelling — same tf rows, same df_t, same corpus
+    scalars, same doubles."""
+    from mrsboraetl_spark.functions.text import tokens as _tokens
+    from mrsboraetl_spark.operators.search import bm25_scores
+
+    terms = ("window", "merge", "stream")
+    docs = table(spark, sf_dir, "documents")
+
+    # reference: the original multi-subtree spelling, inline
+    toks = docs.select(F.col("doc_id"), _tokens(F.col("text")).alias("toks"))
+    lengths = toks.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    corpus = lengths.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    consts = df_t.join(
+        corpus.select(
+            F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"), "*"
+        ),
+        "term",
+    )
+    k1, b = 1.2, 0.75
+    ref = (
+        tf.join(F.broadcast(consts), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    want = {(r["doc_id"], r["score"]) for r in ref.collect()}
+    got = {
+        (r["doc_id"], r["score"])
+        for r in bm25_scores(docs, terms, "doc_id", "text", k1, b).collect()
+    }
+    assert got == want
+    assert got, "probe needs non-empty scores"
+
+
+def test_repetition_kernel_matches_explode_spelling(spark, sf_dir):
+    """The r13 zero-shuffle repetition kernel emits integer ingredients
+    and leaves every division/rounding in the JVM — its output must be
+    byte-identical to the explode+aggregate spelling, including the
+    empty-string token, NULL-text drop, whitespace-class, and
+    max_doc_tokens truncation edges."""
+    from mrsboraetl_spark.operators.curation import repetition_metrics
+
+    docs = table(spark, sf_dir, "documents")
+    a = sorted(
+        map(tuple, repetition_metrics(docs, "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            repetition_metrics(
+                docs, "doc_id", "text", use_kernel=False
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert a, "probe needs non-empty metrics"
+
+    edge = spark.createDataFrame(
+        [
+            (1, "x"),
+            (2, ""),
+            (3, None),
+            (4, "a a a b b"),
+            (5, " a\tb\nc  d\x0be\ff "),
+            (6, "t t t t t t"),
+        ],
+        "doc_id long, text string",
+    )
+    for cap in (None, 3):
+        ka = sorted(
+            map(
+                tuple,
+                repetition_metrics(
+                    edge, "doc_id", "text", max_doc_tokens=cap
+                ).collect(),
+            )
+        )
+        kb = sorted(
+            map(
+                tuple,
+                repetition_metrics(
+                    edge, "doc_id", "text", max_doc_tokens=cap,
+                    use_kernel=False,
+                ).collect(),
+            )
+        )
+        assert ka == kb, f"cap={cap}"
