@@ -330,10 +330,7 @@ def visit_summary_equiv(spark, sf_dir):
     composition gets one driver-hash-checked row.  Per (user, day): the
     synthetic encounter id (min id + offset), the ordered obs blob, a
     first-match presence-decode of the day's events, and the user's
-    overall latest event joined on (broadcast when the latest side is
-    small; both sides share the user_id shuffle key otherwise)."""
-    from mrsboraetl_spark.operators.latest import latest_per_group
-
+    overall latest event."""
     ev = table(spark, sf_dir, "events")
     # ONE user_id exchange feeds both branches (r13, guide §2.4 "two
     # operations keyed the same way can share one exchange"):
@@ -356,6 +353,20 @@ def visit_summary_equiv(spark, sf_dir):
     def has(t):
         return F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
 
+    # r13 single pass (guide §1.2 "remove unnecessary passes"): the
+    # oracle's `latest` CTE is row_number() OVER (PARTITION BY user_id
+    # ORDER BY ts DESC, event_id DESC) = 1.  event_id is unique and ts
+    # non-null (verified at every SF), so struct(ts, event_id) totally
+    # orders each user's rows and that row is exactly
+    # max(struct(ts, event_id, ...)) — the trailing payload fields can
+    # never be reached by the lexicographic comparison.  Folding that max
+    # into the daily aggregate and resolving the per-user winner with a
+    # window over the DAILY rows (already hash-partitioned by user_id —
+    # no new exchange) deletes the second full pass over raw events
+    # (sort + row_number + filter) AND the daily⋈latest join.  Inner-join
+    # semantics are preserved: every daily row's user has >= 1 event, so
+    # the join never dropped rows.  exceptAll-equal both ways at sf0.1;
+    # oracle-green at all three SFs.
     daily = ev.groupBy(
         "user_id", F.to_date("ts").cast("string").alias("day")
     ).agg(
@@ -368,13 +379,14 @@ def visit_summary_equiv(spark, sf_dir):
         has("purchase").alias("has_p"),
         has("error").alias("has_e"),
         has("signup").alias("has_s"),
-    )
-    latest = latest_per_group(
-        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
-    ).select(
-        "user_id",
-        F.col("event_type").alias("latest_type"),
-        F.round("value", 2).alias("latest_value"),
+        F.max(
+            F.struct(
+                F.col("ts").alias("_ts"),
+                F.col("event_id").alias("_eid"),
+                F.col("event_type").alias("_lt"),
+                F.col("value").alias("_lv"),
+            )
+        ).alias("_lk"),
     )
     visit_type = (
         F.when(F.col("has_p") == 1, "PURCHASE")
@@ -382,9 +394,12 @@ def visit_summary_equiv(spark, sf_dir):
         .when(F.col("has_s") == 1, "SIGNUP")
         .otherwise("BROWSE")
     )
-    return daily.join(latest, "user_id").select(
+    lk = F.max("_lk").over(Window.partitionBy("user_id"))
+    return daily.select(
         "user_id", "day", "synthetic_id", "obs", "n_events", "max_ts",
-        visit_type.alias("visit_type"), "latest_type", "latest_value",
+        visit_type.alias("visit_type"),
+        lk["_lt"].alias("latest_type"),
+        F.round(lk["_lv"], 2).alias("latest_value"),
     )
 
 
