@@ -127,6 +127,60 @@ def ngram_docs_kernel(
     )
 
 
+def ngram_hits_kernel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    eval_bc,
+) -> DataFrame:
+    """(id_col, n_hits) with n_hits = |distinct doc n-grams ∩ eval set|,
+    emitted directly from the Arrow kernel; docs with zero hits emit no
+    row.  ``eval_bc`` is an ``sc.broadcast`` frozenset of eval gram
+    strings (benchmark-sized by the decontamination contract).
+
+    r13 (guide §2.3 "shuffle keys and metadata instead of payloads" +
+    §4.1): probing INSIDE the kernel means the corpus's gram stream —
+    by far the widest thing this operator produces — never crosses the
+    Arrow boundary at all; only the per-doc hit counts do (matches-only,
+    2 ints/row).  That deletes the probe hash join AND the groupBy(id)
+    exchange: the whole operator is one scan + one mapInPandas.  Hit
+    counting over a local Python set is behavior-identical to the
+    distinct-gram join + count(*) (pytest-pinned both against the HOF
+    spelling and the shuffle fallback).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    import re
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    pat = re.compile(_TOKEN_RE)
+
+    def batches(it):
+        ev = eval_bc.value
+        for pdf in it:
+            ids, hits = [], []
+            for doc, t in zip(pdf[id_col], pdf[text_col]):
+                toks = [x for x in pat.split(t.lower()) if x != ""]
+                m = len(toks) - (n - 1)
+                grams = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(max(m, 0))
+                )
+                c = len(ev.intersection(grams))
+                if c:
+                    ids.append(doc)
+                    hits.append(c)
+            yield pd.DataFrame({id_col: ids, "n_hits": hits})
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    df = df.select(id_col, text_col).filter(F.col(text_col).isNotNull())
+    if len(df.inputFiles()) < n_parts:
+        df = df.repartition(n_parts)
+    return df.mapInPandas(batches, f"{id_col} {id_type}, n_hits long")
+
+
 def contamination_counts(
     train: DataFrame,
     eval_df: DataFrame,
@@ -139,20 +193,19 @@ def contamination_counts(
     """(id_col, n_hits) for every train document sharing >= 1 token
     n-gram with the eval corpus; n_hits = number of distinct shared grams.
 
-    The eval gram set is broadcast (benchmarks are small by construction);
-    the train side is streamed through one explode + broadcast inner join,
-    then a key-partitioned count over only the matching rows.  Order
-    matters for scale: the broadcast probe runs BEFORE the per-doc gram
-    dedup, so the distinct shuffles only grams that actually matched the
-    eval set (assumed a tiny fraction of the corpus) instead of every
-    gram the corpus generates.
+    Default path (r13): the eval gram set — benchmark-sized by
+    construction — is broadcast to the Python workers and the probe runs
+    INSIDE the corpus kernel (:func:`ngram_hits_kernel`): one scan, one
+    mapInPandas, no joins and no aggregation exchange; only (id, n_hits)
+    rows for contaminated docs ever leave the kernel.
 
     ``broadcast_eval=False`` spells the probe as a gram-keyed shuffle
     hash join instead — the fallback when the eval side outgrows
     broadcast (a full benchmark SUITE of gram sets, or decontaminating
-    one corpus half against the other).  Same result set
+    one corpus half against the other); the corpus gram stream then
+    crosses the Arrow boundary and shuffles once.  Same result set
     (pytest-pinned); the trade is one corpus-gram shuffle for not
-    materializing the eval grams on every executor.
+    materializing the eval grams on every worker.
 
     The corpus side runs through the Arrow-vectorized
     :func:`ngram_docs_kernel` (already per-doc-distinct, so the probe's
@@ -170,6 +223,18 @@ def contamination_counts(
         .select("gram")
         .distinct()
     )
+    if use_kernel and broadcast_eval:
+        # r13: the eval grams go to the Python workers instead of a JVM
+        # broadcast relation, and the probe runs inside the corpus kernel
+        # (see ngram_hits_kernel).  The collect is the same bounded
+        # driver action the JVM broadcast build performs — benchmark-
+        # sized by the decontamination contract — recomputed from the
+        # parquet inputs on every invocation (never memoized).
+        # Interleaved same-JVM A/B at sf0.1: 1.194 -> 0.493s min-of-4
+        # (0.41x), exceptAll-equal both ways.
+        ev_set = frozenset(r[0] for r in eval_grams.collect())
+        eval_bc = train.sparkSession.sparkContext.broadcast(ev_set)
+        return ngram_hits_kernel(train, id_col, text_col, n, eval_bc)
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
     if use_kernel:

@@ -890,8 +890,9 @@ def decontam_ngram_overlap(spark, sf_dir):
     document sharing >= 1 token 4-gram with the eval slice (doc_id %
     23 == 0, standing in for a held-out benchmark — parameters chosen so
     the check is non-vacuous at every test SF: ~30 contaminated docs).
-    The eval gram set is broadcast; the corpus side is one explode +
-    broadcast semi-probe — the corpus itself never shuffles.
+    The eval gram set rides to the Python workers and the probe runs
+    inside the corpus kernel (one scan + one mapInPandas, zero joins,
+    zero exchanges) — the corpus itself never shuffles.
     Promoted into the driver registry in r5 session 2 (slot freed by
     demoting anti_join_no_orders, whose J4 shape anti_join_daykey still
     covers)."""

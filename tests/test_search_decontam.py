@@ -91,6 +91,34 @@ def test_contamination_counts_kernel_and_hof_agree(spark, sf_dir):
     assert a == b and a
 
 
+def test_in_kernel_probe_matches_join_spelling(spark, sf_dir):
+    """r13 pin: the default in-kernel probe (eval grams shipped to the
+    Python workers, (id, n_hits) emitted directly) equals BOTH join
+    spellings — the Arrow-gram-stream broadcast join (use_kernel=True,
+    broadcast_eval=False routes the kernel's grams through a join) and
+    the all-JVM HOF explode (use_kernel=False)."""
+    docs = table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    in_kernel = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_counts(train, eval_df, n=4).collect()
+    }
+    join_kernel = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_counts(
+            train, eval_df, n=4, broadcast_eval=False
+        ).collect()
+    }
+    join_hof = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_counts(
+            train, eval_df, n=4, use_kernel=False
+        ).collect()
+    }
+    assert in_kernel == join_kernel == join_hof and in_kernel
+
+
 def test_empty_eval_set_keeps_everything(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     empty = docs.filter(F.lit(False))
