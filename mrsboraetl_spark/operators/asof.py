@@ -16,13 +16,18 @@ collect, linear state.  Exactly the plan you want at 100 TB, and the same
 trick extends to as-of-backward (flip the ordering) or tolerance bands
 (filter on ts delta afterwards).
 
-Ties: right rows sort before left rows at equal ts (<= semantics); callers
-needing determinism when MULTIPLE right rows share (key, ts) should
-pre-aggregate the right side to one row per (key, ts) — the engine cannot
-guess which duplicate wins (DuckDB's native ASOF JOIN leaves it undefined
-too).  NULL payload values on matched right rows are skipped by
-``ignorenulls`` (the previous non-null wins) — pack payloads in a struct if
-NULL-vs-no-match must be distinguished.
+Ties: right rows sort before left rows at equal ts (<= semantics); when
+MULTIPLE right rows may share (key, ts), pass ``right_tiebreak`` — extra
+right-side columns appended ascending to the window order, so the LAST
+right row under the tiebreak wins (e.g. a unique id column makes "the
+max-id row at that timestamp" win, exactly what pre-aggregating to
+``max_by(payload, id)`` per (key, ts) produced — without the aggregation's
+extra exchange over the right table; r13, guide §2.4).  Without a
+tiebreak the winner among exact (key, ts) duplicates is undefined
+(DuckDB's native ASOF JOIN leaves it undefined too).  NULL payload values
+on matched right rows are skipped by ``ignorenulls`` (the previous
+non-null wins) — pack payloads in a struct if NULL-vs-no-match must be
+distinguished.
 """
 
 from __future__ import annotations
@@ -41,6 +46,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: Sequence[str],
+    right_tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Left as-of join: every left row + payload of the latest right row at
     or before its timestamp (NULLs when no right row precedes it).
@@ -49,14 +55,18 @@ def asof_join(
     may legally collide with a left column (the natural call shape:
     refreshing a stale copy the left already carries); a colliding payload
     surfaces with an ``_asof`` suffix in the output instead of clobbering
-    the left column.
+    the left column.  ``right_tiebreak``: see the module docstring — makes
+    (key, ts)-duplicate right rows resolve deterministically (last under
+    the ascending tiebreak wins) without pre-aggregating the right side.
     """
     on = list(on)
+    tiebreak = list(right_tiebreak)
     lcols = left.columns
     tagged_r = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_is_right"),
+        *[F.col(c).alias(f"_tb_{i}") for i, c in enumerate(tiebreak)],
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in on],
@@ -65,13 +75,19 @@ def asof_join(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_is_right"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_tb_{i}")
+          for i, c in enumerate(tiebreak)],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}")
           for c in payload_cols],
         *[F.col(c) for c in lcols if c not in on],
     )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_is_right").desc(),
+            *[F.col(f"_tb_{i}").asc() for i in range(len(tiebreak))],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = tagged_r.unionByName(tagged_l).select(

@@ -158,6 +158,59 @@ def test_asof_join_matches_brute_force(spark, lrows, rrows):
         assert got[i] == want, (i, lr, cands)
 
 
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=st.lists(ASOF_LEFT, min_size=1, max_size=40),
+    rrows=st.lists(ASOF_RIGHT, min_size=0, max_size=40),
+)
+def test_asof_right_tiebreak_equals_preaggregated_right(spark, lrows, rrows):
+    """r13 pin: asof_join(right_tiebreak=[uid]) over the RAW right side
+    (duplicate (key, rts) rows included) equals the documented
+    pre-aggregate-then-join spelling with max_by(payload, uid) — i.e. the
+    max-uid row at each (key, rts) wins — for ANY generated timeline.
+    The tiebreak is what lets callers skip the right side's aggregation
+    exchange."""
+    from mrsboraetl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, r["key"], r["lts"]) for i, r in enumerate(lrows)],
+        "row_id long, key long, lts long",
+    )
+    raw = [
+        (i, r["key"], r["rts"], r["payload"]) for i, r in enumerate(rrows)
+    ]
+    right = spark.createDataFrame(
+        raw, "uid long, key long, rts long, payload long"
+    ) if raw else spark.createDataFrame(
+        [], "uid long, key long, rts long, payload long"
+    )
+
+    got = {
+        r.row_id: (r.uid, r.payload)
+        for r in asof_join(
+            left, right, on=["key"], left_ts="lts", right_ts="rts",
+            payload_cols=["uid", "payload"], right_tiebreak=["uid"],
+        ).collect()
+    }
+
+    # brute force: per (key, rts) the max-uid row wins, then latest rts
+    dedup: dict[tuple[int, int], tuple[int, int]] = {}
+    for uid, k, t, p in raw:
+        cur = dedup.get((k, t))
+        if cur is None or uid > cur[0]:
+            dedup[(k, t)] = (uid, p)
+    for i, lr in enumerate(lrows):
+        cands = [
+            (t, up) for (k, t), up in dedup.items()
+            if k == lr["key"] and t <= lr["lts"]
+        ]
+        want = max(cands)[1] if cands else (None, None)
+        assert got[i] == want, (i, lr, cands)
+
+
 def test_numeric_rendering_matches_mysql_examples(spark):
     """Spot contract for render_numeric (C1): MySQL-style no trailing
     zeros / no trailing dot."""
