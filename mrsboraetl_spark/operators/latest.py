@@ -37,6 +37,42 @@ def latest_per_group(
     )
 
 
+def latest_struct(
+    order_desc: Sequence[Column],
+    payload: Sequence[Column],
+) -> Column:
+    """The AGGREGATE form of latest-per-group for TOTAL orderings: a
+    ``max(struct(...))`` whose leading fields are the ordering columns
+    (descending semantics — pass ``-col`` / an inverted encoding for an
+    ascending tiebreak) and whose trailing fields carry the row's payload.
+
+    Legal iff the ordering columns totally order each group (e.g. they
+    end in a unique id) and are non-null: struct comparison is
+    lexicographic, so the payload fields can never be reached by the
+    comparison and the max struct IS the row_number()=1 row of
+    :func:`latest_per_group`.
+
+    Why it exists (r13, guide §2.3 "aggregate before you shuffle"): the
+    window form ships its surviving rows to the group's reducer, re-sorts
+    them by (key, ordering), ranks, and filters; ``max(struct)`` is a
+    declarative aggregate with map-side PARTIAL aggregation — one struct
+    per (group x map task) crosses the exchange and the whole
+    Window/rank/filter machinery (and, for snapshot callers, the
+    snapshot⋈aggregates join) disappears.  Struct buffers are not
+    hash-aggregable, so Spark plans it as a SortAggregate — the sorts are
+    by the bare group key over partially-aggregated rows, cheaper than
+    the window's (key, ordering) sorts over data rows.  Pinned equal to
+    the window form on arbitrary generated data
+    (tests/test_properties.py).
+
+    Unpack payload fields positionally: ``agg(latest_struct(...)
+    .alias("_t")`` then ``F.col("_t._p0")`` etc.
+    """
+    fields = [c.alias(f"_o{i}") for i, c in enumerate(order_desc)]
+    fields += [c.alias(f"_p{i}") for i, c in enumerate(payload)]
+    return F.max(F.struct(*fields))
+
+
 def latest_snapshot_with_aggs(
     df: DataFrame,
     keys: Sequence[str],

@@ -211,6 +211,58 @@ def test_asof_right_tiebreak_equals_preaggregated_right(spark, lrows, rrows):
         assert got[i] == want, (i, lr, cands)
 
 
+LATEST_ROW = st.fixed_dictionaries(
+    {"key": st.integers(0, 3), "ts": st.integers(0, 20),
+     "val": st.integers(-999, 999)}
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(LATEST_ROW, min_size=1, max_size=40))
+def test_latest_struct_equals_window_form(spark, rows):
+    """r13 pin: the aggregate form (latest_struct: max(struct) with the
+    asc tiebreak encoded by negation) equals the window form
+    (latest_per_group, order ts DESC tiebreak uid ASC) for ANY generated
+    data with a unique tiebreak — duplicate timestamps, duplicate
+    payloads, single-row groups."""
+    from mrsboraetl_spark.operators.latest import (
+        latest_per_group,
+        latest_struct,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, r["key"], r["ts"], r["val"]) for i, r in enumerate(rows)],
+        "uid long, key long, ts long, val long",
+    )
+    win = {
+        (r.key, r.uid, r.ts, r.val)
+        for r in latest_per_group(
+            df, ["key"], [F.col("ts").desc()], tiebreak=["uid"]
+        ).collect()
+    }
+    agg = {
+        (r.key, r.uid, r.ts, r.val)
+        for r in df.groupBy("key")
+        .agg(
+            latest_struct(
+                [F.col("ts"), -F.col("uid")], [F.col("val")]
+            ).alias("_t")
+        )
+        .select(
+            "key",
+            (-F.col("_t._o1")).alias("uid"),
+            F.col("_t._o0").alias("ts"),
+            F.col("_t._p0").alias("val"),
+        )
+        .collect()
+    }
+    assert win == agg and win
+
+
 def test_numeric_rendering_matches_mysql_examples(spark):
     """Spot contract for render_numeric (C1): MySQL-style no trailing
     zeros / no trailing dot."""
