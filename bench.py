@@ -28,30 +28,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE = {
     # r10 ratchet: 19 entries folded down to their BENCH_r09 driver lows
     # (VERDICT r9 item 5); the other 3 keep their earlier best-knowns.
+    # r14 ratchet (VERDICT r13 item 2): the seven entries the r13 judge
+    # verified against the builder's idle-box closing benches (all rc=0,
+    # calibration-clamped, steal < 2%) are folded down so the guard
+    # protects the r13 optimizations; every other entry keeps its
+    # earlier best-known (BENCH_r13 ran on a 1.671x-calibrated box and
+    # BENCH_r13_c8 on 1.232x — neither produced a new elementwise low).
     "q1_pricing_summary": 0.288,
     "join_multi_dims": 0.498,
-    "obs_blob_pack": 1.669,
+    "obs_blob_pack": 1.268,
     "latest_order_per_customer": 0.36,
     "topk_orders_per_customer": 0.333,
     "groupby_expr_day": 0.33,
     "flat_events_blob": 0.756,
-    "incremental_upsert_equiv": 0.615,
+    "incremental_upsert_equiv": 0.463,
     "sessionize_events": 0.413,
-    "asof_join_latest_order": 0.852,
+    "asof_join_latest_order": 0.719,
     "grouping_sets_status_nation": 0.462,
     "salted_skew_aggregate": 0.323,
     "dedup_exact": 0.195,
-    "dedup_minhash_lsh": 0.984,
+    "dedup_minhash_lsh": 0.937,
     "dedup_lsh_verified": 1.681,
     "ann_brute_force_topk": 0.497,
     "ann_lsh_bucketed_topk": 0.465,
-    "ann_ivf_topk": 1.071,
+    "ann_ivf_topk": 0.878,
     "text_doc_metrics": 0.615,
     "visit_summary_equiv": 0.898,
-    "decontam_ngram_overlap": 1.275,
+    "decontam_ngram_overlap": 1.097,
     # r7 headline addition (dedup_simhash demoted from the registry);
     # ratcheted to the BENCH_r09 driver low
-    "sketch_kmv_distinct": 0.873,
+    "sketch_kmv_distinct": 0.792,
 }
 GUARD_FACTOR = 2.0
 
