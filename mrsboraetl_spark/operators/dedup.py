@@ -276,25 +276,37 @@ def hashed_sig_docs(
 
 
 def bands_from_sig(
-    sigged: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
+    sigged: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    carry_keys: bool = False,
 ) -> DataFrame:
     """(doc, band, bk) from a materialized ``sig`` column — the cheap tail
     of minhash_bands once the signature already exists (slicing an
-    8-element array, no shingle recompute)."""
+    8-element array, no shingle recompute).
+
+    ``carry_keys=True`` (r14, guide §2.4) additionally carries the FULL
+    band-key array as ``bks`` on every band row, which lets
+    :func:`candidate_pairs` emit each pair exactly once (at its first
+    shared band) in the self-join condition itself — deleting the
+    post-join distinct and its whole candidate-pair Exchange.  Cost: the
+    band rows widen by n_bands-1 short strings each, which rides the
+    already-shuffled/broadcast band table; the removed exchange scales
+    with the CANDIDATE multiset instead."""
     n_bands = num_hashes // rows_per_band
-    return sigged.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda i: F.concat_ws(
-                    "|",
-                    F.slice(
-                        F.col("sig"), i * rows_per_band + 1, rows_per_band
-                    ).cast("array<string>"),
-                ),
-            )
-        ).alias("band", "bk"),
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda i: F.concat_ws(
+            "|",
+            F.slice(
+                F.col("sig"), i * rows_per_band + 1, rows_per_band
+            ).cast("array<string>"),
+        ),
+    )
+    if not carry_keys:
+        return sigged.select("doc", F.posexplode(keys).alias("band", "bk"))
+    return sigged.select("doc", keys.alias("bks")).select(
+        "doc", "bks", F.posexplode("bks").alias("band", "bk")
     )
 
 
@@ -356,7 +368,9 @@ def minhash_lsh_pairs(
     sigged = hashed_sig_docs(
         df, id_col, text_col, k, num_hashes, include_hashes=False
     ).localCheckpoint()
-    bands = bands_from_sig(sigged, num_hashes, rows_per_band)
+    bands = bands_from_sig(
+        sigged, num_hashes, rows_per_band, carry_keys=max_band_freq is None
+    )
     return candidate_pairs(bands, max_band_freq)
 
 
@@ -386,15 +400,37 @@ def candidate_pairs(
             .filter(F.col("band_freq") <= max_band_freq)
             .select("band", "bk")
         )
-        bands = bands.join(keep, ["band", "bk"])
+        bands = bands.select("doc", "band", "bk").join(keep, ["band", "bk"])
     a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bk") == F.col("b.bk"))
+        & (F.col("a.doc") < F.col("b.doc"))
+    )
+    if max_band_freq is None and "bks" in bands.columns:
+        # In-join dedup (r14, guide §2.4 "a distinct on data that is
+        # already unique"): emit a pair only at its FIRST shared band —
+        # suppress the match when any earlier band's keys also agree.
+        # Each qualifying pair then appears exactly once by construction
+        # and the post-join distinct (a full Exchange of the candidate
+        # multiset) is deleted.  Set-equal to the distinct spelling:
+        # every pair sharing >= 1 band has a unique smallest shared band.
+        # Only legal when no bands were dropped: with a hot-band cap the
+        # first shared band may be a FILTERED one, and the suppression
+        # would then lose the pair — the capped path keeps the distinct.
+        earlier_match = F.exists(
+            F.zip_with(
+                F.slice(F.col("a.bks"), F.lit(1), F.col("a.band")),
+                F.slice(F.col("b.bks"), F.lit(1), F.col("b.band")),
+                lambda x, y: x == y,
+            ),
+            lambda v: v,
         )
+        return a.join(b, cond & ~earlier_match).select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+    return (
+        a.join(b, cond)
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
@@ -488,15 +524,20 @@ def simhash_near_pairs(
         .select("doc", simhash_bits(F.col("th"), num_bits).alias("sh"))
         .localCheckpoint()
     )
-    bands = fp.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda i: F.col("sh").substr(i * band_w + 1, F.lit(band_w)),
-            )
-        ).alias("band", "bk"),
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda i: F.col("sh").substr(i * band_w + 1, F.lit(band_w)),
     )
+    if max_band_freq is None:
+        # carry bks so candidate_pairs dedups in the join condition
+        # (first shared band) instead of a post-join distinct exchange.
+        bands = fp.select("doc", band_keys.alias("bks")).select(
+            "doc", "bks", F.posexplode("bks").alias("band", "bk")
+        )
+    else:
+        bands = fp.select(
+            "doc", F.posexplode(band_keys).alias("band", "bk")
+        )
     cands = candidate_pairs(bands, max_band_freq)
     joined = (
         cands.join(fp.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -509,7 +550,12 @@ def simhash_near_pairs(
             lambda i: sa.substr(i, F.lit(1)) != sb.substr(i, F.lit(1)),
         )
     )
-    scored = joined.select("doc_a", "doc_b", hamming.alias("hamming")).localCheckpoint()
+    # Lazy for the same single-consumer reason as lsh_verified_pairs'
+    # scored table: the barrier (no hamming-expr inlining) is the
+    # LogicalRDD itself; eagerness only added a job boundary.
+    scored = joined.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).localCheckpoint(eager=False)
     return scored.filter(F.col("hamming") <= max_hamming)
 
 
@@ -538,7 +584,9 @@ def lsh_verified_pairs(
     sigged = hashed_sig_docs(
         df, id_col, text_col, k, num_hashes, compact_hashes=True
     ).localCheckpoint()
-    bands = bands_from_sig(sigged, num_hashes, rows_per_band)
+    bands = bands_from_sig(
+        sigged, num_hashes, rows_per_band, carry_keys=max_band_freq is None
+    )
     cands = candidate_pairs(bands, max_band_freq)
     hashed = sigged.select("doc", "hs")
     joined = (
@@ -555,7 +603,7 @@ def lsh_verified_pairs(
         .withColumn("sz_b", F.size("sh_b"))
     )
     jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-    # Score into a TINY materialized table (3 scalar columns, |candidates|
+    # Score into a TINY checkpointed table (3 scalar columns, |candidates|
     # rows), THEN filter.  Filtering the live plan instead lets Catalyst
     # push round(jac)>=t into the join condition, inlining the
     # size(array_intersect(...)) subtree THREE times per candidate row (the
@@ -563,10 +611,18 @@ def lsh_verified_pairs(
     # the projection — measured 4x the intersect work.  The materialized
     # score table is also the production shape: store pair scores once,
     # filter at consumption time.
+    # LAZY checkpoint (r14): unlike the self-joined sigged table above
+    # (eager for the double-evaluation + accumulator-GC reasons its
+    # comment documents), scored has exactly ONE consumer — the filter
+    # below — so materializing it under the caller's first action merges
+    # the filter's job into the scoring job (one job boundary fewer)
+    # while the LogicalRDD barrier still blocks the filter from being
+    # pushed into (and inlined throughout) the join.  Interleaved A/B at
+    # sf0.1: 1.947 -> 1.514 min-of-4, identical rows.
     scored = (
         joined.withColumn("jaccard", F.round(jac, 4))
         .select("doc_a", "doc_b", "jaccard")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return scored.filter(F.col("jaccard") >= threshold)
 
@@ -1055,7 +1111,8 @@ def fuzzy_text_join(
         / (F.size("hs_a") + F.size("hs_b") - inter).cast("double"),
         4,
     )
+    # Lazy: single consumer (see lsh_verified_pairs' scored comment).
     scored = joined.select(
         "id_a", "id_b", jac.alias("jaccard")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return scored.filter(F.col("jaccard") >= threshold)

@@ -1184,3 +1184,49 @@ def test_repetition_kernel_matches_explode_spelling(spark, sf_dir):
             )
         )
         assert ka == kb, f"cap={cap}"
+
+
+def test_candidate_pairs_injoin_dedup_exactly_once(spark):
+    """r14: with carry_keys band rows, candidate_pairs dedups pairs in
+    the self-join condition (emit at the FIRST shared band only) instead
+    of a post-join distinct.  Pins: (a) every pair appears exactly once
+    even when docs share ALL bands (identical texts), (b) the pair SET
+    equals the distinct spelling's, (c) the distinct's HashAggregate is
+    gone from the plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mrsboraetl_spark.operators.dedup import (
+        bands_from_sig,
+        candidate_pairs,
+        hashed_sig_docs,
+    )
+
+    # 7 groups of identical docs: in-group pairs share BOTH bands (the
+    # worst case for duplicate emission); cross-group pairs share none.
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog {i % 7}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigged = hashed_sig_docs(df, "doc_id", "text", 5, 8).localCheckpoint()
+    new = candidate_pairs(bands_from_sig(sigged, 8, 4, carry_keys=True), None)
+    old = candidate_pairs(bands_from_sig(sigged, 8, 4), None)
+    new_rows = [(r["doc_a"], r["doc_b"]) for r in new.collect()]
+    assert len(new_rows) == len(set(new_rows)), "pair emitted twice"
+    assert set(new_rows) == {
+        (r["doc_a"], r["doc_b"]) for r in old.collect()
+    }
+    # every in-group pair is a candidate (identical docs share all
+    # bands, so the exactly-once assertion above really was exercised
+    # by multi-band matches); near-identical cross-group docs may band-
+    # match too, hence >=.
+    assert len(new_rows) >= sum(
+        n * (n - 1) // 2
+        for n in [len([i for i in range(40) if i % 7 == g]) for g in range(7)]
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        new.explain("formatted")
+    plan = buf.getvalue()
+    assert "HashAggregate" not in plan, plan
