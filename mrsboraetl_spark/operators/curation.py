@@ -758,6 +758,7 @@ def unigram_logprob(
     text_col: str,
     broadcast_vocab: bool = False,
     max_doc_tokens: int | None = None,
+    materialize_tokens: bool = False,
 ) -> DataFrame:
     """(id, n_tokens, nll) — each document's mean negative log-likelihood
     under the corpus's OWN unigram language model (p(t) = corpus count /
@@ -797,6 +798,18 @@ def unigram_logprob(
         F.col(id_col).alias("id"),
         F.explode(ts).alias("t"),
     )
+    # ``materialize_tokens`` (r14, guide §1.2 / VERDICT r13 item 8):
+    # the exploded token stream is consumed twice — once into the count
+    # aggregation, once by the count re-join — so by default the corpus
+    # is tokenized twice.  Opt-in checkpointing tokenizes ONCE at the
+    # cost of storing the exploded (id, token) stream, the right trade
+    # only while that stream fits local/cluster scratch (it is
+    # corpus-sized; at 100 TB leave it off and pay the second scan).
+    # Lazy: it materializes immediately under the eager counts
+    # checkpoint on the next line (no separate job), then the re-join
+    # reuses the pinned partitions.
+    if materialize_tokens:
+        toks = toks.localCheckpoint(eager=False)
     # Pin the vocabulary counts BEFORE taking the scalar total: the
     # 1-row action below and the token re-join both consume this
     # subtree, and without the pin the full explode+groupBy corpus scan

@@ -1412,9 +1412,14 @@ def curation_unigram_logprob(spark, sf_dir):
     from mrsboraetl_spark.operators.curation import unigram_logprob
 
     docs = table(spark, sf_dir, "documents")
-    return unigram_logprob(docs, "doc_id", "text").withColumnRenamed(
-        "id", "doc_id"
-    )
+    # materialize_tokens: tokenize the corpus ONCE (the exploded stream
+    # is consumed by both the count agg and the re-join) — the right
+    # trade while the (id, token) stream fits scratch storage, which at
+    # the registered test SFs it always does; a 100 TB deployment would
+    # leave it off (corpus-sized checkpoint) and pay the second scan.
+    return unigram_logprob(
+        docs, "doc_id", "text", materialize_tokens=True
+    ).withColumnRenamed("id", "doc_id")
 
 
 UNREGISTERED_ORACLES["curation_unigram_logprob"] = f"""

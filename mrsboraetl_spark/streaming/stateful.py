@@ -68,14 +68,23 @@ def drain_to_batch(stream: DataFrame, output_mode: str = "update") -> DataFrame:
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode(write_mode).parquet(data_dir)
 
+    # availableNow (r14, guide §7 / VERDICT r13 item 7): the drain input
+    # is bounded by construction, so let the trigger plan all available
+    # data up front and terminate itself — awaitTermination() then
+    # returns at the last commit instead of processAllAvailable()'s
+    # poll-until-idle loop paying an extra empty-tick round trip per
+    # drain.  Interleaved A/B (tumbling daily, sf0.1): 2.671 -> 2.420
+    # min-of-3, identical rows; micro-batch splitting options
+    # (maxFilesPerTrigger) are still honoured by the trigger.
     q = (
         stream.writeStream.outputMode(output_mode)
         .foreachBatch(sink)
         .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.awaitTermination()
     finally:
         q.stop()
     import shutil
