@@ -915,7 +915,12 @@ def connected_components(
             )
             .select("node", "glabel")
         )
-        new_labels = (
+        # Carry the round's OLD label through the projection (r14, guide
+        # §2.4): the convergence check below then reads the materialized
+        # (label, _old) pair directly instead of re-joining new labels
+        # against old — one join (both sides unpartitioned checkpoint
+        # RDDs, i.e. two exchanges) and its scan deleted per round.
+        new_plus = (
             labels.join(nbr_min, "node", "left")
             .join(grand, "node")
             .select(
@@ -925,21 +930,18 @@ def connected_components(
                     F.coalesce(F.col("nbr_label"), F.col("label")),
                     F.col("glabel"),
                 ).alias("label"),
+                F.col("label").alias("_old"),
             )
         )
         parquet_round = (rnd + 1) % stats_reset_every == 0
         if parquet_round:
             path = f"{ckpt_root}/round_{rnd}"
-            new_labels.write.mode("overwrite").parquet(path)
-            new_labels = spark.read.parquet(path)
+            new_plus.write.mode("overwrite").parquet(path)
+            new_plus = spark.read.parquet(path)
         else:
-            new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+            new_plus = new_plus.localCheckpoint()
+        changed = new_plus.filter(F.col("label") != F.col("_old")).count()
+        new_labels = new_plus.select("node", "label")
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -1230,3 +1230,20 @@ def test_candidate_pairs_injoin_dedup_exactly_once(spark):
         new.explain("formatted")
     plan = buf.getvalue()
     assert "HashAggregate" not in plan, plan
+
+
+def test_connected_components_output_schema_and_inline_convergence(spark):
+    """r14: the convergence check reads the (label, _old) pair carried
+    through the round's own projection instead of re-joining new labels
+    against old.  Pins that the helper column never leaks into the
+    returned schema and that labels stay exact on a graph that needs
+    BOTH propagation terms (a chain long enough to exercise pointer
+    doubling plus a separate triangle)."""
+    from mrsboraetl_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(10, 19)] + [(1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(df, max_iter=20)
+    assert out.columns == ["node", "label"]
+    got = {r["node"]: r["label"] for r in out.collect()}
+    assert got == {**{i: 10 for i in range(10, 20)}, 1: 1, 2: 1, 3: 1}
