@@ -1078,8 +1078,9 @@ def fuzzy_text_join(
     sr = hashed_sig_docs(
         right, right_id, right_text, k, num_hashes, compact_hashes=True
     ).localCheckpoint()
-    bl = bands_from_sig(sl, num_hashes, rows_per_band)
-    br = bands_from_sig(sr, num_hashes, rows_per_band)
+    carry = max_band_freq is None
+    bl = bands_from_sig(sl, num_hashes, rows_per_band, carry_keys=carry)
+    br = bands_from_sig(sr, num_hashes, rows_per_band, carry_keys=carry)
     if max_band_freq is not None:
         freqs = (
             bl.select("band", "bk")
@@ -1091,15 +1092,49 @@ def fuzzy_text_join(
         )
         bl = bl.join(freqs, ["band", "bk"])
         br = br.join(freqs, ["band", "bk"])
-    cands = (
-        bl.select(F.col("doc").alias("id_a"), "band", "bk")
-        .join(
-            br.select(F.col("doc").alias("id_b"), "band", "bk"),
-            ["band", "bk"],
+    if carry:
+        # In-join dedup, cross-table flavour (r14 — same first-shared-
+        # band rule as candidate_pairs, minus the doc< self-pair guard):
+        # a (left, right) pair is emitted only at its smallest shared
+        # band, so the candidate set is unique by construction and the
+        # post-join distinct exchange is deleted.  Capped path keeps the
+        # distinct for the same dropped-band reason as candidate_pairs.
+        a = bl.select(
+            F.col("doc").alias("id_a"),
+            F.col("bks").alias("bks_a"),
+            "band",
+            "bk",
+        ).alias("a")
+        b = br.select(
+            F.col("doc").alias("id_b"),
+            F.col("bks").alias("bks_b"),
+            "band",
+            "bk",
+        ).alias("b")
+        earlier = F.exists(
+            F.zip_with(
+                F.slice(F.col("a.bks_a"), F.lit(1), F.col("a.band")),
+                F.slice(F.col("b.bks_b"), F.lit(1), F.col("b.band")),
+                lambda x, y: x == y,
+            ),
+            lambda v: v,
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+        cands = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & ~earlier,
+        ).select("id_a", "id_b")
+    else:
+        cands = (
+            bl.select(F.col("doc").alias("id_a"), "band", "bk")
+            .join(
+                br.select(F.col("doc").alias("id_b"), "band", "bk"),
+                ["band", "bk"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
     joined = cands.join(
         sl.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a")),
         "id_a",

@@ -1247,3 +1247,36 @@ def test_connected_components_output_schema_and_inline_convergence(spark):
     assert out.columns == ["node", "label"]
     got = {r["node"]: r["label"] for r in out.collect()}
     assert got == {**{i: 10 for i in range(10, 20)}, 1: 1, 2: 1, 3: 1}
+
+
+def test_fuzzy_join_injoin_dedup_exactly_once(spark):
+    """r14: fuzzy_text_join's cross-table candidate join dedups in the
+    join condition (first shared band) when no hot-band cap is set.
+    Pins exactly-once emission with docs sharing ALL bands across the
+    two tables, pair-set equality against the capped path run with a
+    cap high enough to keep every band, and identical jaccard output."""
+    from mrsboraetl_spark.operators.dedup import fuzzy_text_join
+
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog {i % 5}")
+        for i in range(20)
+    ]
+    left = spark.createDataFrame(rows, "lid long, text string")
+    right = spark.createDataFrame(
+        [(i + 100, t) for i, t in rows], "rid long, text string"
+    )
+    uncapped = fuzzy_text_join(
+        left, right, "lid", "text", "rid", "text", threshold=0.2
+    ).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in uncapped]
+    assert len(pairs) == len(set(pairs)), "pair emitted twice"
+    # capped path (distinct spelling) with a no-op cap: same output set
+    capped = fuzzy_text_join(
+        left, right, "lid", "text", "rid", "text",
+        threshold=0.2, max_band_freq=10_000,
+    ).collect()
+    assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in uncapped} == {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in capped
+    }
+    # identical texts across the tables guarantee all-bands-shared pairs
+    assert {(i, i + 100) for i in range(20)} <= set(pairs)
